@@ -1,0 +1,99 @@
+"""Posting codec tests (mirror of reference IndexSequenceTest.cs:17-134)."""
+
+import numpy as np
+import pytest
+
+from docodo_tpu.core import varint
+from docodo_tpu.core.postings import PostingSeq
+
+
+def ascending(rng, n, max_delta=0xFFFF):
+    deltas = rng.integers(0, max_delta, size=n, dtype=np.uint64)
+    return np.cumsum(deltas, dtype=np.uint64)
+
+
+def test_roundtrip_small(rng):
+    coords = ascending(rng, 100)
+    enc = varint.encode(coords)
+    assert enc.dtype == np.uint16
+    np.testing.assert_array_equal(varint.decode(enc), coords)
+
+
+def test_roundtrip_large_deltas(rng):
+    # deltas spanning 1..2^40 exercise multi-chunk encoding
+    deltas = rng.integers(1, 1 << 40, size=1000, dtype=np.uint64)
+    coords = np.cumsum(deltas, dtype=np.uint64)
+    np.testing.assert_array_equal(varint.decode(varint.encode(coords)), coords)
+
+
+def test_single_value():
+    np.testing.assert_array_equal(
+        varint.decode(varint.encode(np.array([62], dtype=np.uint64))),
+        np.array([62], dtype=np.uint64),
+    )
+
+
+def test_duplicates_kept():
+    coords = np.array([5, 5, 9, 9, 9], dtype=np.uint64)
+    np.testing.assert_array_equal(varint.decode(varint.encode(coords)), coords)
+
+
+def test_two_bytes_per_small_delta(rng):
+    # parity bar: 2 bytes per coordinate for deltas < 2^15
+    coords = np.cumsum(rng.integers(0, 1 << 15, size=5000, dtype=np.uint64))
+    enc = varint.encode(coords)
+    assert enc.size == coords.size
+
+
+def test_chunk_boundaries():
+    # delta == MASK fits one chunk; MASK+1 takes two
+    for delta, n in [(0, 1), (1, 1), (0x7FFF, 1), (0x8000, 2), (1 << 30, 3)]:
+        enc = varint.encode(np.array([delta], dtype=np.uint64))
+        assert enc.size == n, (delta, enc)
+
+
+@pytest.mark.parametrize("shift", [0, 100, 0xFFFFF, 0xFFFFFFFF])
+def test_shift(rng, shift):
+    coords = ascending(rng, 100)
+    seq = PostingSeq(coords.copy())
+    seq.shift(shift)
+    np.testing.assert_array_equal(seq.coords, coords + np.uint64(shift))
+    # round-trips through the codec after shifting
+    np.testing.assert_array_equal(varint.decode(seq.encode()), seq.coords)
+
+
+def test_encoded_len_matches_encode(rng):
+    coords = np.cumsum(rng.integers(0, 1 << 20, size=777, dtype=np.uint64))
+    assert varint.encoded_len(coords) == varint.encode(coords).size
+
+
+def test_block_io(tmp_path, rng):
+    coords = ascending(rng, 257)
+    p = tmp_path / "blk"
+    with open(p, "wb") as f:
+        varint.write_block(f, coords)
+    with open(p, "rb") as f:
+        np.testing.assert_array_equal(varint.read_block(f), coords)
+        with pytest.raises(EOFError):
+            varint.read_block(f)
+
+
+def test_speed_vs_list_append(rng):
+    """Perf gate analog of IndexSequenceTest.SpeedTest:96-115 — encoding 10M
+    coords must stay under 2.5x the cost of raw container appends."""
+    import time
+
+    n = 10_000_000
+    coords = ascending(rng, n)
+    varint.encode(coords[:100_000])  # warmup (allocator / code paths)
+    t0 = time.perf_counter()
+    lst = []
+    append = lst.append
+    for v in coords[: n // 10]:  # list-append timed on 1/10 then scaled
+        append(v)
+    t_list = (time.perf_counter() - t0) * 10
+    t1 = time.perf_counter()
+    enc = varint.encode(coords)
+    t_enc = time.perf_counter() - t1
+    assert enc.size >= n
+    assert t_enc < 2.5 * t_list, (t_enc, t_list)
