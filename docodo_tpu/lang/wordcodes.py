@@ -1,0 +1,97 @@
+"""Word -> index-key coding.
+
+Behavioral match of the reference's GetWordCodes fold (ref
+Docodo.NET/Build.cs:175-247), including its quirks:
+
+* a word starting with an ASCII digit maps to itself only;
+* stop words map to no keys at all;
+* the full form is always a key; every vocab whose first-letter range
+  covers the word and knows its stem contributes a '#HEX' group key
+  (hex of (voc_index << 24) | (group & 0xFFFFFF), uppercase, no padding);
+* `nG` carries the LAST evaluated vocab lookup: if a later vocab's range
+  matches but lookup misses, the word is treated as unknown and gets the
+  '$stem' fallback key (stem from the FIRST vocab iteration);
+* the stemmer table is consulted only when NO vocabs are loaded, choosing
+  the first stemmer whose character range covers the whole word.
+
+Codes are cached per unique word — the device build pipeline only calls
+this once per distinct token.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+from docodo_tpu.constants import GROUP_NUMBER_MASK, KNOWN_WORD_CHAR, WORD_STEM_CHAR
+from docodo_tpu.lang import stemmers
+
+
+def from_int(i: int) -> str:
+    """'#' + uppercase hex, no leading zeros (ref Index.cs:196)."""
+    return KNOWN_WORD_CHAR + format(i, "X")
+
+
+class WordCoder:
+    def __init__(
+        self,
+        vocs: Sequence = (),
+        stop_words: Optional[set] = None,
+        stemmer_table: Optional[Sequence] = None,
+    ):
+        self.vocs = list(vocs)
+        self.stop_words = stop_words if stop_words is not None else set()
+        table = (
+            stemmer_table if stemmer_table is not None else stemmers.KNOWN_STEMMERS
+        )
+        self.stemmer_table = [
+            (lang, fn, re.compile(f"[^{rng}]")) for lang, fn, rng in table
+        ]
+        self._cache: dict[str, Tuple[str, ...]] = {}
+
+    def clear_cache(self) -> None:
+        self._cache.clear()
+
+    def codes(self, word: str) -> Tuple[str, ...]:
+        """Index keys for a (lowercase) word. Empty tuple = stop word."""
+        cached = self._cache.get(word)
+        if cached is not None:
+            return cached
+        out = self._codes_uncached(word)
+        if len(self._cache) < 1_000_000:
+            self._cache[word] = out
+        return out
+
+    def _codes_uncached(self, word: str) -> Tuple[str, ...]:
+        if not word:
+            return ()
+        if "0" <= word[0] <= "9":
+            return (word,)
+        if word in self.stop_words:
+            return ()
+        keys: List[str] = [word]
+        stemmed = word
+        first_stemmed = ""
+        n_g = 0
+        for n_voc, voc in enumerate(self.vocs):
+            if (
+                voc is not None
+                and voc.range[0] <= word[0] <= voc.range[1]
+            ):
+                stemmed = voc.stem(word)
+                n_g = voc.search(stemmed)
+                if n_g != 0:
+                    keys.append(from_int((n_voc << 24) | (n_g & GROUP_NUMBER_MASK)))
+            if not first_stemmed:
+                first_stemmed = stemmed
+        if n_g == 0:
+            stemmed = first_stemmed
+            if not self.vocs:
+                for _lang, fn, neg_re in self.stemmer_table:
+                    if not neg_re.search(word):
+                        if fn is not None:
+                            stemmed = fn(word)
+                        break
+            if stemmed and stemmed != word:
+                keys.append(WORD_STEM_CHAR + stemmed)
+        return tuple(keys)

@@ -1,0 +1,156 @@
+"""Stemmer tests.
+
+The decisive test is key-set parity against the shipped Dict/en.voc: every
+key in it is EnglishStemmer(word) for words in Dict/en FreeLing files, so
+rebuilding the key set with our Porter2 and diffing proves behavioral match
+(0 spurious keys expected; a few hundred voc-only keys come from source
+files absent in the checkout — pronouns/conjunctions).
+"""
+
+import os
+
+import pytest
+
+from docodo_tpu.lang.stemmers import stem_de, stem_en, stem_fr, stem_ru
+
+REF = "/root/reference"
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("caresses", "caress"),
+        ("flies", "fli"),
+        ("cries", "cri"),
+        ("ties", "tie"),
+        ("knitting", "knit"),
+        ("laughed", "laugh"),
+        ("laughing", "laugh"),
+        ("generate", "generat"),
+        ("generically", "generic"),
+        ("happy", "happi"),
+        ("skies", "sky"),
+        ("dying", "die"),
+        ("news", "news"),
+        ("sky", "sky"),
+        ("exceed", "exceed"),
+        ("conditional", "condit"),
+        ("rational", "ration"),
+        ("agreed", "agre"),
+        ("hopping", "hop"),
+        ("hoping", "hope"),
+        ("old", "old"),
+        ("a", "a"),
+        ("be", "be"),
+    ],
+)
+def test_en_vectors(word, stem):
+    assert stem_en(word) == stem
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("книгами", "книг"),
+        ("книга", "книг"),
+        ("красивый", "красив"),
+        ("важная", "важн"),
+        ("лошадь", "лошад"),
+        ("возможность", "возможн"),
+        ("бегающий", "бега"),
+        ("ёлка", "елк"),
+        ("война", "войн"),
+    ],
+)
+def test_ru_vectors(word, stem):
+    assert stem_ru(word) == stem
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("kinder", "kind"),
+        ("laufen", "lauf"),
+        ("schönheit", "schonheit"),
+        ("aufeinander", "aufeinand"),
+    ],
+)
+def test_de_vectors(word, stem):
+    assert stem_de(word) == stem
+
+
+@pytest.mark.parametrize(
+    "word,stem",
+    [
+        ("chanter", "chant"),
+        ("chantait", "chant"),
+        ("continuelle", "continuel"),
+    ],
+)
+def test_fr_vectors(word, stem):
+    assert stem_fr(word) == stem
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "Dict/en.voc")),
+    reason="reference vocab not available",
+)
+def test_en_keyset_parity_with_shipped_voc():
+    from docodo_tpu.lang.vocab import Vocab
+
+    voc = Vocab(os.path.join(REF, "Dict/en.voc"))
+    keys = set()
+    folder = os.path.join(REF, "Dict/en")
+    for fn in os.listdir(folder):
+        path = os.path.join(folder, fn)
+        if not os.path.isfile(path):
+            continue
+        with open(path, encoding="utf-8", errors="replace") as f:
+            for line in f:
+                parts = line.rstrip("\n").split(" ")
+                if len(parts) >= 2 and parts[0] and parts[1]:
+                    keys.add(stem_en(parts[0]))
+                    keys.add(stem_en(parts[1]))
+    extra = keys - set(voc.words)
+    missing = set(voc.words) - keys
+    # zero novel stems: our Porter2 never disagrees with the reference's
+    assert not extra, sorted(extra)[:20]
+    # the handful of voc-only keys trace to dictionary files not shipped
+    assert len(missing) < 300
+
+
+def test_vocab_roundtrip(tmp_path):
+    import io
+
+    from docodo_tpu.lang.vocab import Vocab
+
+    v = Vocab()
+    v.name = "en"
+    for w, g in [("and", 1), ("old", 2), ("the", 6)]:
+        v.add(w, g)
+    buf = io.BytesIO()
+    v.save(buf)
+    buf.seek(0)
+    v2 = Vocab()
+    v2.load(buf)
+    assert v2.words == v.words
+    assert v2.range == ("a", "t")
+
+
+def test_vocbuilder_groups_share_stems():
+    from docodo_tpu.lang.vocab import VocBuilder
+
+    b = VocBuilder(stemmer=stem_en)
+    b.add_words_group(["run", "ran"])
+    b.add_words_group(["running", "run"])  # shares stem "run" -> same group
+    groups = {b.words[k] & 0xFFFFFF for k in ("run", "ran")}
+    assert len(groups) == 1
+
+
+def test_stopwords(tmp_path):
+    from docodo_tpu.lang.vocab import load_stop_words
+
+    p = tmp_path / "stop.txt"
+    p.write_text(";English\nand\nthe\n\n;Russian\nили\n", encoding="utf-8")
+    sw = load_stop_words(str(p))
+    assert sw == {"and", "the", "или"}
