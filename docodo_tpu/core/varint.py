@@ -60,6 +60,27 @@ def encode(coords: np.ndarray) -> np.ndarray:
     return out
 
 
+def decode_deltas(stream: np.ndarray) -> np.ndarray:
+    """Decode a u16 varint stream into raw deltas (no prefix sum)."""
+    stream = np.asarray(stream, dtype=np.uint16)
+    if stream.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    cont = (stream & OVERFLOW) != 0
+    if not cont.any():
+        return stream.astype(np.uint64)
+    starts = np.empty(stream.shape, dtype=bool)
+    starts[0] = True
+    np.logical_not(cont[:-1], out=starts[1:])
+    start_idx = np.flatnonzero(starts)
+    glen = np.diff(np.append(start_idx, stream.size))
+    payload = (stream & MASK).astype(np.uint64)
+    deltas = payload[start_idx]
+    for j in range(1, int(glen.max())):
+        sel = glen > j
+        deltas[sel] |= payload[start_idx[sel] + j] << np.uint64(j * BITS)
+    return deltas
+
+
 def decode(stream: np.ndarray) -> np.ndarray:
     """Decode a u16 varint stream back into ascending uint64 coords."""
     stream = np.asarray(stream, dtype=np.uint16)

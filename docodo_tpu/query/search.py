@@ -1,0 +1,256 @@
+"""Search result types, materialization, ranking and snippets.
+
+Behavioral match of the reference result pipeline (ref
+Docodo.NET/Search.cs:20-123, 365-428, 552-601, 619-751), with the
+coordinate->page resolution and ranking arithmetic vectorized:
+
+* page rank = 1 + sum(30 // max(5, gap)) + ln(n_pos) — the reference's
+  30/Math.Max(5,gap) is INTEGER division, reproduced here;
+* doc rank = 1 + ln(sum page ranks), x10 when the first found page is the
+  header page "0";
+* final doc ordering is ascending rank and the doc summary joins the three
+  LOWEST-ranked pages — quirks of the reference, preserved for parity.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from docodo_tpu.constants import (
+    BEGIN_MATCHED_SYMBOL,
+    END_MATCHED_SYMBOL,
+    MAX_FOUND_DOCS,
+    MAX_FOUND_PAGES,
+)
+
+
+@dataclass
+class WordInfo:
+    word: str = ""
+    n_found: int = 0
+    original_word: str = ""
+    n_orig_found: int = 0
+
+
+class ResultDocPage:
+    __slots__ = ("id", "pos", "text")
+
+    def __init__(self, page_id: str, pos=None):
+        self.id = page_id
+        self.pos: List[int] = pos if pos is not None else []
+        self.text: Optional[str] = None
+
+    @property
+    def rank(self) -> float:
+        bonus = 0
+        p = self.pos
+        for q in range(1, len(p)):
+            bonus += 30 // max(5, p[q] - p[q - 1])
+        return 1.0 + bonus + math.log(len(p)) if p else 1.0
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, ResultDocPage)
+            and self.id == other.id
+            and list(self.pos) == list(other.pos)
+        )
+
+    def __repr__(self):
+        return f"ResultDocPage(id={self.id!r}, n={len(self.pos)})"
+
+
+class ResultDocument:
+    def __init__(self, name: str):
+        self.name = name
+        self.pages: List[ResultDocPage] = []
+        self.rank: float = 0.0
+        self.summary: str = ""
+        self.headers: Dict[str, str] = {}
+        self.found_words: List[str] = []
+
+    def make_headers(self, text: str) -> None:
+        self.headers = {}
+        splits = re.split("[=\n]", text)
+        for q in range(0, len(splits) - 1, 2):
+            if splits[q] not in self.headers:
+                self.headers[splits[q]] = splits[q + 1]
+
+    def __repr__(self):
+        return f"ResultDocument({self.name!r}, pages={len(self.pages)})"
+
+
+class SearchResult:
+    def __init__(self):
+        self.found_docs: List[ResultDocument] = []
+        self.found_pages: List[ResultDocPage] = []
+        self.success = True
+        self.error = ""
+        self.words: List[WordInfo] = []
+
+    def __eq__(self, other):
+        if isinstance(other, SearchResult):
+            return self.found_pages == other.found_pages
+        return NotImplemented
+
+    # .NET-style aliases used by the server JSON layer
+    @property
+    def foundDocs(self):
+        return self.found_docs
+
+    @property
+    def foundPages(self):
+        return self.found_pages
+
+
+class ErrorSearchResult(SearchResult):
+    def __init__(self, error: str):
+        super().__init__()
+        self.success = False
+        self.error = error
+
+
+def prepare_search_result(coords: np.ndarray, page_table, doc_filter) -> SearchResult:
+    """Coordinate stream -> found pages/docs (ref Search.cs:365-420).
+
+    `coords` ascending uint64; `doc_filter` list of regex strings a doc
+    name must match (any) to enter found_docs.
+    """
+    result = SearchResult()
+    if coords is None or len(coords) == 0 or len(page_table) == 0:
+        return result
+    coords = np.asarray(coords, dtype=np.uint64)
+    page_idx, pos = page_table.locate(coords)
+    # runs of equal page index
+    n = page_idx.size
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(page_idx[1:], page_idx[:-1], out=change[1:])
+    run_starts = np.flatnonzero(change)
+    run_ends = np.append(run_starts[1:], n)
+
+    filters = [re.compile(f) for f in doc_filter]
+    last_doc: Optional[ResultDocument] = None
+    prev_doc_idx = -1
+    for a, b in zip(run_starts.tolist(), run_ends.tolist()):
+        pg = int(page_idx[a])
+        page = ResultDocPage(page_table.page_ids[pg], pos[a:b].tolist())
+        result.found_pages.append(page)
+        doc_idx = int(page_table.page_doc[pg])
+        if doc_idx != prev_doc_idx or last_doc is None:
+            doc = ResultDocument(page_table.doc_names[doc_idx])
+            if len(result.found_docs) < MAX_FOUND_DOCS:
+                matched = not filters or any(
+                    f.search(doc.name) for f in filters
+                )
+                if matched:
+                    result.found_docs.append(doc)
+            last_doc = doc
+            prev_doc_idx = doc_idx
+        last_doc.pages.append(page)
+        last_doc.rank += page.rank
+        if len(result.found_pages) > MAX_FOUND_PAGES:
+            break
+    return result
+
+
+def combine_search_results(res1: SearchResult, res2: SearchResult) -> SearchResult:
+    """Keep only docs present in both results (ref Search.cs:423-428)."""
+    names = {d.name for d in res2.found_docs}
+    res1.found_docs = [d for d in res1.found_docs if d.name in names]
+    return res1
+
+
+# ---------------------------------------------------------------------------
+# snippets / highlighting (ref Search.cs:619-751)
+# ---------------------------------------------------------------------------
+
+_WORD_END_RE = re.compile(r"(?<=\w)\b")
+
+
+def _spans_from_positions(text: str, positions: List[int]):
+    """Split `text` into (fragment, format) spans, marking the word starting
+    at each position (ref SpannableString.Builder.Add, Search.cs:705-717)."""
+    spans = []
+    last = 0
+    for p in positions:
+        if p < last or p > len(text):
+            continue
+        spans.append((text[last:p], 0))
+        m = _WORD_END_RE.search(text[p:])
+        wordend = m.start() if m else 0
+        spans.append((text[p: p + wordend], 1))
+        last = p + wordend
+    spans.append((text[last:], 0))
+    return spans
+
+
+def _spans_substring(spans, start: int, length: int):
+    """Substring over spans, keeping highlighted spans whole
+    (ref Search.cs:627-670)."""
+    res = []
+    l = 0
+    for text, fmt in spans:
+        l += len(text)
+        if not res and l > start:
+            if fmt != 0:
+                res.append((text, fmt))
+            else:
+                res.append((text[start - l + len(text):], 0))
+        elif res:
+            if l >= start + length:
+                if fmt != 0:
+                    res.append((text, fmt))
+                else:
+                    res.append((text[: start + length - l + len(text)], 0))
+                break
+            res.append((text, fmt))
+    return res
+
+
+_CLEANUPS = [
+    (re.compile(r"\b\W*\.+\W*\b"), ". "),
+    (re.compile(r"\b\W*\?+\W*\b"), "? "),
+    (re.compile(r"\b\W*!+\W*\b"), "! "),
+    (re.compile(r"\b\W*:+\W*\b"), ": "),
+    (re.compile(r"\b\W*,+\W*\b"), ", "),
+]
+
+
+def _spans_to_string(spans) -> str:
+    out = []
+    for text, fmt in spans:
+        if fmt != 0:
+            out.append(BEGIN_MATCHED_SYMBOL + text + END_MATCHED_SYMBOL)
+        else:
+            out.append(text)
+    return "".join(out)
+
+
+def highlight_positions(text: str, positions: List[int]) -> str:
+    """Whole-text highlight (used for header pages, ref Search.cs:571-573)."""
+    return _spans_to_string(_spans_from_positions(text, positions))
+
+
+def prepare_page_text(page: ResultDocPage, text: str, max_len: int) -> tuple:
+    """Snippet window around the hits with highlights.
+
+    Returns (snippet, matched_words) — matched words feed doc.found_words.
+    """
+    if not page.pos or not text:
+        return "", []
+    spans = _spans_from_positions(text, page.pos)
+    lo = min(max(0, min(page.pos) - max_len // 4), len(text))
+    hi = min(min(max(page.pos) + max_len // 4, len(text)), lo + max_len)
+    res = _spans_substring(spans, lo, hi - lo)
+    cleaned = []
+    for t, fmt in res:
+        for pat, rep in _CLEANUPS:
+            t = pat.sub(rep, t)
+        cleaned.append((t, fmt))
+    matched = [t for t, fmt in cleaned if fmt != 0]
+    return _spans_to_string(cleaned), matched
