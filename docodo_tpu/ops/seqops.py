@@ -1,0 +1,172 @@
+"""Device posting algebra: jit-compiled twins of core/postings.py.
+
+The host algebra is sequential-looking; here the same semantics run as
+fixed-shape array programs that XLA fuses and vmaps:
+
+* a posting operand is (coords int32[P] padded with INT32_MAX, n, R);
+* AND = sort-merge + gap segmentation (cumsum/cummax scans) + per-segment
+  both-operands test (segment_max) + compaction (second sort);
+* OR  = sort-merge + cross-operand dedupe + compaction.
+
+Device lists are assumed strictly ascending (true for any real index term:
+one coordinate per occurrence) — the host oracle covers the general
+multiset case. All shapes are static: shapes come from bucketized posting
+capacities, so each (P1, P2) pair compiles once and is reused.
+
+Semantics match ref Docodo.NET/IndexSequence.cs:218-322; see
+core/postings.py for the derivation of the closed-form ordered-mode cut.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF32 = np.int32(np.iinfo(np.int32).max)
+
+
+def pad_to(coords, cap: int):
+    """Pad an ascending int array to `cap` with INF sentinels."""
+    coords = np.asarray(coords, dtype=np.int64)
+    n = min(coords.size, cap)
+    out = np.full(cap, INF32, dtype=np.int32)
+    out[:n] = coords[:n]
+    return out, np.int32(n)
+
+
+def combine_r(r1, r2):
+    """Result window: max magnitude; ordered only if both ordered."""
+    abs_r = jnp.maximum(jnp.abs(r1), jnp.abs(r2))
+    return jnp.where((r1 < 0) & (r2 < 0), -abs_r, abs_r)
+
+
+def _merge_sorted_tagged(a, na, b, nb):
+    """Concat+sort two padded ascending lists; returns (vals, isa, isb,
+    ghost, valid) with cross-operand duplicates merged onto their first
+    element and the second marked ghost."""
+    p1, p2 = a.shape[0], b.shape[0]
+    ia = jnp.arange(p1, dtype=jnp.int32) < na
+    ib = jnp.arange(p2, dtype=jnp.int32) < nb
+    vals = jnp.concatenate([jnp.where(ia, a, INF32), jnp.where(ib, b, INF32)])
+    isa = jnp.concatenate([ia, jnp.zeros(p2, dtype=bool)])
+    isb = jnp.concatenate([jnp.zeros(p1, dtype=bool), ib])
+    vals, isa, isb = jax.lax.sort((vals, isa, isb), num_keys=1)
+    valid = vals < INF32
+    prev = jnp.concatenate([jnp.array([-1], dtype=vals.dtype), vals[:-1]])
+    nxt = jnp.concatenate([vals[1:], jnp.array([INF32], dtype=vals.dtype)])
+    dup_prev = (vals == prev) & valid
+    dup_next = (vals == nxt) & valid
+    # merge tags of the pair onto the first element
+    isa_next = jnp.concatenate([isa[1:], jnp.array([False])])
+    isb_next = jnp.concatenate([isb[1:], jnp.array([False])])
+    isa = (isa | (dup_next & isa_next)) & ~dup_prev
+    isb = (isb | (dup_next & isb_next)) & ~dup_prev
+    return vals, isa, isb, dup_prev, valid
+
+
+def _compact(vals, keep):
+    """Move kept values to the front (ascending), count them."""
+    out = jnp.where(keep, vals, INF32)
+    out = jax.lax.sort(out)
+    return out, jnp.sum(keep).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def device_and(a, na, ra, b, nb, rb):
+    """Proximity-AND with group emission (both operands' coordinates).
+
+    Returns (coords int32[P1+P2] padded, n, r).
+    """
+    r = combine_r(ra, rb)
+    abs_r = jnp.abs(r)
+    vals, isa, isb, ghost, valid = _merge_sorted_tagged(a, na, b, nb)
+    n = vals.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    prev = jnp.concatenate([jnp.array([0], dtype=vals.dtype), vals[:-1]])
+    gap_cut = jnp.where(abs_r != 0, (vals - prev) > abs_r, False)
+    seg_start = (idx == 0) | (gap_cut & valid)
+
+    # ordered-mode extra cut: first A-tagged element of each gap segment,
+    # unless it already starts the segment (ghosts carry no tags)
+    def with_ordered_cuts():
+        start_idx = jax.lax.cummax(jnp.where(seg_start, idx, -1))
+        cum_a = jnp.cumsum(isa.astype(jnp.int32))
+        before = cum_a - isa.astype(jnp.int32)
+        before_at_start = before[start_idx]
+        prev_a_in_seg = before - before_at_start
+        ordered_cut = isa & (prev_a_in_seg == 0) & (idx != start_idx)
+        return seg_start | ordered_cut
+
+    seg_start2 = jnp.where(r < 0, with_ordered_cuts(), seg_start)
+
+    seg_id = jnp.cumsum(seg_start2.astype(jnp.int32)) - 1
+    seg_a = jax.ops.segment_max(
+        isa.astype(jnp.int32), seg_id, num_segments=n, indices_are_sorted=True
+    )
+    seg_b = jax.ops.segment_max(
+        isb.astype(jnp.int32), seg_id, num_segments=n, indices_are_sorted=True
+    )
+    keep = (seg_a[seg_id] > 0) & (seg_b[seg_id] > 0) & valid & ~ghost
+    out, cnt = _compact(vals, keep)
+    return out, cnt, r
+
+
+@functools.partial(jax.jit, static_argnames=())
+def device_or(a, na, ra, b, nb, rb):
+    """OR-merge with cross-operand dedupe. Returns (coords, n, r)."""
+    r = combine_r(ra, rb)
+    vals, isa, isb, ghost, valid = _merge_sorted_tagged(a, na, b, nb)
+    keep = valid & ~ghost
+    out, cnt = _compact(vals, keep)
+    return out, cnt, r
+
+
+# vmapped batch forms: operands stacked on a leading query axis
+batch_and = jax.jit(jax.vmap(device_and, in_axes=(0, 0, 0, 0, 0, 0)))
+batch_or = jax.jit(jax.vmap(device_or, in_axes=(0, 0, 0, 0, 0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("max_pages",))
+def device_locate_rank(coords, n, bounds, page_doc, max_pages: int):
+    """Device result pipeline: coordinate stream -> per-page hit stats.
+
+    For each hit: page = searchsorted(bounds, coord, 'right'); position =
+    coord - page base. Page rank = 1 + sum(30 // max(5, gap)) + ln(count)
+    over the page's hit run (integer division, matching the reference,
+    ref Search.cs:99-111).
+
+    Returns (page_idx[P], pos[P], first_hit_mask[P], page_rank[P]) where
+    page_rank is nonzero only at each page run's first hit.
+    """
+    p = coords.shape[0]
+    valid = jnp.arange(p, dtype=jnp.int32) < n
+    page = jnp.searchsorted(bounds, coords, side="right").astype(jnp.int32)
+    page = jnp.minimum(page, bounds.shape[0] - 1)
+    base = jnp.where(page > 0, bounds[jnp.maximum(page - 1, 0)], 0)
+    pos = jnp.where(valid, coords - base, 0)
+
+    prev_page = jnp.concatenate([jnp.array([-1], jnp.int32), page[:-1]])
+    first = (page != prev_page) & valid
+    run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+
+    prev_coord = jnp.concatenate([jnp.array([0], coords.dtype), coords[:-1]])
+    gap = coords - prev_coord
+    bonus = jnp.where(
+        valid & ~first, 30 // jnp.maximum(5, gap), 0
+    ).astype(jnp.float32)
+    run_bonus = jax.ops.segment_sum(
+        bonus, run_id, num_segments=max_pages, indices_are_sorted=True
+    )
+    run_count = jax.ops.segment_sum(
+        valid.astype(jnp.float32), run_id, num_segments=max_pages,
+        indices_are_sorted=True,
+    )
+    run_rank = jnp.where(
+        run_count > 0, 1.0 + run_bonus + jnp.log(jnp.maximum(run_count, 1.0)), 0.0
+    )
+    page_rank = jnp.where(first, run_rank[run_id], 0.0)
+    return page, pos, first, page_rank

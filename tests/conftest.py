@@ -3,7 +3,9 @@ sharding paths compile and execute without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env points JAX at the axon TPU tunnel
+# (JAX_PLATFORMS=axon), which is reserved for bench.py runs.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

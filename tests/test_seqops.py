@@ -1,0 +1,98 @@
+"""Device posting algebra must match the host oracle exactly (on
+strictly-ascending inputs, the device path's contract)."""
+
+import numpy as np
+import pytest
+
+from docodo_tpu.core.postings import group_and, or_merge
+from docodo_tpu.ops import seqops
+
+
+def strict_ascending(rng, n, max_delta=50):
+    deltas = rng.integers(1, max_delta, size=n, dtype=np.int64)
+    return np.cumsum(deltas)
+
+
+def run_and(a, b, r1, r2, cap=64):
+    pa, na = seqops.pad_to(a, cap)
+    pb, nb = seqops.pad_to(b, cap)
+    out, n, r = seqops.device_and(
+        pa, na, np.int32(r1), pb, nb, np.int32(r2)
+    )
+    return np.asarray(out)[: int(n)], int(r)
+
+
+def run_or(a, b, r1, r2, cap=64):
+    pa, na = seqops.pad_to(a, cap)
+    pb, nb = seqops.pad_to(b, cap)
+    out, n, r = seqops.device_or(
+        pa, na, np.int32(r1), pb, nb, np.int32(r2)
+    )
+    return np.asarray(out)[: int(n)], int(r)
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_device_and_matches_host(rng, ordered):
+    for _ in range(40):
+        na, nb = rng.integers(0, 40, size=2)
+        a = strict_ascending(rng, int(na))
+        b = strict_ascending(rng, int(nb))
+        r1 = int(rng.integers(0, 25))
+        r2 = int(rng.integers(0, 25))
+        if ordered:
+            r1, r2 = -max(r1, 1), -max(r2, 1)
+        want, wr = group_and(
+            a.astype(np.uint64), b.astype(np.uint64), r1, r2
+        )
+        got, gr = run_and(a, b, r1, r2)
+        assert gr == wr
+        np.testing.assert_array_equal(got, want.astype(np.int64))
+
+
+def test_device_or_matches_host(rng):
+    for _ in range(40):
+        na, nb = rng.integers(0, 40, size=2)
+        a = strict_ascending(rng, int(na))
+        b = strict_ascending(rng, int(nb))
+        want, wr = or_merge(a.astype(np.uint64), b.astype(np.uint64), 3, -4)
+        got, gr = run_or(a, b, 3, -4)
+        assert gr == wr
+        np.testing.assert_array_equal(got, want.astype(np.int64))
+
+
+def test_batch_and_vmap(rng):
+    B, cap = 8, 32
+    pa = np.stack([seqops.pad_to(strict_ascending(rng, 20), cap)[0] for _ in range(B)])
+    pb = np.stack([seqops.pad_to(strict_ascending(rng, 20), cap)[0] for _ in range(B)])
+    na = np.full(B, 20, dtype=np.int32)
+    r = np.full(B, 10, dtype=np.int32)
+    out, n, rr = seqops.batch_and(pa, na, r, pb, na, r)
+    assert out.shape == (B, 2 * cap)
+    for q in range(B):
+        want, _ = group_and(
+            pa[q, :20].astype(np.uint64), pb[q, :20].astype(np.uint64), 10, 10
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out[q])[: int(n[q])], want.astype(np.int64)
+        )
+
+
+def test_device_locate_rank(rng):
+    from docodo_tpu.query.search import ResultDocPage
+
+    bounds = np.array([100, 250, 400, 900], dtype=np.int32)
+    page_doc = np.array([0, 0, 1, 1], dtype=np.int32)
+    coords = np.array([5, 8, 40, 120, 260, 270, 300], dtype=np.int32)
+    cap = 16
+    pc, n = seqops.pad_to(coords, cap)
+    page, pos, first, rank = seqops.device_locate_rank(
+        pc, n, bounds, page_doc, max_pages=cap
+    )
+    page = np.asarray(page)[:7]
+    pos = np.asarray(pos)[:7]
+    np.testing.assert_array_equal(page, [0, 0, 0, 1, 2, 2, 2])
+    np.testing.assert_array_equal(pos, [5, 8, 40, 20, 10, 20, 50])
+    # rank parity with the host formula
+    host = ResultDocPage("1", [5, 8, 40])
+    got = float(np.asarray(rank)[0])
+    assert abs(got - host.rank) < 1e-4  # device rank is float32

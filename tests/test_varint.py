@@ -93,7 +93,7 @@ def test_speed_vs_list_append(rng):
         append(v)
     t_list = (time.perf_counter() - t0) * 10
     t_enc = float("inf")
-    for _ in range(2):  # best-of-2: first pass pays allocator page faults
+    for _ in range(3):  # best-of-3: first pass pays allocator page faults
         t1 = time.perf_counter()
         enc = varint.encode(coords)
         t_enc = min(t_enc, time.perf_counter() - t1)
