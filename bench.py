@@ -1,0 +1,178 @@
+"""Headline benchmark: batched phrase/proximity query throughput on the
+device index built from the Pickwick corpus.
+
+Prints ONE JSON line:
+  {"metric": "phrase_query_qps", "value": N, "unit": "qps", "vs_baseline": N}
+
+vs_baseline: the reference (alexarchen/Docodo, C#) publishes no absolute
+numbers and no .NET runtime exists in this image (see BASELINE.md), so
+the baseline is the measured sequential host engine — the NumPy
+implementation of the same query semantics (per-query proximity-AND +
+locate + rank), a faithful stand-in for the reference's single-core
+per-query evaluation loop (ref Docodo.NET/Search.cs:437-617,
+IndexSequence.cs:218-284). vs_baseline = device QPS / host QPS.
+
+Run on whatever jax.devices() provides (TPU under the driver; CPU works
+too). Diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CORPUS = os.environ.get(
+    "DOCODO_BENCH_CORPUS",
+    "/root/reference/Test/Dickens Charles. The Pickwick Papers - royallib.ru.txt",
+)
+N_QUERIES = int(os.environ.get("DOCODO_BENCH_QUERIES", "2048"))
+CAP = 8192          # posting bucket: benchmark terms capped below this
+TOPK = 16
+REPS = int(os.environ.get("DOCODO_BENCH_REPS", "5"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_corpus() -> str:
+    if os.path.exists(CORPUS):
+        with open(CORPUS, encoding="cp1251", errors="replace") as f:
+            return f.read()
+    # fallback synthetic corpus (driver machines without the reference mount)
+    rng = np.random.default_rng(0)
+    words = [f"word{i:04d}" for i in range(4000)]
+    return " ".join(rng.choice(words, size=300_000))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from docodo_tpu.lang.tokenizer import tokenize
+    from docodo_tpu.ops import device_index as di
+    from docodo_tpu.core.postings import group_and
+
+    log("devices:", jax.devices())
+    text = load_corpus()
+    mb = len(text.encode("utf-8", "replace")) / 1e6
+
+    # ---- host tokenize + term dict -------------------------------------
+    t0 = time.perf_counter()
+    words, starts = tokenize(text)
+    term_to_id = {}
+    tids = np.empty(len(words), dtype=np.int32)
+    keep = np.zeros(len(words), dtype=bool)
+    for i, w in enumerate(words):
+        if 3 <= len(w) <= 32:
+            tids[i] = term_to_id.setdefault(w, len(term_to_id))
+            keep[i] = True
+    tids = tids[keep]
+    coords = np.asarray(starts, dtype=np.int32)[keep]
+    t_tok = time.perf_counter() - t0
+    T = len(term_to_id)
+    log(f"corpus {mb:.2f} MB, {tids.size} postings, {T} terms, tokenize {t_tok:.2f}s")
+
+    # ---- device index build --------------------------------------------
+    build = jax.jit(di.build_postings, static_argnames=("num_terms",))
+    dt = jnp.asarray(tids)
+    dc = jnp.asarray(coords)
+    st, sc, off = build(dt, dc, num_terms=T)  # compile
+    jax.block_until_ready((st, sc, off))
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        st, sc, off = build(dt, dc, num_terms=T)
+        jax.block_until_ready((st, sc, off))
+    t_build = (time.perf_counter() - t0) / REPS
+    log(f"device build: {t_build*1e3:.1f} ms -> {mb / (t_build + t_tok):.1f} MB/s end-to-end, "
+        f"{mb / t_build:.1f} MB/s device-only")
+
+    off_np = np.asarray(off)
+    counts = off_np[1:] - off_np[:-1]
+
+    # ---- query set: phrases/proximity over mid-frequency terms ---------
+    rng = np.random.default_rng(42)
+    eligible = np.flatnonzero((counts >= 8) & (counts < CAP))
+    id_to_term = {v: k for k, v in term_to_id.items()}
+    sc_np = np.asarray(sc)
+
+    W = 2
+    terms = np.full((N_QUERIES, W), -1, dtype=np.int32)
+    rs = np.ones((N_QUERIES, W), dtype=np.int32)
+    for i in range(N_QUERIES):
+        a, b = rng.choice(eligible, size=2, replace=False)
+        kind = i % 3
+        if kind == 0:      # single word
+            terms[i, 0] = a
+            rs[i, 0] = 255 + len(id_to_term[a])
+        elif kind == 1:    # ordered "phrase"
+            terms[i] = (a, b)
+            rs[i] = (-(len(id_to_term[a]) + 4), -(len(id_to_term[b]) + 4))
+        else:              # proximity AND, default dist
+            terms[i] = (a, b)
+            rs[i] = (255 + len(id_to_term[a]), 255 + len(id_to_term[b]))
+
+    jt, jr = jnp.asarray(terms), jnp.asarray(rs)
+    # page table: 3000-char pages over the single doc (ref DataSources.cs:308)
+    page_len = 3000
+    n_pages = (len(text) + page_len - 1) // page_len
+    _bounds = jnp.asarray(
+        np.minimum(np.arange(1, n_pages + 1) * page_len, len(text)).astype(np.int32)
+    )
+    _page_doc = jnp.zeros(n_pages, dtype=jnp.int32)
+
+    def step():
+        return di.batched_query_step(
+            off, sc, _bounds, _page_doc, jt, jr, cap=CAP, topk=TOPK
+        )
+
+    out = step()  # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = step()
+        jax.block_until_ready(out)
+    t_query = (time.perf_counter() - t0) / REPS
+    qps = N_QUERIES / t_query
+    log(f"device batch: {N_QUERIES} queries in {t_query*1e3:.1f} ms -> {qps:.0f} QPS, "
+        f"p50-equiv latency {t_query / N_QUERIES * 1e6:.1f} us/query")
+
+    # ---- host sequential baseline (reference per-query loop analog) ----
+    bounds_np = np.asarray(_bounds)
+    n_base = min(256, N_QUERIES)
+    t0 = time.perf_counter()
+    for i in range(n_base):
+        acc = sc_np[off_np[terms[i, 0]]: off_np[terms[i, 0] + 1]].astype(np.uint64)
+        r_acc = int(rs[i, 0])
+        for j in range(1, W):
+            t = terms[i, j]
+            if t < 0:
+                continue
+            b = sc_np[off_np[t]: off_np[t + 1]].astype(np.uint64)
+            acc, r_acc = group_and(acc, b, r_acc, int(rs[i, j]))
+        page = np.searchsorted(bounds_np, acc, side="right")
+        if acc.size:
+            first = np.concatenate([[True], page[1:] != page[:-1]])
+            run = np.cumsum(first) - 1
+            gaps = np.diff(acc.astype(np.int64), prepend=0)
+            bonus = np.where(~first, 30 // np.maximum(5, gaps), 0)
+            nb = np.bincount(run)
+            rank = 1 + np.bincount(run, weights=bonus) + np.log(np.maximum(nb, 1))
+            k = min(TOPK, rank.size)
+            np.argpartition(-rank, k - 1)[:k]
+    t_host = (time.perf_counter() - t0) / n_base
+    host_qps = 1.0 / t_host
+    log(f"host sequential baseline: {host_qps:.0f} QPS")
+
+    print(json.dumps({
+        "metric": "phrase_query_qps",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / host_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,18 +67,27 @@ def _merge_sorted_tagged(a, na, b, nb):
     return vals, isa, isb, dup_prev, valid
 
 
-def _compact(vals, keep):
-    """Move kept values to the front (ascending), count them."""
+def _compact(vals, keep, out_cap=None):
+    """Move kept values to the front (ascending), count them.
+
+    With `out_cap` < len(vals) the result is truncated to the `out_cap`
+    lowest coordinates (the reference analogously caps result streams,
+    ref Index.cs:101-102 MAX_FOUND_PAGES/DOCS).
+    """
     out = jnp.where(keep, vals, INF32)
     out = jax.lax.sort(out)
-    return out, jnp.sum(keep).astype(jnp.int32)
+    n = jnp.sum(keep).astype(jnp.int32)
+    if out_cap is not None and out_cap < out.shape[0]:
+        out = out[:out_cap]
+        n = jnp.minimum(n, out_cap)
+    return out, n
 
 
-@functools.partial(jax.jit, static_argnames=())
-def device_and(a, na, ra, b, nb, rb):
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def device_and(a, na, ra, b, nb, rb, out_cap=None):
     """Proximity-AND with group emission (both operands' coordinates).
 
-    Returns (coords int32[P1+P2] padded, n, r).
+    Returns (coords int32[out_cap or P1+P2] padded, n, r).
     """
     r = combine_r(ra, rb)
     abs_r = jnp.abs(r)
@@ -111,17 +120,17 @@ def device_and(a, na, ra, b, nb, rb):
         isb.astype(jnp.int32), seg_id, num_segments=n, indices_are_sorted=True
     )
     keep = (seg_a[seg_id] > 0) & (seg_b[seg_id] > 0) & valid & ~ghost
-    out, cnt = _compact(vals, keep)
+    out, cnt = _compact(vals, keep, out_cap)
     return out, cnt, r
 
 
-@functools.partial(jax.jit, static_argnames=())
-def device_or(a, na, ra, b, nb, rb):
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def device_or(a, na, ra, b, nb, rb, out_cap=None):
     """OR-merge with cross-operand dedupe. Returns (coords, n, r)."""
     r = combine_r(ra, rb)
     vals, isa, isb, ghost, valid = _merge_sorted_tagged(a, na, b, nb)
     keep = valid & ~ghost
-    out, cnt = _compact(vals, keep)
+    out, cnt = _compact(vals, keep, out_cap)
     return out, cnt, r
 
 

@@ -1,0 +1,220 @@
+"""Multi-chip index build and query over a jax.sharding Mesh.
+
+The reference's only parallelism is document-sharded data parallelism on
+threads, with per-thread coordinate spaces reconciled by an offline
+coordinate-shift merge (ref Docodo.NET/Index.cs:127, 464-465, 584-592).
+The TPU-native layout keeps that sharding but makes it a device mesh:
+
+* axis "d": each device owns a disjoint set of DOCUMENTS — its own
+  coordinate space, postings CSR, and page table rows. Documents never
+  span shards, so proximity windows need no halo exchange.
+* build: per-device `lax.sort` of the local (term, coord) tuple stream
+  inside shard_map — the "merge" of the reference is gone; shard
+  reconciliation is a per-shard page offset added to query results.
+* query: the query batch is REPLICATED; every device evaluates it
+  against its local shard, then one `all_gather` over ICI combines the
+  per-shard top-k into a global top-k on every device.
+
+Term ids are global (host dictionary is shared), so per-shard CSR arrays
+have identical shapes [T+1] and queries need no vocabulary exchange.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from docodo_tpu.ops.device_index import build_postings, query_step
+from docodo_tpu.ops.seqops import INF32
+
+shard_map = jax.shard_map
+
+
+def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
+    """1-D device mesh over axis "d" (document shards ride ICI)."""
+    if devices is None:
+        devices = jax.devices()[: n_devices or None]
+    return Mesh(np.array(devices), axis_names=("d",))
+
+
+# ---------------------------------------------------------------------------
+# sharded build
+# ---------------------------------------------------------------------------
+
+def sharded_build(mesh: Mesh, term_ids, coords, num_terms: int):
+    """Sort every shard's tuple stream in place: [S, Nloc] -> per-shard CSR.
+
+    term_ids/coords: int32[S, Nloc], padding term_id == INT32_MAX.
+    Returns (sorted_terms [S, Nloc], sorted_coords [S, Nloc],
+    offsets [S, T+1]), all sharded over "d".
+    """
+
+    def local_build(t, c):
+        st, sc, off = build_postings(t[0], c[0], num_terms)
+        return st[None], sc[None], off[None]
+
+    fn = shard_map(
+        local_build, mesh=mesh,
+        in_specs=(P("d", None), P("d", None)),
+        out_specs=(P("d", None), P("d", None), P("d", None)),
+    )
+    return jax.jit(fn)(term_ids, coords)
+
+
+# ---------------------------------------------------------------------------
+# sharded query
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "cap", "topk")
+)
+def sharded_query(mesh, term_offsets, coords, bounds, page_doc,
+                  page_base, terms, rs, cap: int, topk: int):
+    """Evaluate a replicated query batch against every shard, then
+    all_gather per-shard top-k and reduce to a global top-k.
+
+    page_base: int32[S] — global page-row offset of each shard, so the
+    combined result uses global page indices.
+    Returns replicated (pages int32[B, topk], ranks f32[B, topk],
+    counts int32[B, topk]).
+    """
+
+    def local_query(off, co, bo, pd, base, tq, rq):
+        off, co, bo, pd = off[0], co[0], bo[0], pd[0]
+        fn = functools.partial(query_step, cap=cap, topk=topk)
+        pages, ranks, counts = jax.vmap(
+            fn, in_axes=(None, None, None, None, 0, 0)
+        )(off, co, bo, pd, tq, rq)
+        pages = jnp.where(pages >= 0, pages + base[0], -1)
+        # combine across shards: gather [S, B, k] then global top-k
+        all_pages = jax.lax.all_gather(pages, "d")
+        all_ranks = jax.lax.all_gather(ranks, "d")
+        all_counts = jax.lax.all_gather(counts, "d")
+        s, b, k = all_ranks.shape
+        flat_r = jnp.transpose(all_ranks, (1, 0, 2)).reshape(b, s * k)
+        flat_p = jnp.transpose(all_pages, (1, 0, 2)).reshape(b, s * k)
+        flat_c = jnp.transpose(all_counts, (1, 0, 2)).reshape(b, s * k)
+        top_r, sel = jax.lax.top_k(flat_r, k)
+        top_p = jnp.take_along_axis(flat_p, sel, axis=1)
+        top_c = jnp.take_along_axis(flat_c, sel, axis=1)
+        return top_p, top_r, top_c
+
+    fn = shard_map(
+        local_query, mesh=mesh,
+        in_specs=(
+            P("d", None), P("d", None), P("d", None), P("d", None),
+            P("d"), P(None, None), P(None, None),
+        ),
+        out_specs=(P(None, None), P(None, None), P(None, None)),
+        # outputs ARE replicated (identical all_gather + local top-k on
+        # every device) but the varying-manner analysis can't infer it
+        check_vma=False,
+    )
+    return fn(term_offsets, coords, bounds, page_doc, page_base, terms, rs)
+
+
+# ---------------------------------------------------------------------------
+# host-side shard assembly
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ShardedCorpus:
+    """Host staging of a tokenized corpus into uniform device shards."""
+
+    term_ids: np.ndarray   # int32[S, Nloc]
+    coords: np.ndarray     # int32[S, Nloc]
+    bounds: np.ndarray     # int32[S, Ploc] page END coords per shard
+    page_doc: np.ndarray   # int32[S, Ploc]
+    page_base: np.ndarray  # int32[S] global page row offset
+    terms: List[str]
+    n_tokens: np.ndarray   # int32[S]
+
+
+def stage_shards(
+    docs: Sequence[Sequence[tuple]], doc_pages: Sequence[Sequence[int]],
+    term_to_id, num_shards: int,
+) -> ShardedCorpus:
+    """Assign documents to shards (greedy least-loaded by token count),
+    each shard getting its own 0-based coordinate space — the device-mesh
+    analog of the reference's per-thread builders (ref Build.cs:443-452).
+
+    docs[i]      : sequence of (term_id, coord) for document i
+                   (coords doc-local ascending)
+    doc_pages[i] : page END coords (doc-local) of document i
+    """
+    loads = [0] * num_shards
+    assign: List[List[int]] = [[] for _ in range(num_shards)]
+    order = sorted(range(len(docs)), key=lambda i: -len(docs[i]))
+    for i in order:
+        s = int(np.argmin(loads))
+        assign[s].append(i)
+        loads[s] += len(docs[i])
+    for s in range(num_shards):
+        assign[s].sort()
+
+    tid_rows, coord_rows, bound_rows, pdoc_rows = [], [], [], []
+    for s in range(num_shards):
+        tids, cs, bs, pd = [], [], [], []
+        base = 0
+        ndocs = 0
+        for i in assign[s]:
+            for t, c in docs[i]:
+                tids.append(t)
+                cs.append(base + c)
+            for pend in doc_pages[i]:
+                bs.append(base + pend)
+                pd.append(ndocs)
+            base += doc_pages[i][-1] if doc_pages[i] else 0
+            ndocs += 1
+        tid_rows.append(np.asarray(tids, dtype=np.int32))
+        coord_rows.append(np.asarray(cs, dtype=np.int32))
+        bound_rows.append(np.asarray(bs, dtype=np.int32))
+        pdoc_rows.append(np.asarray(pd, dtype=np.int32))
+
+    nloc = max((r.size for r in tid_rows), default=1) or 1
+    ploc = max((r.size for r in bound_rows), default=1) or 1
+    S = num_shards
+    term_ids = np.full((S, nloc), int(INF32), dtype=np.int32)
+    coords = np.full((S, nloc), int(INF32), dtype=np.int32)
+    bounds = np.full((S, ploc), int(INF32), dtype=np.int32)
+    page_doc = np.zeros((S, ploc), dtype=np.int32)
+    n_tokens = np.zeros(S, dtype=np.int32)
+    page_base = np.zeros(S, dtype=np.int32)
+    acc = 0
+    for s in range(S):
+        n = tid_rows[s].size
+        term_ids[s, :n] = tid_rows[s]
+        coords[s, :n] = coord_rows[s]
+        p = bound_rows[s].size
+        bounds[s, :p] = bound_rows[s]
+        page_doc[s, :p] = pdoc_rows[s]
+        n_tokens[s] = n
+        page_base[s] = acc
+        acc += p
+    return ShardedCorpus(
+        term_ids=term_ids, coords=coords, bounds=bounds,
+        page_doc=page_doc, page_base=page_base,
+        terms=list(term_to_id), n_tokens=n_tokens,
+    )
+
+
+def full_step(mesh: Mesh, corpus: ShardedCorpus, terms, rs,
+              num_terms: int, cap: int, topk: int):
+    """One combined build+query step over the mesh (used by the
+    multi-chip dry run and scale benchmarks): sharded sort-build followed
+    by a replicated query batch with an all_gather top-k combine."""
+    st, sc, off = sharded_build(
+        mesh, jnp.asarray(corpus.term_ids), jnp.asarray(corpus.coords),
+        num_terms,
+    )
+    return sharded_query(
+        mesh, off, sc, jnp.asarray(corpus.bounds),
+        jnp.asarray(corpus.page_doc), jnp.asarray(corpus.page_base),
+        jnp.asarray(terms), jnp.asarray(rs), cap=cap, topk=topk,
+    )

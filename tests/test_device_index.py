@@ -1,0 +1,138 @@
+"""Device index build + batched query vs the host engine, single-shard
+and over an 8-virtual-device mesh."""
+
+import numpy as np
+import pytest
+
+from docodo_tpu.lang.tokenizer import tokenize
+from docodo_tpu.ops import device_index as di
+from docodo_tpu.ops.seqops import INF32
+
+TEXTS = [
+    "the pickwick club met at noon and the club adjourned",
+    "mr pickwick spoke to the club about travels and adventures",
+    "travels through kent were recounted by the club members",
+    "noon came and went while pickwick pondered the club rules",
+]
+
+
+def build_tiny():
+    """Tokenize TEXTS as one doc per text, one page per doc, global
+    coordinate space (single shard)."""
+    term_to_id = {}
+    tids, coords, bounds, page_doc = [], [], [], []
+    base = 0
+    for d, text in enumerate(TEXTS):
+        words, starts = tokenize(text)
+        for word, pos in zip(words, starts):
+            tid = term_to_id.setdefault(word, len(term_to_id))
+            tids.append(tid)
+            coords.append(base + int(pos))
+        base += len(text)
+        bounds.append(base)
+        page_doc.append(d)
+    return (
+        term_to_id,
+        np.asarray(tids, dtype=np.int32),
+        np.asarray(coords, dtype=np.int32),
+        np.asarray(bounds, dtype=np.int32),
+        np.asarray(page_doc, dtype=np.int32),
+    )
+
+
+def test_build_postings_matches_host():
+    term_to_id, tids, coords, bounds, page_doc = build_tiny()
+    T = len(term_to_id)
+    # shuffle the stream; device sort must restore (term, coord) order
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(tids.size)
+    cap = 256
+    pt = np.full(cap, int(INF32), dtype=np.int32)
+    pc = np.full(cap, int(INF32), dtype=np.int32)
+    pt[: tids.size] = tids[perm]
+    pc[: tids.size] = coords[perm]
+    st, sc, off = di.build_postings(pt, pc, T)
+    st, sc, off = np.asarray(st), np.asarray(sc), np.asarray(off)
+    for word, tid in term_to_id.items():
+        want = np.sort(coords[tids == tid])
+        got = sc[off[tid]: off[tid + 1]]
+        np.testing.assert_array_equal(got, want, err_msg=word)
+
+
+def test_batched_query_matches_brute_force():
+    term_to_id, tids, coords, bounds, page_doc = build_tiny()
+    T = len(term_to_id)
+    st, sc, off = di.build_postings(tids.copy(), coords.copy(), T)
+    queries = [
+        [(term_to_id["club"], 200)],
+        [(term_to_id["pickwick"], -12), (term_to_id["club"], -8)],
+        # window must stay below the ~55-char doc length: coordinates are
+        # global, so a wide window chains hits across these tiny docs
+        # (reference semantics — coords are corpus-global char offsets)
+        [(term_to_id["noon"], 30), (term_to_id["club"], 30)],
+    ]
+    terms = np.full((3, 2), -1, dtype=np.int32)
+    rs = np.ones((3, 2), dtype=np.int32)
+    for i, q in enumerate(queries):
+        for j, (t, r) in enumerate(q):
+            terms[i, j] = t
+            rs[i, j] = r
+    import jax.numpy as jnp
+
+    pages, ranks, counts = di.batched_query_step(
+        off, sc, jnp.asarray(bounds), jnp.asarray(page_doc),
+        jnp.asarray(terms), jnp.asarray(rs), cap=32, topk=4,
+    )
+    pages = np.asarray(pages)
+    # q0: single word "club" appears in all 4 docs
+    assert sorted(p for p in pages[0] if p >= 0) == [0, 1, 2, 3]
+    # q1: ordered phrase "pickwick club" only doc 0 has pickwick<club adjacency
+    hit_pages = {p for p in pages[1] if p >= 0}
+    assert hit_pages == {0}
+    # q2: noon & club within 30 chars: doc 0 (noon@25/club@38), plus the
+    # cross-document group club@end-of-doc2 + noon@start-of-doc3 (11
+    # apart in the global coordinate space) -> pages 2 and 3. Doc 3's
+    # own noon..club gap is 47, so page 3 only hits via that chain.
+    assert {int(p) for p in pages[2] if p >= 0} == {0, 2, 3}
+
+
+def test_sharded_build_and_query_8dev():
+    import jax
+
+    from docodo_tpu.parallel import sharding as sh
+
+    assert len(jax.devices()) >= 8
+    mesh = sh.make_mesh(8)
+
+    term_to_id = {}
+    docs, doc_pages = [], []
+    for text in TEXTS * 2:  # 8 docs over 8 devices
+        toks = []
+        words, starts = tokenize(text)
+        for word, pos in zip(words, starts):
+            tid = term_to_id.setdefault(word, len(term_to_id))
+            toks.append((tid, int(pos)))
+        docs.append(toks)
+        doc_pages.append([len(text)])
+    corpus = sh.stage_shards(docs, doc_pages, term_to_id, num_shards=8)
+    T = len(term_to_id)
+
+    queries = [
+        [(term_to_id["pickwick"], -12), (term_to_id["club"], -8)],
+        [(term_to_id["travels"], 300)],
+    ]
+    terms = np.full((2, 2), -1, dtype=np.int32)
+    rs = np.ones((2, 2), dtype=np.int32)
+    for i, q in enumerate(queries):
+        for j, (t, r) in enumerate(q):
+            terms[i, j] = t
+            rs[i, j] = r
+
+    pages, ranks, counts = sh.full_step(
+        mesh, corpus, terms, rs, num_terms=T, cap=16, topk=8
+    )
+    pages = np.asarray(pages)
+    # doc0 text appears twice (docs 0 and 4) -> phrase hits on 2 global pages
+    assert sum(1 for p in pages[0] if p >= 0) == 2
+    # "travels" in texts 1 and 2, duplicated -> 4 pages
+    assert sum(1 for p in pages[1] if p >= 0) == 4
