@@ -36,6 +36,7 @@ from docodo_tpu.lang import tokenizer
 from docodo_tpu.lang.vocab import Vocab, load_stop_words
 from docodo_tpu.lang.wordcodes import WordCoder
 from docodo_tpu.query import parser as qparser
+from docodo_tpu.utils import profiling
 from docodo_tpu.query import search as qsearch
 from docodo_tpu.query.parser import QuerySyntaxError, WordThunk
 from docodo_tpu.query.search import (
@@ -253,14 +254,16 @@ class Index:
                     threads.append(t)
                     t.start()
             self.status = "Index"
-            for t in threads:
-                t.join()
+            with profiling.phase("index.tokenize"):
+                for t in threads:
+                    t.join()
             for tmp in tmp_caches:
                 tmp.close()
             if errors:
                 raise errors[0]
 
             self.status = "Merge"
+            t_merge = time.time()
             dirs = sorted(
                 (
                     d for d in os.listdir(self.work_path)
@@ -290,6 +293,7 @@ class Index:
                 files.append(merged)
 
             self._merge_indexes(files, os.path.join(self.work_path, storage.INDEX_FILE))
+            profiling.record("index.merge", time.time() - t_merge)
 
             with self._search_lock:
                 new_sources = []

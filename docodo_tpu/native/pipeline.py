@@ -1,0 +1,195 @@
+"""High-level wrappers over the native host library.
+
+`tokenize_intern` is the host front of the device index build: one C++
+pass over the raw text produces (term_ids, starts) plus an incremental
+term dictionary — the arrays feed ops/device_index.build_postings
+directly. Falls back to the pure-Python tokenizer + dict interning when
+the native library is unavailable (identical results).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import unicodedata
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from docodo_tpu.native import get_lib
+
+_FOLD: Optional[np.ndarray] = None
+_CLS: Optional[np.ndarray] = None
+
+
+def _tables() -> Tuple[np.ndarray, np.ndarray]:
+    """Per-unit case-fold and class tables matching lang/tokenizer
+    semantics (fold keeps units whose lower() is not a single BMP char)."""
+    global _FOLD, _CLS
+    if _FOLD is None:
+        fold = np.arange(0x10000, dtype=np.uint16)
+        cls = np.zeros(0x10000, dtype=np.uint8)
+        for cp in range(0x10000):
+            if 0xD800 <= cp <= 0xDFFF:
+                continue
+            ch = chr(cp)
+            cat = unicodedata.category(ch)
+            if cat[0] == "L":
+                cls[cp] = 1
+            elif cat[0] == "N":
+                cls[cp] = 2
+            low = ch.lower()
+            if len(low) == 1 and ord(low) < 0x10000:
+                fold[cp] = ord(low)
+        _FOLD = fold
+        _CLS = cls
+    return _FOLD, _CLS
+
+
+class NativeInterner:
+    """Incremental term dictionary living in C++ (term -> dense id)."""
+
+    def __init__(self):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._ptr = ctypes.c_void_p(lib.docodo_interner_new())
+
+    def __len__(self) -> int:
+        return int(self._lib.docodo_interner_count(self._ptr))
+
+    def terms(self) -> List[str]:
+        lib = self._lib
+        n = len(self)
+        arena = int(lib.docodo_interner_arena_size(self._ptr))
+        units = np.empty(arena, dtype=np.uint16)
+        lens = np.empty(n, dtype=np.int32)
+        lib.docodo_interner_export(
+            self._ptr, units.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+        )
+        raw = units.tobytes()
+        out: List[str] = []
+        off = 0
+        for ln in lens.tolist():
+            out.append(raw[2 * off: 2 * (off + ln)].decode("utf-16-le"))
+            off += ln
+        return out
+
+    def close(self) -> None:
+        if self._ptr:
+            self._lib.docodo_interner_free(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def tokenize_intern_native(
+    text: str, interner: NativeInterner,
+    min_len: int = 3, max_len: int = 32,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One-pass native tokenize+intern of `text` into `interner`.
+
+    Returns (term_ids int32[N], starts int32[N]) where starts are UTF-16
+    code-unit offsets (the engine coordinate unit)."""
+    lib = interner._lib
+    fold, cls = _tables()
+    units = np.frombuffer(text.encode("utf-16-le"), dtype="<u2")
+    n = units.size
+    out_ids = np.empty(n, dtype=np.int32)
+    out_starts = np.empty(n, dtype=np.int32)
+    cnt = lib.docodo_tokenize_intern(
+        interner._ptr,
+        units.ctypes.data_as(ctypes.c_void_p), n,
+        fold.ctypes.data_as(ctypes.c_void_p),
+        cls.ctypes.data_as(ctypes.c_void_p),
+        min_len, max_len,
+        out_ids.ctypes.data_as(ctypes.c_void_p),
+        out_starts.ctypes.data_as(ctypes.c_void_p), n,
+    )
+    return out_ids[:cnt].copy(), out_starts[:cnt].copy()
+
+
+class _PyInterner:
+    """Fallback interner with the same surface."""
+
+    def __init__(self):
+        self._map: dict = {}
+
+    def __len__(self) -> int:
+        return len(self._map)
+
+    def terms(self) -> List[str]:
+        return list(self._map)
+
+    def close(self) -> None:
+        pass
+
+
+def make_interner():
+    if get_lib() is not None:
+        return NativeInterner()
+    return _PyInterner()
+
+
+def tokenize_intern(
+    text: str, interner, min_len: int = 3, max_len: int = 32,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Tokenize+intern through whichever interner was produced by
+    make_interner()."""
+    if isinstance(interner, NativeInterner):
+        return tokenize_intern_native(text, interner, min_len, max_len)
+    from docodo_tpu.lang.tokenizer import tokenize
+
+    words, starts = tokenize(text)
+    ids = np.empty(len(words), dtype=np.int32)
+    keep = np.zeros(len(words), dtype=bool)
+    m = interner._map
+    for i, w in enumerate(words):
+        if min_len and not min_len <= len(w) <= max_len:
+            continue
+        ids[i] = m.setdefault(w, len(m))
+        keep[i] = True
+    return ids[keep], starts[keep].astype(np.int32)
+
+
+def varint_encode(coords: np.ndarray) -> np.ndarray:
+    """Native 15-bit varint encode (falls back to core.varint)."""
+    lib = get_lib()
+    coords = np.ascontiguousarray(coords, dtype=np.uint64)
+    if lib is None:
+        from docodo_tpu.core import varint
+
+        return varint.encode(coords)
+    nwords = lib.docodo_varint_encode(
+        coords.ctypes.data_as(ctypes.c_void_p), coords.size, None
+    )
+    out = np.empty(nwords, dtype=np.uint16)
+    lib.docodo_varint_encode(
+        coords.ctypes.data_as(ctypes.c_void_p), coords.size,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def varint_decode(words: np.ndarray) -> np.ndarray:
+    """Native 15-bit varint decode (falls back to core.varint)."""
+    lib = get_lib()
+    words = np.ascontiguousarray(words, dtype=np.uint16)
+    if lib is None:
+        from docodo_tpu.core import varint
+
+        return varint.decode(words)
+    n = lib.docodo_varint_decode(
+        words.ctypes.data_as(ctypes.c_void_p), words.size, None
+    )
+    out = np.empty(n, dtype=np.uint64)
+    lib.docodo_varint_decode(
+        words.ctypes.data_as(ctypes.c_void_p), words.size,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

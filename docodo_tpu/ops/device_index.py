@@ -88,72 +88,217 @@ def eval_and_query(coords, term_offsets, terms, rs, cap: int):
 
     Mirrors the reference expression fold A*B*C (ref Search.cs:501 via
     IndexSequence.operator*). A padded term is the identity: the fold
-    keeps the running (coords, n, r) unchanged. Result buffer is fixed at
-    2*cap coords (group emission of the final pair).
+    keeps the running (vals, keep, r) unchanged.
+
+    Returns a MASKED stream (vals ascending incl. dropped slots, keep):
+    the final compaction sort is skipped — locate_topk_masked consumes
+    the mask directly. Intermediate folds (w >= 3) pay one compaction
+    each to restore sortedness.
     """
+    from docodo_tpu.ops.seqops import _compact, and_masked
+
     w = terms.shape[0]
     acc, n_acc = gather_term(coords, term_offsets, terms[0], cap)
-    acc = jnp.concatenate([acc, jnp.full(cap, INF32, dtype=acc.dtype)])
+    keep_acc = jnp.arange(cap, dtype=jnp.int32) < n_acc
     r_acc = rs[0]
     for q in range(1, w):
+        if q > 1:  # re-sort the masked stream into a dense operand
+            acc, n_acc = _compact(acc, keep_acc, out_cap=acc.shape[0])
         b, nb = gather_term(coords, term_offsets, terms[q], cap)
-        out, n_out, r_out = device_and(
-            acc, n_acc, r_acc, b, nb, rs[q], out_cap=2 * cap
-        )
+        vals, keep, r_out = and_masked(acc, n_acc, r_acc, b, nb, rs[q])
         skip = terms[q] < 0
-        acc = jnp.where(skip, acc, out)
-        n_acc = jnp.where(skip, n_acc, n_out)
+        pad = vals.shape[0] - acc.shape[0]
+        acc_w = jnp.concatenate(
+            [acc, jnp.full(pad, INF32, dtype=acc.dtype)]
+        )
+        keep_w = jnp.concatenate([keep_acc, jnp.zeros(pad, dtype=bool)])
+        acc = jnp.where(skip, acc_w, vals)
+        keep_acc = jnp.where(skip, keep_w, keep)
+        n_acc = jnp.where(skip, n_acc, jnp.sum(keep).astype(jnp.int32))
         r_acc = jnp.where(skip, r_acc, r_out)
-    return acc, n_acc, r_acc
+    return acc, keep_acc, r_acc
 
 
-def locate_topk(coords, n, bounds, page_doc, topk: int):
-    """Coordinate stream -> (top-k page indices, ranks, per-page counts).
+def gather_word_variants(coords, term_offsets, variants, cap: int):
+    """OR-combine a word's term-id variants (voc group code + raw form +
+    stem code, ref Search.cs:226-247) into one dense posting operand.
 
-    Page rank = 1 + sum(30 // max(5, gap)) + ln(hits) over each page's
-    hit run (ref Search.cs:99-111, integer division preserved).
+    variants: int32[V], -1 padded. Returns (coords int32[cap*V... dense
+    ascending], n). V=1 short-circuits to a plain gather.
     """
-    p = coords.shape[0]
-    valid = (jnp.arange(p, dtype=jnp.int32) < n) & (coords < INF32)
-    page = jnp.searchsorted(bounds, coords, side="right").astype(jnp.int32)
+    from docodo_tpu.ops.seqops import _compact, or_masked
+
+    v = variants.shape[0]
+    acc, n_acc = gather_term(coords, term_offsets, variants[0], cap)
+    if v == 1:
+        return acc, n_acc
+    keep_acc = jnp.arange(cap, dtype=jnp.int32) < n_acc
+    for q in range(1, v):
+        if q > 1:  # first operand is already dense
+            acc, n_acc = _compact(acc, keep_acc, out_cap=acc.shape[0])
+        b, nb = gather_term(coords, term_offsets, variants[q], cap)
+        vals, keep, _ = or_masked(
+            acc, n_acc, jnp.int32(1), b, nb, jnp.int32(1)
+        )
+        skip = variants[q] < 0
+        pad = vals.shape[0] - acc.shape[0]
+        acc_w = jnp.concatenate([acc, jnp.full(pad, INF32, dtype=acc.dtype)])
+        keep_w = jnp.concatenate([keep_acc, jnp.zeros(pad, dtype=bool)])
+        acc = jnp.where(skip, acc_w, vals)
+        keep_acc = jnp.where(skip, keep_w, keep)
+        n_acc = jnp.where(skip, n_acc, jnp.sum(keep).astype(jnp.int32))
+    acc, n_acc = _compact(acc, keep_acc, out_cap=acc.shape[0])
+    return acc, n_acc
+
+
+def eval_and_query_variants(coords, term_offsets, terms, rs, cap: int):
+    """AND fold where each word is an OR of term variants.
+
+    terms: int32[W, V] (-1 padded both ways); rs: int32[W].
+    """
+    from docodo_tpu.ops.seqops import and_masked
+
+    w = terms.shape[0]
+    acc, n_acc = gather_word_variants(coords, term_offsets, terms[0], cap)
+    keep_acc = jnp.arange(acc.shape[0], dtype=jnp.int32) < n_acc
+    r_acc = rs[0]
+    for q in range(1, w):
+        b, nb = gather_word_variants(coords, term_offsets, terms[q], cap)
+        vals, keep, r_out = and_masked(acc, n_acc, r_acc, b, nb, rs[q])
+        skip = terms[q, 0] < 0
+        pad = vals.shape[0] - acc.shape[0]
+        acc_w = jnp.concatenate([acc, jnp.full(pad, INF32, dtype=acc.dtype)])
+        keep_w = jnp.concatenate([keep_acc, jnp.zeros(pad, dtype=bool)])
+        acc = jnp.where(skip, acc_w, vals)
+        keep_acc = jnp.where(skip, keep_w, keep)
+        n_acc = jnp.where(skip, n_acc, jnp.sum(keep).astype(jnp.int32))
+        r_acc = jnp.where(skip, r_acc, r_out)
+        if q < w - 1:
+            from docodo_tpu.ops.seqops import _compact
+
+            acc, n_acc = _compact(acc, keep_acc, out_cap=acc.shape[0])
+            keep_acc = jnp.arange(acc.shape[0], dtype=jnp.int32) < n_acc
+    return acc, keep_acc, r_acc
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "topk"))
+def batched_query_step_variants(term_offsets, coords, bounds, page_doc,
+                                terms, rs, cap: int, topk: int):
+    """Variant-aware batch step: terms int32[B, W, V], rs int32[B, W]."""
+
+    def one(tq, rq):
+        vals, keep, _ = eval_and_query_variants(
+            coords, term_offsets, tq, rq, cap
+        )
+        return locate_topk_masked(vals, keep, bounds, topk)
+
+    return jax.vmap(one)(terms, rs)
+
+
+def locate_topk_masked(vals, keep, bounds, topk: int):
+    """Masked coordinate stream -> (top-k page idx, ranks, counts).
+
+    `vals` is ascending including dropped slots; `keep` marks hits. Page
+    rank = 1 + sum(30 // max(5, gap)) + ln(hits) over each page's kept
+    run (ref Search.cs:99-111, integer division preserved). Runs and
+    gaps are computed via a cummax previous-kept-slot scan, so no
+    compaction of the stream is ever needed.
+    """
+    p = vals.shape[0]
+    idx = jnp.arange(p, dtype=jnp.int32)
+    page = jnp.searchsorted(
+        bounds, vals, side="right", method="scan_unrolled"
+    ).astype(jnp.int32)
     page = jnp.minimum(page, bounds.shape[0] - 1)
 
-    first = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), page[1:] != page[:-1]]
-    ) & valid
-    run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
-    prev_coord = jnp.concatenate([jnp.zeros(1, coords.dtype), coords[:-1]])
-    gap = jnp.maximum(coords - prev_coord, 0)
-    bonus = jnp.where(valid & ~first, 30 // jnp.maximum(5, gap), 0)
+    pk = jax.lax.cummax(jnp.where(keep, idx, -1))
+    prev_idx = jnp.concatenate([jnp.full(1, -1, jnp.int32), pk[:-1]])
+    has_prev = prev_idx >= 0
+    safe_prev = jnp.maximum(prev_idx, 0)
+    prev_page = jnp.where(has_prev, page[safe_prev], -1)
+    first = keep & (page != prev_page)
+    gap = jnp.where(has_prev, vals - vals[safe_prev], 0)
+    bonus = jnp.where(keep & ~first, 30 // jnp.maximum(5, gap), 0)
     bonus = bonus.astype(jnp.float32)
-    nseg = p
-    run_bonus = jax.ops.segment_sum(
-        bonus, run_id, num_segments=nseg, indices_are_sorted=True
+
+    # page runs are CONTIGUOUS, so per-run totals are prefix-sum
+    # differences evaluated at each run's first slot — scatter-free
+    # (segment_sum lowers to a serialized scatter under vmap on TPU)
+    from_right = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(first, idx, p)))
     )
-    run_count = jax.ops.segment_sum(
-        valid.astype(jnp.float32), run_id, num_segments=nseg,
-        indices_are_sorted=True,
+    run_end = jnp.concatenate([from_right[1:], jnp.full(1, p, jnp.int32)]) - 1
+    cbon = jnp.cumsum(bonus)
+    ccnt = jnp.cumsum(keep.astype(jnp.float32))
+    run_bonus = cbon[run_end] - cbon[idx]  # bonus at the first slot is 0
+    run_count = ccnt[run_end] - jnp.where(idx > 0, ccnt[jnp.maximum(idx - 1, 0)], 0.0)
+    slot_rank = jnp.where(
+        first, 1.0 + run_bonus + jnp.log(jnp.maximum(run_count, 1.0)), 0.0
     )
-    run_rank = jnp.where(
-        run_count > 0,
-        1.0 + run_bonus + jnp.log(jnp.maximum(run_count, 1.0)),
-        0.0,
-    )
-    # scatter rank back to the first slot of each run, then top-k over slots
-    slot_rank = jnp.where(first, run_rank[run_id], 0.0)
+    slot_count = jnp.where(first, run_count, 0.0)
+
     top_rank, top_slot = jax.lax.top_k(slot_rank, topk)
     top_page = jnp.where(top_rank > 0, page[top_slot], -1)
     top_count = jnp.where(
-        top_rank > 0, run_count[run_id[top_slot]].astype(jnp.int32), 0
+        top_rank > 0, slot_count[top_slot].astype(jnp.int32), 0
     )
     return top_page, top_rank, top_count
 
 
+def locate_topk(coords, n, bounds, page_doc, topk: int):
+    """Dense-stream wrapper over locate_topk_masked (page_doc unused in
+    the page-level result; kept for call-site compatibility)."""
+    keep = (jnp.arange(coords.shape[0], dtype=jnp.int32) < n) & (
+        coords < INF32
+    )
+    return locate_topk_masked(coords, keep, bounds, topk)
+
+
 def query_step(term_offsets, coords, bounds, page_doc, terms, rs,
                cap: int, topk: int):
-    """One query end-to-end on device: AND fold -> top-k ranked pages."""
-    hit, n, _ = eval_and_query(coords, term_offsets, terms, rs, cap)
-    return locate_topk(hit, n, bounds, page_doc, topk)
+    """One query end-to-end on device: AND fold -> top-k ranked pages.
+    Zero sorts for 1- and 2-term queries (rank-scatter merge + masked
+    locate)."""
+    vals, keep, _ = eval_and_query(coords, term_offsets, terms, rs, cap)
+    return locate_topk_masked(vals, keep, bounds, topk)
+
+
+@functools.partial(jax.jit, static_argnames=("caps", "topk"))
+def multi_bucket_query_step(term_offsets, coords, bounds, page_doc,
+                            terms_list, rs_list, caps, topk: int):
+    """Evaluate EVERY shape bucket in one device program (one dispatch,
+    one launch RTT): terms_list/rs_list are tuples of [Bi, Wi] arrays,
+    caps the matching static posting caps. Returns a tuple of
+    (pages, ranks, counts) triples, one per bucket."""
+    outs = []
+    for tq, rq, cap in zip(terms_list, rs_list, caps):
+        fn = functools.partial(query_step, cap=cap, topk=topk)
+        outs.append(jax.vmap(fn, in_axes=(None, None, None, None, 0, 0))(
+            term_offsets, coords, bounds, page_doc, tq, rq
+        ))
+    return tuple(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("caps", "topk"))
+def multi_bucket_query_step_chained(term_offsets, coords, bounds, page_doc,
+                                    terms_list, rs_list, chain, caps,
+                                    topk: int):
+    """multi_bucket_query_step plus a dependency-chain scalar: `chain`
+    (f32[]) is mixed (x0) into the inputs and a ranks checksum is
+    returned, so successive calls chained through it execute strictly
+    in order — a single final readback then bounds the wall time of the
+    whole sequence even on async dispatch layers whose block_until_ready
+    is unreliable (e.g. remote-tunnel devices)."""
+    zero = (chain * 0).astype(jnp.int32)
+    terms_list = tuple(t + zero for t in terms_list)
+    outs = multi_bucket_query_step(
+        term_offsets, coords, bounds, page_doc, terms_list, rs_list,
+        caps, topk,
+    )
+    s = jnp.float32(0)
+    for _, ranks, _ in outs:
+        s = s + jnp.sum(ranks)
+    return outs, s
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "topk"))
@@ -250,11 +395,48 @@ class DeviceIndex:
         topk: int = 16, cap: Optional[int] = None,
     ):
         """Evaluate a batch of AND/phrase queries; returns numpy
-        (pages, ranks, counts) with -1/-0 padding in rank order."""
-        terms, rs, auto_cap = self.compile_queries(queries)
-        pages, ranks, counts = batched_query_step(
+        (pages, ranks, counts) with -1/-0 padding in rank order.
+
+        Queries are grouped into (posting-cap, term-count) buckets so a
+        query over rare terms never pays a frequent term's padding and
+        single-word queries skip the AND fold entirely — the bucket count
+        (and thus compile count) is O(log max_posting x max_w).
+        """
+        b = len(queries)
+        pages = np.full((b, topk), -1, dtype=np.int32)
+        ranks = np.zeros((b, topk), dtype=np.float32)
+        counts = np.zeros((b, topk), dtype=np.int32)
+        buckets = {}
+        for i, q in enumerate(queries):
+            w = max(len(q), 1)
+            need = 1
+            for word, _ in q:
+                need = max(need, self.posting_count(word))
+            qcap = cap or _bucket(need)
+            buckets.setdefault((qcap, w), []).append(i)
+        terms_list, rs_list, caps_list, idx_list = [], [], [], []
+        for (qcap, w), idxs in sorted(buckets.items()):
+            # pad the batch dim to a power of two: batch compositions vary
+            # per call, and every new shape tuple would otherwise compile a
+            # new fused program (padding rows are empty queries: terms -1)
+            brows = _bucket(len(idxs), lo=8)
+            terms = np.full((brows, w), -1, dtype=np.int32)
+            rs = np.ones((brows, w), dtype=np.int32)
+            for row, i in enumerate(idxs):
+                for j, (word, r) in enumerate(queries[i]):
+                    terms[row, j] = self.term_id(word)
+                    rs[row, j] = r
+            terms_list.append(jnp.asarray(terms))
+            rs_list.append(jnp.asarray(rs))
+            caps_list.append(qcap)
+            idx_list.append(idxs)
+        outs = multi_bucket_query_step(
             self.term_offsets, self.coords, self.bounds, self.page_doc,
-            jnp.asarray(terms), jnp.asarray(rs),
-            cap=cap or auto_cap, topk=topk,
+            tuple(terms_list), tuple(rs_list), tuple(caps_list), topk,
         )
-        return np.asarray(pages), np.asarray(ranks), np.asarray(counts)
+        for idxs, (p, r_, c) in zip(idx_list, outs):
+            n = len(idxs)
+            pages[idxs] = np.asarray(p)[:n]
+            ranks[idxs] = np.asarray(r_)[:n]
+            counts[idxs] = np.asarray(c)[:n]
+        return pages, ranks, counts

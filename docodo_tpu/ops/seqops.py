@@ -44,16 +44,36 @@ def combine_r(r1, r2):
 
 
 def _merge_sorted_tagged(a, na, b, nb):
-    """Concat+sort two padded ascending lists; returns (vals, isa, isb,
-    ghost, valid) with cross-operand duplicates merged onto their first
-    element and the second marked ghost."""
+    """Merge two padded ascending lists; returns (vals, isa, isb, ghost,
+    valid) with cross-operand duplicates merged onto their first element
+    and the second marked ghost.
+
+    TPU-shaped and SCATTER-FREE (vmapped scatters serialize on TPU):
+    each a-element's merged rank is its index plus its binary-search rank
+    in b (ties: a first); a second binary search inverts that rank list
+    so every merged slot GATHERS its value — two log-depth searches plus
+    gathers, no bitonic sort, no scatter.
+    """
     p1, p2 = a.shape[0], b.shape[0]
+    n = p1 + p2
     ia = jnp.arange(p1, dtype=jnp.int32) < na
     ib = jnp.arange(p2, dtype=jnp.int32) < nb
-    vals = jnp.concatenate([jnp.where(ia, a, INF32), jnp.where(ib, b, INF32)])
-    isa = jnp.concatenate([ia, jnp.zeros(p2, dtype=bool)])
-    isb = jnp.concatenate([jnp.zeros(p1, dtype=bool), ib])
-    vals, isa, isb = jax.lax.sort((vals, isa, isb), num_keys=1)
+    av = jnp.where(ia, a, INF32)
+    bv = jnp.where(ib, b, INF32)
+    ra = jnp.arange(p1, dtype=jnp.int32) + jnp.searchsorted(
+        bv, av, side="left", method="scan_unrolled"
+    ).astype(jnp.int32)
+    k = jnp.arange(n, dtype=jnp.int32)
+    # ca[k] = how many a-elements land at merged rank <= k (ra is ascending)
+    ca = jnp.searchsorted(ra, k, side="right", method="scan_unrolled").astype(
+        jnp.int32
+    )
+    ai = jnp.clip(ca - 1, 0, p1 - 1)
+    from_a = (ca > 0) & (ra[ai] == k)
+    bi = jnp.clip(k - ca, 0, p2 - 1)
+    vals = jnp.where(from_a, av[ai], bv[bi])
+    isa = from_a & ia[ai]
+    isb = (~from_a) & ib[bi]
     valid = vals < INF32
     prev = jnp.concatenate([jnp.array([-1], dtype=vals.dtype), vals[:-1]])
     nxt = jnp.concatenate([vals[1:], jnp.array([INF32], dtype=vals.dtype)])
@@ -83,11 +103,13 @@ def _compact(vals, keep, out_cap=None):
     return out, n
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap",))
-def device_and(a, na, ra, b, nb, rb, out_cap=None):
-    """Proximity-AND with group emission (both operands' coordinates).
+def and_masked(a, na, ra, b, nb, rb):
+    """Proximity-AND core without compaction.
 
-    Returns (coords int32[out_cap or P1+P2] padded, n, r).
+    Returns (vals int32[P1+P2] ascending incl. dropped slots, keep mask,
+    r). `vals` is the full merged stream; downstream consumers either
+    compact (device_and) or run the masked locate/rank pipeline directly
+    (locate_topk_masked) — skipping the compaction sort entirely.
     """
     r = combine_r(ra, rb)
     abs_r = jnp.abs(r)
@@ -112,24 +134,47 @@ def device_and(a, na, ra, b, nb, rb, out_cap=None):
 
     seg_start2 = jnp.where(r < 0, with_ordered_cuts(), seg_start)
 
-    seg_id = jnp.cumsum(seg_start2.astype(jnp.int32)) - 1
-    seg_a = jax.ops.segment_max(
-        isa.astype(jnp.int32), seg_id, num_segments=n, indices_are_sorted=True
+    # segments are CONTIGUOUS runs, so "my segment contains an a/b" is a
+    # prefix-sum difference between my segment's start and end — no
+    # segment_max scatter (vmapped scatters serialize on TPU)
+    sstart = jax.lax.cummax(jnp.where(seg_start2, idx, -1))
+    from_right = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(seg_start2, idx, n)))
     )
-    seg_b = jax.ops.segment_max(
-        isb.astype(jnp.int32), seg_id, num_segments=n, indices_are_sorted=True
-    )
-    keep = (seg_a[seg_id] > 0) & (seg_b[seg_id] > 0) & valid & ~ghost
+    send = jnp.concatenate([from_right[1:], jnp.full(1, n, jnp.int32)]) - 1
+    cum_a = jnp.cumsum(isa.astype(jnp.int32))
+    cum_b = jnp.cumsum(isb.astype(jnp.int32))
+    before_start_a = jnp.where(sstart > 0, cum_a[jnp.maximum(sstart - 1, 0)], 0)
+    before_start_b = jnp.where(sstart > 0, cum_b[jnp.maximum(sstart - 1, 0)], 0)
+    seg_has_a = cum_a[send] - before_start_a > 0
+    seg_has_b = cum_b[send] - before_start_b > 0
+    keep = seg_has_a & seg_has_b & valid & ~ghost
+    return vals, keep, r
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def device_and(a, na, ra, b, nb, rb, out_cap=None):
+    """Proximity-AND with group emission (both operands' coordinates).
+
+    Returns (coords int32[out_cap or P1+P2] padded, n, r).
+    """
+    vals, keep, r = and_masked(a, na, ra, b, nb, rb)
     out, cnt = _compact(vals, keep, out_cap)
     return out, cnt, r
+
+
+def or_masked(a, na, ra, b, nb, rb):
+    """OR-merge core without compaction: (vals ascending, keep, r)."""
+    r = combine_r(ra, rb)
+    vals, isa, isb, ghost, valid = _merge_sorted_tagged(a, na, b, nb)
+    keep = valid & ~ghost
+    return vals, keep, r
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
 def device_or(a, na, ra, b, nb, rb, out_cap=None):
     """OR-merge with cross-operand dedupe. Returns (coords, n, r)."""
-    r = combine_r(ra, rb)
-    vals, isa, isb, ghost, valid = _merge_sorted_tagged(a, na, b, nb)
-    keep = valid & ~ghost
+    vals, keep, r = or_masked(a, na, ra, b, nb, rb)
     out, cnt = _compact(vals, keep, out_cap)
     return out, cnt, r
 

@@ -42,10 +42,16 @@ def result_to_json(result) -> dict:
 class DocodoServer:
     """Threaded HTTP server bound to an Index."""
 
-    def __init__(self, index, port: int = 9001, host: str = "0.0.0.0"):
+    def __init__(self, index, port: int = 9001, host: str = "0.0.0.0",
+                 device_batching: bool = False):
         self.index = index
         self.max_threads = (os.cpu_count() or 1) * 4
         self._sem = threading.BoundedSemaphore(self.max_threads)
+        self.batcher = None
+        if device_batching:
+            from docodo_tpu.query.batcher import BatchExecutor
+
+            self.batcher = BatchExecutor(index)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -74,7 +80,10 @@ class DocodoServer:
                 qs = parse_qs(parts.query)
                 if parts.path == "/search":
                     req = (qs.get("req") or [""])[0]
-                    result = outer.index.search(req)
+                    if outer.batcher is not None:
+                        result = outer.batcher.search(req)
+                    else:
+                        result = outer.index.search(req)
                     body = json.dumps(
                         result_to_json(result), ensure_ascii=False, indent=2
                     ).encode("utf-8")

@@ -1,0 +1,81 @@
+"""Micro-batched device serving: parity with the host engine on the
+covered query subset, host fallback elsewhere."""
+
+import numpy as np
+import pytest
+
+import docodo_tpu
+from docodo_tpu.query.batcher import BatchExecutor, compile_request
+from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
+
+
+@pytest.fixture(scope="module")
+def ind(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bidx")
+    ind = docodo_tpu.Index(path=str(tmp), in_memory=True)
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile(
+            "alpha", "the pickwick club met at noon near the old tavern", ""
+        ),
+        IndexPagedTextFile(
+            "beta", "the club adjourned after dinner and wandered home", ""
+        ),
+        IndexPagedTextFile(
+            "gamma", "dinner at the tavern started well before noon", ""
+        ),
+    ]))
+    ind.create()
+    yield ind
+    ind.dispose()
+
+
+def test_compile_request_forms(ind):
+    c = compile_request(ind, "pickwick club")
+    assert c is not None and len(c) == 2
+    assert all(r > 0 for _, r in c)
+    c = compile_request(ind, '"pickwick club"')
+    assert all(r < 0 for _, r in c)
+    # unsupported constructs fall back
+    assert compile_request(ind, "pick?ick") is None
+    assert compile_request(ind, "a | b") is None
+    assert compile_request(ind, "{Name=x} word") is None
+    assert compile_request(ind, "xy") is None  # all-short -> host
+
+
+def test_batch_executor_matches_host_docs(ind):
+    ex = BatchExecutor(ind, max_wait_ms=1.0)
+    try:
+        for req in ["club", '"pickwick club"', "dinner tavern"]:
+            dev = ex.search(req)
+            host = ind.search(req)
+            assert {d.name for d in dev.found_docs} == \
+                {d.name for d in host.found_docs}, req
+        assert ex.stats["device_queries"] >= 3
+        # host fallback path still serves full results
+        res = ex.search("clu?")
+        assert ex.stats["host_queries"] >= 1
+        assert res.success
+    finally:
+        ex.close()
+
+
+def test_batch_executor_concurrent(ind):
+    import threading
+
+    ex = BatchExecutor(ind, max_wait_ms=5.0, max_batch=64)
+    results = {}
+
+    def worker(i):
+        results[i] = ex.search("club" if i % 2 else "dinner")
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(32)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(results) == 32
+        assert all(r is not None and r.success for r in results.values())
+        assert ex.stats["batches"] < 32  # actually batched
+    finally:
+        ex.close()

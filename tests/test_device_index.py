@@ -136,3 +136,39 @@ def test_sharded_build_and_query_8dev():
     assert sum(1 for p in pages[0] if p >= 0) == 2
     # "travels" in texts 1 and 2, duplicated -> 4 pages
     assert sum(1 for p in pages[1] if p >= 0) == 4
+
+
+def test_variants_or_then_and():
+    """Morphological variant expansion: word = OR of term ids, then AND."""
+    import jax.numpy as jnp
+
+    term_to_id, tids, coords, bounds, page_doc = build_tiny()
+    T = len(term_to_id)
+    st, sc, off = di.build_postings(tids.copy(), coords.copy(), T)
+    # word1 = {pickwick}; word2 = {club, members?}  (members not in TEXTS
+    # vocabulary, so use variants {club, rules})
+    v = np.full((1, 2, 2), -1, dtype=np.int32)
+    v[0, 0, 0] = term_to_id["pickwick"]
+    v[0, 1, 0] = term_to_id["club"]
+    v[0, 1, 1] = term_to_id["rules"]
+    rs = np.full((1, 2), 60, dtype=np.int32)
+    pages, ranks, counts = di.batched_query_step_variants(
+        off, sc, jnp.asarray(bounds), jnp.asarray(page_doc),
+        jnp.asarray(v), jnp.asarray(rs), cap=32, topk=8,
+    )
+    got = {int(p) for p in np.asarray(pages)[0] if p >= 0}
+    # oracle: host algebra with OR variants
+    from docodo_tpu.core.postings import group_and, or_merge
+
+    def plist(w):
+        return np.sort(coords[tids == term_to_id[w]]).astype(np.uint64)
+
+    orred, _ = or_merge(plist("club"), plist("rules"), 60, 60)
+    want_coords, _ = group_and(plist("pickwick"), orred, 60, 60)
+    import numpy as _np
+
+    want_pages = set(
+        _np.searchsorted(bounds, _np.asarray(want_coords, dtype=np.int64),
+                         side="right").tolist()
+    )
+    assert got == want_pages

@@ -1,0 +1,69 @@
+"""Native C++ host pipeline: bit-parity with the Python reference paths."""
+
+import numpy as np
+import pytest
+
+from docodo_tpu.core import varint
+from docodo_tpu.lang.tokenizer import tokenize
+from docodo_tpu.native import available
+from docodo_tpu.native import pipeline as npipe
+
+pytestmark = pytest.mark.skipif(
+    not available(), reason="native library unavailable (no g++?)"
+)
+
+SAMPLE = (
+    "The QUICK brown fox; Пьер Безухов шёл 1812 годом к Наташе!  "
+    "mixed CaSe words, caffè città, x y zz abc"
+)
+
+
+def test_tokenize_intern_matches_python():
+    it = npipe.make_interner()
+    ids, starts = npipe.tokenize_intern(SAMPLE, it)
+    words, pstarts = tokenize(SAMPLE)
+    d = {}
+    pids, pst = [], []
+    for w, s in zip(words, pstarts.tolist()):
+        if 3 <= len(w) <= 32:
+            pids.append(d.setdefault(w, len(d)))
+            pst.append(s)
+    np.testing.assert_array_equal(ids, pids)
+    np.testing.assert_array_equal(starts, pst)
+    assert it.terms() == list(d)
+
+
+def test_interner_incremental_across_docs():
+    it = npipe.make_interner()
+    ids1, _ = npipe.tokenize_intern("alpha beta gamma", it)
+    ids2, _ = npipe.tokenize_intern("beta delta alpha", it)
+    assert it.terms() == ["alpha", "beta", "gamma", "delta"]
+    np.testing.assert_array_equal(ids1, [0, 1, 2])
+    np.testing.assert_array_equal(ids2, [1, 3, 0])
+
+
+def _word(i: int) -> str:
+    out = []
+    for _ in range(5):  # base-26 letters only (digits would split the token)
+        out.append(chr(ord("a") + i % 26))
+        i //= 26
+    return "".join(out)
+
+
+def test_interner_many_terms_rehash():
+    it = npipe.make_interner()
+    text = " ".join(_word(i) for i in range(50_000))
+    ids, _ = npipe.tokenize_intern(text, it)
+    assert len(it) == 50_000
+    assert ids.tolist() == list(range(50_000))
+    # repeat: same ids back
+    ids2, _ = npipe.tokenize_intern(text, it)
+    assert np.array_equal(ids, ids2)
+
+
+def test_varint_roundtrip_parity(rng):
+    deltas = rng.integers(0, 1 << 40, size=5000, dtype=np.uint64)
+    coords = np.cumsum(deltas, dtype=np.uint64)
+    enc_native = npipe.varint_encode(coords)
+    np.testing.assert_array_equal(enc_native, varint.encode(coords))
+    np.testing.assert_array_equal(npipe.varint_decode(enc_native), coords)
