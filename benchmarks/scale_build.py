@@ -1,0 +1,145 @@
+"""Sharded index-build throughput benchmark (BASELINE.md config:
+"1 GB Wikipedia dump sharded build" — no dump ships with this image, so
+the corpus is synthetic Zipf-distributed text of the requested size).
+
+Measures the full pipeline: native tokenize+intern -> shard staging ->
+per-device sort-build over the mesh. Usage:
+
+    python benchmarks/scale_build.py [--mb 64] [--shards 8] [--platform cpu]
+
+Throughput is reported end-to-end and per stage; peak host RSS is
+printed to show the streaming properties.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_corpus(mb: int, seed: int = 0) -> str:
+    """Zipf-ish word stream, ~`mb` megabytes of text."""
+    rng = np.random.default_rng(seed)
+    vocab_size = 200_000
+    # word lengths 3..12, deterministic per id
+    words = np.array(
+        ["w" + np.base_repr(i * 2654435761 % (36 ** 8), 36).lower()
+         for i in range(vocab_size)],
+        dtype=object,
+    )
+    target = mb * 1_000_000
+    out = []
+    size = 0
+    block = 2_000_000
+    while size < target:
+        ids = (rng.zipf(1.3, size=block) - 1) % vocab_size
+        chunk = " ".join(words[ids])
+        out.append(chunk)
+        size += len(chunk) + 1
+    return " ".join(out)[:target]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=64)
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--platform", default=os.environ.get("DOCODO_BENCH_PLATFORM"))
+    ap.add_argument("--queries", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS", f"--xla_force_host_platform_device_count={args.shards}"
+        )
+    devices = jax.devices()
+    print(f"devices: {len(devices)} x {devices[0].platform}", file=sys.stderr)
+    n_shards = min(args.shards, len(devices)) if len(devices) > 1 else 1
+
+    t0 = time.perf_counter()
+    text = synth_corpus(args.mb)
+    mb = len(text) / 1e6
+    t_synth = time.perf_counter() - t0
+    print(f"corpus: {mb:.0f} MB synthesized in {t_synth:.1f}s", file=sys.stderr)
+
+    from docodo_tpu.native import pipeline as npipe
+
+    t0 = time.perf_counter()
+    interner = npipe.make_interner()
+    # stream in 8 MB slices (documents) — the corpus never needs to be
+    # tokenized as one block
+    docs, doc_pages = [], []
+    slice_chars = 8_000_000
+    tid_rows, coord_rows = [], []
+    for off in range(0, len(text), slice_chars):
+        part = text[off: off + slice_chars]
+        ids, starts = npipe.tokenize_intern(part, interner)
+        tid_rows.append(ids)
+        coord_rows.append(starts)
+        doc_pages.append([len(part)])
+    t_tok = time.perf_counter() - t0
+    T = len(interner)
+    n_tokens = sum(r.size for r in tid_rows)
+    print(f"tokenize+intern: {t_tok:.1f}s -> {mb / t_tok:.1f} MB/s host, "
+          f"{n_tokens} postings, {T} terms", file=sys.stderr)
+
+    # ---- device build --------------------------------------------------
+    import jax.numpy as jnp
+
+    from docodo_tpu.ops.device_index import build_postings
+    from docodo_tpu.ops.seqops import INF32
+
+    if n_shards > 1:
+        from docodo_tpu.parallel import sharding as sh
+
+        t0 = time.perf_counter()
+        corpus = sh.stage_shards_arrays(
+            tid_rows, coord_rows, doc_pages, num_shards=n_shards
+        )
+        t_stage = time.perf_counter() - t0
+        mesh = sh.make_mesh(n_shards)
+        dt, dc = jnp.asarray(corpus.term_ids), jnp.asarray(corpus.coords)
+        st, sc, off = sh.sharded_build(mesh, dt, dc, T)  # compile + warm
+        n_built = int(np.asarray(off[:, -1]).sum())
+        t0 = time.perf_counter()
+        st, sc, off = sh.sharded_build(mesh, dt, dc, T)
+        n_built2 = int(np.asarray(off[:, -1]).sum())  # readback closes exec
+        t_build = time.perf_counter() - t0
+        assert n_built == n_built2
+        print(f"stage: {t_stage:.1f}s; sharded build ({n_shards} dev, warm): "
+              f"{t_build:.2f}s -> {mb / t_build:.1f} MB/s "
+              f"({n_built} postings)", file=sys.stderr)
+    else:
+        # single chip: shard the stream into chunks sequentially
+        t0 = time.perf_counter()
+        base = 0
+        tot = 0
+        for ids, starts, pages in zip(tid_rows, coord_rows, doc_pages):
+            st, sc, off = build_postings(
+                jnp.asarray(ids), jnp.asarray(starts + np.int32(base)), T
+            )
+            tot += int(off[-1])
+            base += pages[-1]
+        t_build = time.perf_counter() - t0
+        print(f"single-chip chunked build: {t_build:.2f}s -> "
+              f"{mb / t_build:.1f} MB/s ({tot} postings)", file=sys.stderr)
+
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    total = t_tok + t_build
+    print(f"peak host RSS: {rss_mb:.0f} MB", file=sys.stderr)
+    print(f"END-TO-END: {mb:.0f} MB in {total:.1f}s = {mb / total:.1f} MB/s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -227,38 +227,87 @@ def read_spill(path: str):
     return max_coord, terms, arrays
 
 
+class _SpillCursor:
+    """Sequential reader over one spill file's (term, encoded-words)
+    records — nothing but the current record is resident."""
+
+    def __init__(self, path: str):
+        self.f = open(path, "rb")
+        self.max_coord = int.from_bytes(self.f.read(8), "little")
+        self.term: Optional[str] = None
+        self.advance()
+
+    def advance(self) -> None:
+        head = self.f.read(1)
+        if not head:
+            self.term = None
+            self.f.close()
+            return
+        slen = 0
+        shift = 0
+        b = head[0]
+        while True:
+            slen |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            b = self.f.read(1)[0]
+        self.term = self.f.read(slen).decode("utf-8")
+        nwords = int.from_bytes(self.f.read(4), "little", signed=True)
+        self._raw = self.f.read(2 * nwords)
+
+    def coords(self) -> np.ndarray:
+        return varint.decode(np.frombuffer(self._raw, dtype=np.uint16))
+
+
 def merge_spills(
     paths: List[str], out_path: str, shift_coords: bool = False
 ) -> None:
-    """Merge spill/index files into one (ref Index.cs:577-689).
+    """STREAMING k-way merge of spill/index files (ref Index.cs:577-689,
+    which also streams term-by-term so memory stays bounded).
 
-    Terms are united in ordinal order; postings of a term concatenate in
+    Terms are united in ordinal order; a term's postings concatenate in
     file order (files are ordered by ascending coordinate ranges). With
     shift_coords each file's coordinates are offset by the cumulative
-    max_coord of the preceding files — the reference's shard-merge shift.
+    max_coord of the preceding files — the reference's shard-merge
+    shift. Peak memory = one term's postings, never a whole file.
     """
-    loaded = [read_spill(p) for p in paths]
-    shifts = np.zeros(len(loaded), dtype=np.uint64)
+    import heapq
+
+    cursors = [_SpillCursor(p) for p in paths]
+    shifts = np.zeros(len(cursors), dtype=np.uint64)
     total = 0
-    for q, (mc, _, _) in enumerate(loaded):
+    for q, c in enumerate(cursors):
         if shift_coords:
             shifts[q] = total
-        total += mc
-    out_max = total if shift_coords else max((mc for mc, _, _ in loaded), default=0)
+        total += c.max_coord
+    out_max = (
+        total if shift_coords
+        else max((c.max_coord for c in cursors), default=0)
+    )
 
-    merged: Dict[str, List[np.ndarray]] = {}
-    for q, (_, terms, arrays) in enumerate(loaded):
-        sh = np.uint64(shifts[q])
-        for term, coords in zip(terms, arrays):
-            merged.setdefault(term, []).append(
-                coords + sh if shift_coords and sh else coords
-            )
+    heap = [
+        (c.term, q) for q, c in enumerate(cursors) if c.term is not None
+    ]
+    heapq.heapify(heap)
+
+    def records():
+        while heap:
+            term, q0 = heap[0]
+            parts = []
+            while heap and heap[0][0] == term:
+                _, q = heapq.heappop(heap)
+                c = cursors[q]
+                coords = c.coords()
+                if shift_coords and shifts[q]:
+                    coords = coords + shifts[q]
+                parts.append((q, coords))
+                c.advance()
+                if c.term is not None:
+                    heapq.heappush(heap, (c.term, q))
+            parts.sort(key=lambda t: t[0])  # file order = coordinate order
+            arrs = [p for _, p in parts]
+            yield term, (np.concatenate(arrs) if len(arrs) > 1 else arrs[0])
+
     with open(out_path, "wb") as f:
-        write_postings_stream(
-            f,
-            out_max,
-            (
-                (term, np.concatenate(parts) if len(parts) > 1 else parts[0])
-                for term, parts in sorted(merged.items())
-            ),
-        )
+        write_postings_stream(f, out_max, records())

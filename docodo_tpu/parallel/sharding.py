@@ -47,24 +47,32 @@ def make_mesh(n_devices: int = 0, devices=None) -> Mesh:
 # sharded build
 # ---------------------------------------------------------------------------
 
+_build_cache = {}
+
+
 def sharded_build(mesh: Mesh, term_ids, coords, num_terms: int):
     """Sort every shard's tuple stream in place: [S, Nloc] -> per-shard CSR.
 
     term_ids/coords: int32[S, Nloc], padding term_id == INT32_MAX.
     Returns (sorted_terms [S, Nloc], sorted_coords [S, Nloc],
-    offsets [S, T+1]), all sharded over "d".
+    offsets [S, T+1]), all sharded over "d". The jitted program is cached
+    per (mesh, num_terms) — shapes re-specialize inside jit as usual.
     """
+    key = (mesh, num_terms)
+    fn = _build_cache.get(key)
+    if fn is None:
 
-    def local_build(t, c):
-        st, sc, off = build_postings(t[0], c[0], num_terms)
-        return st[None], sc[None], off[None]
+        def local_build(t, c):
+            st, sc, off = build_postings(t[0], c[0], num_terms)
+            return st[None], sc[None], off[None]
 
-    fn = shard_map(
-        local_build, mesh=mesh,
-        in_specs=(P("d", None), P("d", None)),
-        out_specs=(P("d", None), P("d", None), P("d", None)),
-    )
-    return jax.jit(fn)(term_ids, coords)
+        fn = jax.jit(shard_map(
+            local_build, mesh=mesh,
+            in_specs=(P("d", None), P("d", None)),
+            out_specs=(P("d", None), P("d", None), P("d", None)),
+        ))
+        _build_cache[key] = fn
+    return fn(term_ids, coords)
 
 
 # ---------------------------------------------------------------------------
@@ -201,6 +209,58 @@ def stage_shards(
         term_ids=term_ids, coords=coords, bounds=bounds,
         page_doc=page_doc, page_base=page_base,
         terms=list(term_to_id), n_tokens=n_tokens,
+    )
+
+
+def stage_shards_arrays(
+    doc_tids: Sequence[np.ndarray], doc_coords: Sequence[np.ndarray],
+    doc_pages: Sequence[Sequence[int]], num_shards: int,
+    terms: Sequence[str] = (),
+) -> ShardedCorpus:
+    """Array-native shard staging (no per-token Python objects): same
+    assignment policy as stage_shards but documents stay as numpy
+    (term_id, coord) arrays end to end — required at GB scale."""
+    loads = [0] * num_shards
+    assign: List[List[int]] = [[] for _ in range(num_shards)]
+    order = sorted(range(len(doc_tids)), key=lambda i: -doc_tids[i].size)
+    for i in order:
+        s = int(np.argmin(loads))
+        assign[s].append(i)
+        loads[s] += doc_tids[i].size
+    for s in range(num_shards):
+        assign[s].sort()
+
+    nloc = max((sum(doc_tids[i].size for i in a) for a in assign), default=1) or 1
+    ploc = max((sum(len(doc_pages[i]) for i in a) for a in assign), default=1) or 1
+    S = num_shards
+    term_ids = np.full((S, nloc), int(INF32), dtype=np.int32)
+    coords = np.full((S, nloc), int(INF32), dtype=np.int32)
+    bounds = np.full((S, ploc), int(INF32), dtype=np.int32)
+    page_doc = np.zeros((S, ploc), dtype=np.int32)
+    n_tokens = np.zeros(S, dtype=np.int32)
+    page_base = np.zeros(S, dtype=np.int32)
+    acc = 0
+    for s in range(S):
+        pos = 0
+        ppos = 0
+        base = 0
+        for ndoc, i in enumerate(assign[s]):
+            n = doc_tids[i].size
+            term_ids[s, pos: pos + n] = doc_tids[i]
+            coords[s, pos: pos + n] = doc_coords[i] + np.int32(base)
+            pos += n
+            for pend in doc_pages[i]:
+                bounds[s, ppos] = base + pend
+                page_doc[s, ppos] = ndoc
+                ppos += 1
+            base += doc_pages[i][-1] if doc_pages[i] else 0
+        n_tokens[s] = pos
+        page_base[s] = acc
+        acc += ppos
+    return ShardedCorpus(
+        term_ids=term_ids, coords=coords, bounds=bounds,
+        page_doc=page_doc, page_base=page_base,
+        terms=list(terms), n_tokens=n_tokens,
     )
 
 

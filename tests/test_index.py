@@ -202,3 +202,31 @@ def test_histogram(tmp_path):
     assert hist
     top = max(hist.values())
     assert list(hist.values())[0] == top
+
+
+def test_mem_use_bounded_by_spill(tmp_path):
+    """During a 1000-page build with a tiny spill threshold, Python heap
+    growth must stay bounded — validates the spill-to-disk design
+    (analog of reference MemUseTest, ref IndexTest.cs:340-365)."""
+    import gc
+    import tracemalloc
+
+    index = Index(path=None, in_memory=False)  # lazy load, like the ref
+    index.work_path = str(tmp_path / "idx")
+    index.stemmers.clear()
+    index.max_degree_of_parallelism = 1
+    index.max_tmp_index_items = 50_000  # force spills
+    index.add_data_source(TestDataSource(1000))
+    gc.collect()
+    tracemalloc.start()
+    base, _ = tracemalloc.get_traced_memory()
+    index.create()
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # in-RAM builder state is capped by the spill threshold; final index
+    # load is ~2 MB for this corpus. 10 MB bound matches the reference.
+    growth_mb = (peak - base) / 1e6
+    assert growth_mb < 10, f"peak heap growth {growth_mb:.1f} MB"
+    assert index.count > 0
+    res = index.search("pickwick")
+    assert res.found_pages
