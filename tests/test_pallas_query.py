@@ -1,0 +1,77 @@
+"""Pallas fused query kernel: bit-parity with the XLA path (interpret
+mode — the compiled kernel runs on real TPU; see ops/pallas_query.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from docodo_tpu.ops import pallas_query as pq
+from docodo_tpu.ops.device_index import locate_topk_masked
+from docodo_tpu.ops.seqops import and_masked, pad_to
+
+
+def _random_batch(rng, bsz, cap, ordered_rows):
+    a = np.zeros((bsz, cap), np.int32)
+    b = np.zeros((bsz, cap), np.int32)
+    na = np.zeros(bsz, np.int32)
+    nb = np.zeros(bsz, np.int32)
+    for i in range(bsz):
+        xa = np.cumsum(rng.integers(1, 30, size=rng.integers(0, cap)))
+        xb = np.cumsum(rng.integers(1, 30, size=rng.integers(0, cap)))
+        pa, la = pad_to(xa, cap)
+        pb, lb = pad_to(xb, cap)
+        a[i], na[i], b[i], nb[i] = pa, la, pb, lb
+    ra = np.full(bsz, 25, np.int32)
+    rb = np.full(bsz, 20, np.int32)
+    ra[ordered_rows:] = -25
+    rb[ordered_rows:] = -20
+    return a, na, ra, b, nb, rb
+
+
+@pytest.mark.parametrize("cap", [32, 64])
+def test_pallas_matches_xla_path(rng, cap):
+    bsz = 16
+    a, na, ra, b, nb, rb = _random_batch(rng, bsz, cap, ordered_rows=8)
+    bounds = np.arange(1, 24, dtype=np.int32) * 60
+    pg, rk, ct = pq.pallas_batched_and_locate(
+        jnp.asarray(a), jnp.asarray(na), jnp.asarray(ra),
+        jnp.asarray(b), jnp.asarray(nb), jnp.asarray(rb),
+        jnp.asarray(bounds), cap=cap, topk=8, interpret=True,
+    )
+    pg, rk, ct = np.asarray(pg), np.asarray(rk), np.asarray(ct)
+    for i in range(bsz):
+        vals, keep, _ = and_masked(
+            jnp.asarray(a[i]), na[i], ra[i], jnp.asarray(b[i]), nb[i], rb[i]
+        )
+        p2, r2, c2 = locate_topk_masked(vals, keep, jnp.asarray(bounds), 8)
+        np.testing.assert_array_equal(pg[i], np.asarray(p2), err_msg=f"q{i}")
+        np.testing.assert_allclose(rk[i], np.asarray(r2), atol=1e-4)
+        np.testing.assert_array_equal(ct[i], np.asarray(c2))
+
+
+def test_pallas_empty_and_degenerate(rng):
+    cap = 32
+    a = np.full((8, cap), 2**31 - 1, np.int32)
+    b = np.full((8, cap), 2**31 - 1, np.int32)
+    na = np.zeros(8, np.int32)
+    nb = np.zeros(8, np.int32)
+    # row 1: only a has data; row 2: identical singleton (cross-dup)
+    a[1, 0] = 5
+    na[1] = 1
+    a[2, 0] = 7
+    b[2, 0] = 7
+    na[2] = nb[2] = 1
+    ra = np.full(8, 10, np.int32)
+    rb = np.full(8, 10, np.int32)
+    bounds = np.array([100], np.int32)
+    pg, rk, ct = pq.pallas_batched_and_locate(
+        jnp.asarray(a), jnp.asarray(na), jnp.asarray(ra),
+        jnp.asarray(b), jnp.asarray(nb), jnp.asarray(rb),
+        jnp.asarray(bounds), cap=cap, topk=4, interpret=True,
+    )
+    pg = np.asarray(pg)
+    assert (pg[0] == -1).all()          # empty & empty
+    assert (pg[1] == -1).all()          # a-only: no b in any group
+    assert pg[2][0] == 0                # shared coordinate: both present
