@@ -164,9 +164,13 @@ def main() -> None:
     # Reps are chained through a ranks-checksum scalar so ONE final tiny
     # readback bounds the wall time of all executions even where
     # block_until_ready is unreliable (remote-tunnel device).
+    use_pallas = os.environ.get("DOCODO_PALLAS", "0") == "1"
+    log(f"pallas kernels for small buckets: {use_pallas}")
+
     def step(chain):
         return di.multi_bucket_query_step_chained(
-            off, sc, _bounds, _page_doc, terms_t, rs_t, chain, caps_t, TOPK
+            off, sc, _bounds, _page_doc, terms_t, rs_t, chain, caps_t, TOPK,
+            use_pallas=use_pallas,
         )
 
     outs, s = step(jnp.float32(0))  # compile + warm
@@ -183,31 +187,38 @@ def main() -> None:
         f"p50-equiv latency {t_query / N_QUERIES * 1e6:.1f} us/query")
 
     # ---- host sequential baseline (reference per-query loop analog) ----
+    # best-of-3 chunks: the STRONGEST host measurement is the baseline,
+    # so vs_baseline is conservative under machine-load noise
     bounds_np = bounds_host
     n_base = min(256, N_QUERIES)
-    t0 = time.perf_counter()
-    for i in range(n_base):
-        acc = sc_np[off_np[terms[i, 0]]: off_np[terms[i, 0] + 1]].astype(np.uint64)
-        r_acc = int(rs[i, 0])
-        for j in range(1, W):
-            t = terms[i, j]
-            if t < 0:
-                continue
-            b = sc_np[off_np[t]: off_np[t + 1]].astype(np.uint64)
-            acc, r_acc = group_and(acc, b, r_acc, int(rs[i, j]))
-        page = np.searchsorted(bounds_np, acc, side="right")
-        if acc.size:
-            first = np.concatenate([[True], page[1:] != page[:-1]])
-            run = np.cumsum(first) - 1
-            gaps = np.diff(acc.astype(np.int64), prepend=0)
-            bonus = np.where(~first, 30 // np.maximum(5, gaps), 0)
-            nb = np.bincount(run)
-            rank = 1 + np.bincount(run, weights=bonus) + np.log(np.maximum(nb, 1))
-            k = min(TOPK, rank.size)
-            np.argpartition(-rank, k - 1)[:k]
-    t_host = (time.perf_counter() - t0) / n_base
+
+    def host_chunk():
+        t0 = time.perf_counter()
+        for i in range(n_base):
+            acc = sc_np[off_np[terms[i, 0]]: off_np[terms[i, 0] + 1]].astype(np.uint64)
+            r_acc = int(rs[i, 0])
+            for j in range(1, W):
+                t = terms[i, j]
+                if t < 0:
+                    continue
+                b = sc_np[off_np[t]: off_np[t + 1]].astype(np.uint64)
+                acc, r_acc = group_and(acc, b, r_acc, int(rs[i, j]))
+            page = np.searchsorted(bounds_np, acc, side="right")
+            if acc.size:
+                first = np.concatenate([[True], page[1:] != page[:-1]])
+                run = np.cumsum(first) - 1
+                gaps = np.diff(acc.astype(np.int64), prepend=0)
+                bonus = np.where(~first, 30 // np.maximum(5, gaps), 0)
+                nb = np.bincount(run)
+                rank = (1 + np.bincount(run, weights=bonus)
+                        + np.log(np.maximum(nb, 1)))
+                k = min(TOPK, rank.size)
+                np.argpartition(-rank, k - 1)[:k]
+        return (time.perf_counter() - t0) / n_base
+
+    t_host = min(host_chunk() for _ in range(3))
     host_qps = 1.0 / t_host
-    log(f"host sequential baseline: {host_qps:.0f} QPS")
+    log(f"host sequential baseline (best of 3): {host_qps:.0f} QPS")
 
     print(json.dumps({
         "metric": "phrase_query_qps",

@@ -263,15 +263,60 @@ def query_step(term_offsets, coords, bounds, page_doc, terms, rs,
     return locate_topk_masked(vals, keep, bounds, topk)
 
 
-@functools.partial(jax.jit, static_argnames=("caps", "topk"))
+def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
+                   topk: int):
+    """Route one (cap, W<=2) bucket through the fused Pallas kernel
+    (ops/pallas_query): gather the posting blocks, evaluate the whole
+    bucket as ONE kernel launch. Single-word queries feed the list as
+    both operands — the cross-operand dup/ghost rule then reduces the
+    AND to the identity, so the same kernel serves W=1 and W=2."""
+    from docodo_tpu.ops.pallas_query import Q as PQ
+    from docodo_tpu.ops.pallas_query import pallas_batched_and_locate
+
+    bsz = tq.shape[0]
+    pad = (-bsz) % PQ
+    if pad:
+        tq = jnp.concatenate(
+            [tq, jnp.full((pad, tq.shape[1]), -1, jnp.int32)]
+        )
+        rq = jnp.concatenate([rq, jnp.ones((pad, rq.shape[1]), jnp.int32)])
+    gather = jax.vmap(
+        lambda t: gather_term(coords, term_offsets, t, cap)
+    )
+    a, na = gather(tq[:, 0])
+    if tq.shape[1] == 1:
+        b, nb, rb = a, na, rq[:, 0]
+    else:
+        b, nb = gather(tq[:, 1])
+        rb = rq[:, 1]
+    pg, rk, ct = pallas_batched_and_locate(
+        a, na, rq[:, 0], b, nb, rb, bounds, cap=cap, topk=topk,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return pg[:bsz], rk[:bsz], ct[:bsz]
+
+
+@functools.partial(jax.jit, static_argnames=("caps", "topk", "use_pallas"))
 def multi_bucket_query_step(term_offsets, coords, bounds, page_doc,
-                            terms_list, rs_list, caps, topk: int):
+                            terms_list, rs_list, caps, topk: int,
+                            use_pallas: bool = False):
     """Evaluate EVERY shape bucket in one device program (one dispatch,
     one launch RTT): terms_list/rs_list are tuples of [Bi, Wi] arrays,
     caps the matching static posting caps. Returns a tuple of
-    (pages, ranks, counts) triples, one per bucket."""
+    (pages, ranks, counts) triples, one per bucket.
+
+    With use_pallas, buckets with cap <= MAX_PALLAS_CAP and <= 2 words
+    run as single fused Pallas kernel launches (collapsing the XLA
+    path's deep chains of small scan kernels); the rest stay on XLA."""
+    from docodo_tpu.ops.pallas_query import MAX_PALLAS_CAP
+
     outs = []
     for tq, rq, cap in zip(terms_list, rs_list, caps):
+        if use_pallas and cap <= MAX_PALLAS_CAP and tq.shape[1] <= 2:
+            outs.append(_pallas_bucket(
+                term_offsets, coords, bounds, tq, rq, cap, topk
+            ))
+            continue
         fn = functools.partial(query_step, cap=cap, topk=topk)
         outs.append(jax.vmap(fn, in_axes=(None, None, None, None, 0, 0))(
             term_offsets, coords, bounds, page_doc, tq, rq
@@ -279,10 +324,12 @@ def multi_bucket_query_step(term_offsets, coords, bounds, page_doc,
     return tuple(outs)
 
 
-@functools.partial(jax.jit, static_argnames=("caps", "topk"))
+@functools.partial(
+    jax.jit, static_argnames=("caps", "topk", "use_pallas")
+)
 def multi_bucket_query_step_chained(term_offsets, coords, bounds, page_doc,
                                     terms_list, rs_list, chain, caps,
-                                    topk: int):
+                                    topk: int, use_pallas: bool = False):
     """multi_bucket_query_step plus a dependency-chain scalar: `chain`
     (f32[]) is mixed (x0) into the inputs and a ranks checksum is
     returned, so successive calls chained through it execute strictly
@@ -293,7 +340,7 @@ def multi_bucket_query_step_chained(term_offsets, coords, bounds, page_doc,
     terms_list = tuple(t + zero for t in terms_list)
     outs = multi_bucket_query_step(
         term_offsets, coords, bounds, page_doc, terms_list, rs_list,
-        caps, topk,
+        caps, topk, use_pallas=use_pallas,
     )
     s = jnp.float32(0)
     for _, ranks, _ in outs:
@@ -393,6 +440,7 @@ class DeviceIndex:
     def search_batch(
         self, queries: Sequence[Sequence[Tuple[str, int]]],
         topk: int = 16, cap: Optional[int] = None,
+        use_pallas: Optional[bool] = None,
     ):
         """Evaluate a batch of AND/phrase queries; returns numpy
         (pages, ranks, counts) with -1/-0 padding in rank order.
@@ -430,9 +478,18 @@ class DeviceIndex:
             rs_list.append(jnp.asarray(rs))
             caps_list.append(qcap)
             idx_list.append(idxs)
+        if use_pallas is None:
+            import os
+
+            env = os.environ.get("DOCODO_PALLAS")
+            if env is not None:
+                use_pallas = env == "1"
+            else:  # default: fused kernels on real TPU, XLA elsewhere
+                use_pallas = jax.default_backend() == "tpu"
         outs = multi_bucket_query_step(
             self.term_offsets, self.coords, self.bounds, self.page_doc,
             tuple(terms_list), tuple(rs_list), tuple(caps_list), topk,
+            use_pallas=use_pallas,
         )
         for idxs, (p, r_, c) in zip(idx_list, outs):
             n = len(idxs)

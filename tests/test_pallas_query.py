@@ -75,3 +75,26 @@ def test_pallas_empty_and_degenerate(rng):
     assert (pg[0] == -1).all()          # empty & empty
     assert (pg[1] == -1).all()          # a-only: no b in any group
     assert pg[2][0] == 0                # shared coordinate: both present
+
+
+def test_multi_bucket_pallas_matches_xla(rng):
+    """The use_pallas dispatch must return identical results to XLA."""
+    from docodo_tpu.ops import device_index as di
+
+    T = 50
+    tids = rng.integers(0, T, 3000).astype(np.int32)
+    coords = np.sort(rng.integers(0, 1 << 18, 3000)).astype(np.int32)
+    st, sc, off = di.build_postings(tids, coords, T)
+    bounds = jnp.asarray(np.arange(1, 90, dtype=np.int32) * 3000)
+    pd = jnp.zeros(89, jnp.int32)
+    t1 = jnp.asarray(rng.integers(0, T, (5, 1)).astype(np.int32))
+    r1 = jnp.asarray(np.full((5, 1), 260, np.int32))
+    t2 = jnp.asarray(rng.integers(0, T, (11, 2)).astype(np.int32))
+    r2 = jnp.asarray(np.full((11, 2), 300, np.int32))
+    args = (off, sc, bounds, pd, (t1, t2), (r1, r2), (64, 64), 8)
+    xla = di.multi_bucket_query_step(*args, use_pallas=False)
+    pls = di.multi_bucket_query_step(*args, use_pallas=True)
+    for (p1, k1, c1), (p2, k2, c2) in zip(xla, pls):
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
