@@ -12,6 +12,7 @@ import os
 import pytest
 
 from docodo_tpu.lang.stemmers import stem_de, stem_en, stem_fr, stem_ru
+from docodo_tpu.lang.vocab import Vocab, build_freelib_voc
 
 REF = "/root/reference"
 
@@ -154,3 +155,35 @@ def test_stopwords(tmp_path):
     p.write_text(";English\nand\nthe\n\n;Russian\nили\n", encoding="utf-8")
     sw = load_stop_words(str(p))
     assert sw == {"and", "the", "или"}
+
+
+def test_freelib_rebuild_matches_shipped_voc(tmp_path):
+    """Golden test: rebuilding en.voc from the reference's own Dict/en
+    FreeLing files must reproduce the shipped binary's morphological
+    partition (ref Dict.cs:260-296 built that file from this folder).
+    The shipped voc holds ~255 extra words absent from the committed
+    dictionaries (built from a larger source), so the comparison runs
+    over the reproducible subset."""
+    import os
+    from collections import defaultdict
+
+    src = "/root/reference/Dict/en"
+    ref_voc = "/root/reference/Dict/en.voc"
+    if not (os.path.isdir(src) and os.path.exists(ref_voc)):
+        pytest.skip("reference dictionaries not mounted")
+    out = tmp_path / "en.voc"
+    build_freelib_voc(src, str(out))
+    ours = Vocab(str(out), name="en")
+    ref = Vocab(ref_voc, name="en")
+    common = set(ours.words) & set(ref.words)
+    assert len(common) == len(ours.words) >= 27_000  # ours subset of ref
+
+    def canon(d):
+        groups = defaultdict(list)
+        for w in common:
+            groups[d[w]].append(w)
+        return {w: min(g) for g in groups.values() for w in g}
+
+    co, cr = canon(ours.words), canon(ref.words)
+    agree = sum(1 for w in common if co[w] == cr[w])
+    assert agree / len(common) > 0.999
