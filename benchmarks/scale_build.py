@@ -52,6 +52,8 @@ def main() -> int:
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--platform", default=os.environ.get("DOCODO_BENCH_PLATFORM"))
     ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--tok-workers", type=int, default=0,
+                    help="tokenizer threads (0 = one per core)")
     args = ap.parse_args()
 
     import jax
@@ -75,20 +77,17 @@ def main() -> int:
     from docodo_tpu.native import pipeline as npipe
 
     t0 = time.perf_counter()
-    interner = npipe.make_interner()
-    # stream in 8 MB slices (documents) — the corpus never needs to be
-    # tokenized as one block
-    docs, doc_pages = [], []
+    # stream in 8 MB slices (documents) on parallel threads — the native
+    # call releases the GIL, so tokenize+intern scales on cores
     slice_chars = 8_000_000
-    tid_rows, coord_rows = [], []
-    for off in range(0, len(text), slice_chars):
-        part = text[off: off + slice_chars]
-        ids, starts = npipe.tokenize_intern(part, interner)
-        tid_rows.append(ids)
-        coord_rows.append(starts)
-        doc_pages.append([len(part)])
+    parts = [text[off: off + slice_chars]
+             for off in range(0, len(text), slice_chars)]
+    doc_pages = [[len(p)] for p in parts]
+    tid_rows, coord_rows, terms = npipe.parallel_tokenize_intern(
+        parts, workers=args.tok_workers
+    )
     t_tok = time.perf_counter() - t0
-    T = len(interner)
+    T = len(terms)
     n_tokens = sum(r.size for r in tid_rows)
     print(f"tokenize+intern: {t_tok:.1f}s -> {mb / t_tok:.1f} MB/s host, "
           f"{n_tokens} postings, {T} terms", file=sys.stderr)

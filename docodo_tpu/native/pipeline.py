@@ -157,6 +157,65 @@ def tokenize_intern(
     return ids[keep], starts[keep].astype(np.int32)
 
 
+def parallel_tokenize_intern(
+    texts, workers: int = 0, min_len: int = 3, max_len: int = 32,
+):
+    """Tokenize+intern many documents on real threads.
+
+    The native call releases the GIL, so worker threads scale on cores.
+    Each worker owns a private interner (local term ids); afterwards the
+    term dictionaries are unified and every id array is remapped through
+    one vectorized gather.
+
+    Returns (doc_ids: List[int32[Ni]], doc_starts: List[int32[Ni]],
+    terms: List[str]).
+    """
+    import concurrent.futures as cf
+    import os as _os
+
+    texts = list(texts)
+    if workers <= 0:
+        workers = min(_os.cpu_count() or 1, 8)
+    if get_lib() is None or workers == 1 or len(texts) <= 1:
+        it = make_interner()
+        out = [tokenize_intern(t, it, min_len, max_len) for t in texts]
+        return [o[0] for o in out], [o[1] for o in out], it.terms()
+
+    shards = [[] for _ in range(workers)]
+    for i, _ in enumerate(texts):
+        shards[i % workers].append(i)
+
+    def run(idxs):
+        it = NativeInterner()
+        res = {
+            i: tokenize_intern_native(texts[i], it, min_len, max_len)
+            for i in idxs
+        }
+        return res, it.terms()
+
+    with cf.ThreadPoolExecutor(workers) as ex:
+        parts = list(ex.map(run, shards))
+
+    # unify term dictionaries; remap each shard's local ids
+    global_map: dict = {}
+    terms: List[str] = []
+    doc_ids: List[Optional[np.ndarray]] = [None] * len(texts)
+    doc_starts: List[Optional[np.ndarray]] = [None] * len(texts)
+    for res, local_terms in parts:
+        remap = np.empty(len(local_terms), dtype=np.int32)
+        for lid, w in enumerate(local_terms):
+            gid = global_map.get(w)
+            if gid is None:
+                gid = len(terms)
+                global_map[w] = gid
+                terms.append(w)
+            remap[lid] = gid
+        for i, (ids, starts) in res.items():
+            doc_ids[i] = remap[ids]
+            doc_starts[i] = starts
+    return doc_ids, doc_starts, terms
+
+
 def varint_encode(coords: np.ndarray) -> np.ndarray:
     """Native 15-bit varint encode (falls back to core.varint)."""
     lib = get_lib()

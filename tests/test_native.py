@@ -67,3 +67,21 @@ def test_varint_roundtrip_parity(rng):
     enc_native = npipe.varint_encode(coords)
     np.testing.assert_array_equal(enc_native, varint.encode(coords))
     np.testing.assert_array_equal(npipe.varint_decode(enc_native), coords)
+
+
+def test_parallel_tokenize_intern_matches_serial():
+    texts = [
+        "alpha beta gamma delta words",
+        "beta epsilon alpha zeta words",
+        "gamma eta theta words beta",
+        "delta iota alpha kappa words",
+    ] * 3
+    ids_p, starts_p, terms_p = npipe.parallel_tokenize_intern(texts, workers=3)
+    it = npipe.make_interner()
+    serial = [npipe.tokenize_intern(t, it) for t in texts]
+    # same tokens per doc, same starts; term ids map through dictionaries
+    t_ser = it.terms()
+    for (pi, ps), (si, ss) in zip(zip(ids_p, starts_p), serial):
+        np.testing.assert_array_equal(ps, ss)
+        assert [terms_p[k] for k in pi] == [t_ser[k] for k in si]
+    assert sorted(terms_p) == sorted(t_ser)
