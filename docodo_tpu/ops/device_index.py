@@ -388,6 +388,10 @@ class DeviceIndex:
     page_ids: List[str]
     doc_names: List[str]
     _tmap: dict
+    # host mirrors (device->host readbacks can stall on remote devices)
+    offsets_np: np.ndarray
+    page_doc_np: np.ndarray
+    bounds_np: np.ndarray
 
     @classmethod
     def from_index(cls, ind) -> "DeviceIndex":
@@ -396,15 +400,21 @@ class DeviceIndex:
         if arr.coords is None:
             raise ValueError("device upload requires an in-memory index")
         pt = ind.pages
+        offsets_np = np.asarray(arr.offsets, dtype=np.int64)
+        page_doc_np = np.asarray(pt.page_doc, dtype=np.int32)
+        bounds_np = pt.bounds.astype(np.int64)
         return cls(
             term_offsets=jnp.asarray(arr.offsets, dtype=jnp.int32),
             coords=jnp.asarray(arr.coords.astype(np.int64), dtype=jnp.int32),
-            bounds=jnp.asarray(pt.bounds.astype(np.int64), dtype=jnp.int32),
-            page_doc=jnp.asarray(pt.page_doc, dtype=jnp.int32),
+            bounds=jnp.asarray(bounds_np, dtype=jnp.int32),
+            page_doc=jnp.asarray(page_doc_np),
             terms=list(arr.terms),
             page_ids=list(pt.page_ids),
             doc_names=list(pt.doc_names),
             _tmap=dict(arr._tmap),
+            offsets_np=offsets_np,
+            page_doc_np=page_doc_np,
+            bounds_np=bounds_np,
         )
 
     def term_id(self, term: str) -> int:
@@ -414,8 +424,7 @@ class DeviceIndex:
         tid = self.term_id(term)
         if tid < 0:
             return 0
-        off = np.asarray(self.term_offsets[tid: tid + 2])
-        return int(off[1] - off[0])
+        return int(self.offsets_np[tid + 1] - self.offsets_np[tid])
 
     def compile_queries(
         self, queries: Sequence[Sequence[Tuple[str, int]]], pad_w: int = 0
@@ -441,6 +450,7 @@ class DeviceIndex:
         self, queries: Sequence[Sequence[Tuple[str, int]]],
         topk: int = 16, cap: Optional[int] = None,
         use_pallas: Optional[bool] = None,
+        cap_ladder: Optional[Sequence[int]] = None,
     ):
         """Evaluate a batch of AND/phrase queries; returns numpy
         (pages, ranks, counts) with -1/-0 padding in rank order.
@@ -454,14 +464,23 @@ class DeviceIndex:
         pages = np.full((b, topk), -1, dtype=np.int32)
         ranks = np.zeros((b, topk), dtype=np.float32)
         counts = np.zeros((b, topk), dtype=np.int32)
+        def round_cap(need: int) -> int:
+            if cap:
+                return cap
+            if cap_ladder:  # coarse ladder bounds the compile-shape count
+                for c in cap_ladder:
+                    if need <= c:
+                        return c
+                return _bucket(need)
+            return _bucket(need)
+
         buckets = {}
         for i, q in enumerate(queries):
             w = max(len(q), 1)
             need = 1
             for word, _ in q:
                 need = max(need, self.posting_count(word))
-            qcap = cap or _bucket(need)
-            buckets.setdefault((qcap, w), []).append(i)
+            buckets.setdefault((round_cap(need), w), []).append(i)
         terms_list, rs_list, caps_list, idx_list = [], [], [], []
         for (qcap, w), idxs in sorted(buckets.items()):
             # pad the batch dim to a power of two: batch compositions vary

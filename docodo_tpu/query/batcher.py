@@ -145,9 +145,14 @@ class BatchExecutor:
                         p.result.error = str(e)
                     p.event.set()
 
+    # serving trades padding waste for a BOUNDED compile-shape count:
+    # query batches churn, so tight caps would compile endlessly
+    CAP_LADDER = (128, 1024, 16384, 1 << 17)
+
     def _execute(self, batch: List[_Pending]) -> None:
         pages, ranks, counts = self.di.search_batch(
-            [p.compiled for p in batch], topk=16
+            [p.compiled for p in batch], topk=16,
+            cap_ladder=self.CAP_LADDER,
         )
         self.stats["batches"] += 1
         self.stats["device_queries"] += len(batch)
@@ -161,12 +166,7 @@ class BatchExecutor:
                 page = ResultDocPage(self.di.page_ids[pg])
                 page.pos = [0] * int(counts[row, k])  # count only; no offsets
                 res.found_pages.append(page)
-                dname = self.di.doc_names[int(self.di._page_doc_np[pg])] \
-                    if hasattr(self.di, "_page_doc_np") else None
-                if dname is None:
-                    pd = np.asarray(self.di.page_doc)
-                    self.di._page_doc_np = pd
-                    dname = self.di.doc_names[int(pd[pg])]
+                dname = self.di.doc_names[int(self.di.page_doc_np[pg])]
                 doc = docs.get(dname)
                 if doc is None:
                     doc = ResultDocument(dname)
