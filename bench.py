@@ -139,8 +139,10 @@ def main() -> None:
     _bounds = jnp.asarray(bounds_host)
     _page_doc = jnp.zeros(n_pages, dtype=jnp.int32)
 
-    # bucket queries by (posting cap, word count): padding waste beats
-    # dispatch overhead, so buckets are tight powers of two
+    # bucket queries by (posting cap, word count): tight powers of two.
+    # (Measured on TPU: a coarse mid-range ladder is 3x WORSE — the XLA
+    # path's searchsorted gathers scale with the padded width, so
+    # padding is not free there either.)
     def bucket_of(i):
         w = int((terms[i] >= 0).sum()) or 1
         need = int(counts[terms[i, :w]].max()) if w else 1
@@ -164,7 +166,11 @@ def main() -> None:
     # Reps are chained through a ranks-checksum scalar so ONE final tiny
     # readback bounds the wall time of all executions even where
     # block_until_ready is unreliable (remote-tunnel device).
-    use_pallas = os.environ.get("DOCODO_PALLAS", "0") == "1"
+    env_pallas = os.environ.get("DOCODO_PALLAS")
+    if env_pallas is not None:
+        use_pallas = env_pallas == "1"
+    else:  # default: fused Pallas buckets on real TPU, XLA elsewhere
+        use_pallas = jax.default_backend() == "tpu"
     log(f"pallas kernels for small buckets: {use_pallas}")
 
     def step(chain):

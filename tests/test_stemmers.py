@@ -187,3 +187,33 @@ def test_freelib_rebuild_matches_shipped_voc(tmp_path):
     co, cr = canon(ours.words), canon(ref.words)
     agree = sum(1 for w in common if co[w] == cr[w])
     assert agree / len(common) > 0.999
+
+
+def test_opencorpora_builder(tmp_path):
+    """Build a ru voc from a synthetic OpenCorpora lemma dump
+    (ref Dict.cs:214-258; the real dump isn't shipped — blob missing,
+    ref .MISSING_LARGE_BLOBS)."""
+    from docodo_tpu.lang.vocab import build_opencorpora_voc
+
+    xml = tmp_path / "dict.opcorpora.xml"
+    xml.write_text(
+        """<?xml version="1.0" encoding="UTF-8"?>
+<dictionary><lemmata>
+<lemma id="1"><l t="наташа"/><f t="наташи"/><f t="наташе"/><f t="наташу"/></lemma>
+<lemma id="2"><l t="книга"/><f t="книги"/><f t="книгу"/><f t="книгам"/></lemma>
+<lemma id="3"><l t="книжка"/><f t="книжки"/></lemma>
+</lemmata></dictionary>""",
+        encoding="utf-8",
+    )
+    out = tmp_path / "ru.voc"
+    build_opencorpora_voc(str(xml), str(out))
+    voc = Vocab(str(out), name="ru")
+
+    def grp(w):  # callers stem before Vocab.Search (ref Build.cs:195)
+        return voc.search(voc.stem(w))
+
+    # inflected forms of one lemma share a group
+    assert grp("наташа") == grp("наташи") == grp("наташу") != 0
+    assert grp("книга") == grp("книгу") != 0
+    # different lemmas -> different groups
+    assert grp("наташа") != grp("книга")
