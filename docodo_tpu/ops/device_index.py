@@ -102,8 +102,10 @@ def eval_and_query(coords, term_offsets, terms, rs, cap: int):
     keep_acc = jnp.arange(cap, dtype=jnp.int32) < n_acc
     r_acc = rs[0]
     for q in range(1, w):
-        if q > 1:  # re-sort the masked stream into a dense operand
+        if q > 1:  # re-sort the masked stream into a dense operand; the
+            # mask must be recomputed — compaction reorders slots
             acc, n_acc = _compact(acc, keep_acc, out_cap=acc.shape[0])
+            keep_acc = jnp.arange(acc.shape[0], dtype=jnp.int32) < n_acc
         b, nb = gather_term(coords, term_offsets, terms[q], cap)
         vals, keep, r_out = and_masked(acc, n_acc, r_acc, b, nb, rs[q])
         skip = terms[q] < 0
@@ -476,6 +478,11 @@ class DeviceIndex:
 
         buckets = {}
         for i, q in enumerate(queries):
+            # a query containing an UNKNOWN word matches nothing (host
+            # parity: empty PostingSeq annihilates the AND) — it must
+            # not reach the device, where id -1 means "padding/identity"
+            if any(self.term_id(word) < 0 for word, _ in q):
+                continue
             w = max(len(q), 1)
             need = 1
             for word, _ in q:

@@ -43,9 +43,18 @@ def compile_request(index, req: str) -> Optional[List[Tuple[str, int]]]:
     """
     if _UNSUPPORTED.search(req.replace('"', "")):
         return None
-    quoted = req.count('"') == 2 and req.strip().startswith('"')
-    if req.count('"') not in (0, 2):
-        return None
+    stripped = req.strip()
+    quoted = False
+    if '"' in req:
+        # only a FULLY quoted request maps cleanly (partial quoting mixes
+        # exact and free modes — host engine handles that)
+        if not (
+            req.count('"') == 2
+            and stripped.startswith('"')
+            and stripped.endswith('"')
+        ):
+            return None
+        quoted = True
     body = req.replace('"', " ")
     body = re.sub(r"[^\w ]|_+", " ", body)
     words = [w for w in body.split() if len(w) >= 3]
@@ -98,11 +107,13 @@ class BatchExecutor:
     # ---- public ----------------------------------------------------------
     def search(self, req: str, timeout: float = 30.0) -> SearchResult:
         compiled = compile_request(self.index, req)
+        if compiled is not None and any(len(c) > 1 for c, _ in compiled):
+            # a word matching several vocabularies ORs all its group
+            # codes on the host path — serve those host-side
+            compiled = None
         if compiled is None:
             self.stats["host_queries"] += 1
             return self.index.search(req)
-        # flatten variants: device fast path uses the first chosen code
-        # per word (voc-group or raw), like the host preference order
         flat = [(codes[0], r) for codes, r in compiled]
         p = _Pending(compiled=flat)
         self._q.put(p)
@@ -174,6 +185,21 @@ class BatchExecutor:
                     res.found_docs.append(doc)
                 doc.pages.append(page)
                 doc.rank += float(ranks[row, k])
+            # doc rank formula matches the host engine (ref
+            # Search.cs:552-557): 1 + ln(sum page ranks), x10 when the
+            # first found page is the header page "0"
+            import math
+
+            from docodo_tpu.constants import DOC_RANK_MULTIPLY
+
+            for doc in res.found_docs:
+                total = doc.rank
+                doc.rank = 1 + math.log(total) if total > 0 else 1.0
+                # device pages arrive in rank order, not coordinate
+                # order; the header page "0" is coordinate-first when
+                # hit at all, so "any" is the host-equivalent test
+                if any(pg.id == "0" for pg in doc.pages):
+                    doc.rank *= DOC_RANK_MULTIPLY
             res.found_docs.sort(key=lambda d: d.rank)
             p.result = res
             p.event.set()

@@ -167,7 +167,15 @@ class WebDataSource(QueuedDataSource):
         super().reset()
 
     def navigate(self, put, cancelled) -> None:
-        self._crawl(put, cancelled, self.path)
+        # explicit work stack preserving the depth-first order — a long
+        # pagination chain must not exceed the Python recursion limit
+        stack = [self.path]
+        while stack and not cancelled():
+            url = stack.pop()
+            children = self._parse_page(put, cancelled, url)
+            stack.extend(reversed(children))
+            if children and self.politeness_s:
+                time.sleep(self.politeness_s)
 
     def _try_add(self, put, url: str) -> Optional[str]:
         s = url.lower()
@@ -197,33 +205,33 @@ class WebDataSource(QueuedDataSource):
                 self._count += 1
         return s
 
-    def _crawl(self, put, cancelled, url: str) -> None:
+    def _parse_page(self, put, cancelled, url: str):
+        """Fetch one page, enqueue its new urls, return them for the
+        crawl stack (ref WebDataSource.cs:42-95)."""
         if cancelled():
-            return
+            return []
         try:
             ctype, data = self.fetcher(url)
         except Exception as e:
             print("Error parsing url:", url, e)
-            return
+            return []
         if not ctype.lower().startswith("text/html"):
-            return
+            return []
         p = _TextExtractor()
         try:
             p.feed(decode_bytes(data))
         except Exception:
-            return
+            return []
+        children = []
         if p.refresh:
             s = self._try_add(put, p.refresh)
             if s is not None:
-                self._crawl(put, cancelled, s)
+                children.append(s)
         for href in p.links:
-            if cancelled():
-                return
             s = self._try_add(put, href)
             if s is not None:
-                self._crawl(put, cancelled, s)
-                if self.politeness_s:
-                    time.sleep(self.politeness_s)
+                children.append(s)
+        return children
 
     def document_from_item(self, item):
         self.datadone += 1

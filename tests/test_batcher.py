@@ -79,3 +79,37 @@ def test_batch_executor_concurrent(ind):
         assert ex.stats["batches"] < 32  # actually batched
     finally:
         ex.close()
+
+
+def test_partial_quotes_fall_back_to_host(ind):
+    assert compile_request(ind, 'apple "bank account"') is None
+    assert compile_request(ind, '"bank account" apple') is None
+    assert compile_request(ind, '"bank account"') is not None
+
+
+def test_deep_crawl_chain_no_recursion_error():
+    from docodo_tpu.sources import WebDataSource
+
+    n = 1500  # far beyond the default recursion limit if crawls recursed
+    site = {
+        f"http://deep.local/p{i}.html": (
+            "text/html",
+            f"<html><body>page {i}"
+            f"<a href='p{i+1}.html'>next</a></body></html>".encode(),
+        )
+        for i in range(n)
+    }
+    site["http://deep.local/"] = site["http://deep.local/p0.html"]
+
+    def fetch(url):
+        if url not in site:
+            raise OSError("404")
+        return site[url]
+
+    src = WebDataSource("deep", "http://deep.local", fetcher=fetch,
+                        politeness_s=0.0)
+    src.reset()
+    count = 0
+    while src.next_document() is not None:
+        count += 1
+    assert count >= n - 2

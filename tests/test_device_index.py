@@ -172,3 +172,51 @@ def test_variants_or_then_and():
                          side="right").tolist()
     )
     assert got == want_pages
+
+
+def test_unknown_word_annihilates_query():
+    """A query containing an out-of-vocabulary word matches NOTHING
+    (host parity) — it must not be confused with -1 query padding."""
+    import jax.numpy as jnp
+
+    from docodo_tpu.ops.device_index import DeviceIndex
+
+    term_to_id, tids, coords, bounds, page_doc = build_tiny()
+    T = len(term_to_id)
+    st, sc, off = di.build_postings(tids.copy(), coords.copy(), T)
+    dix = DeviceIndex(
+        term_offsets=off, coords=sc, bounds=jnp.asarray(bounds),
+        page_doc=jnp.asarray(page_doc),
+        terms=list(term_to_id), page_ids=[str(i) for i in range(4)],
+        doc_names=[f"d{i}" for i in range(4)], _tmap=dict(term_to_id),
+        offsets_np=np.asarray(off), page_doc_np=page_doc,
+        bounds_np=bounds.astype(np.int64),
+    )
+    pages, ranks, counts = dix.search_batch(
+        [[("club", 200), ("qqqqzzzz", 200)], [("club", 200)]], topk=4
+    )
+    assert (pages[0] == -1).all()          # unknown word -> no results
+    assert (pages[1] >= 0).any()           # known word still works
+
+
+def test_padded_query_width_parity():
+    """The same 2-term query must give identical results at any padded
+    width (regression: stale keep mask after mid-fold compaction)."""
+    import jax.numpy as jnp
+
+    term_to_id, tids, coords, bounds, page_doc = build_tiny()
+    T = len(term_to_id)
+    st, sc, off = di.build_postings(tids.copy(), coords.copy(), T)
+    base = [term_to_id["pickwick"], term_to_id["club"]]
+    for w in (2, 3, 4):
+        terms = np.full((1, w), -1, dtype=np.int32)
+        rs = np.full((1, w), 60, dtype=np.int32)
+        terms[0, :2] = base
+        pages, _, _ = di.batched_query_step(
+            off, sc, jnp.asarray(bounds), jnp.asarray(page_doc),
+            jnp.asarray(terms), jnp.asarray(rs), cap=32, topk=4,
+        )
+        got = sorted(int(p) for p in np.asarray(pages)[0] if p >= 0)
+        if w == 2:
+            want = got
+        assert got == want, f"width {w}: {got} != {want}"
