@@ -133,6 +133,28 @@ def main() -> int:
         print(f"single-chip chunked build: {t_build:.2f}s -> "
               f"{mb / t_build:.1f} MB/s ({tot} postings)", file=sys.stderr)
 
+    # ---- sharded query phase (replicated batch, all_gather top-k) ------
+    if n_shards > 1 and args.queries:
+        counts = np.zeros(T, dtype=np.int64)
+        for ids in tid_rows:
+            counts += np.bincount(ids, minlength=T)
+        eligible = np.flatnonzero((counts >= 4) & (counts <= 512))
+        rng = np.random.default_rng(3)
+        qterms = rng.choice(eligible, size=(args.queries, 2)).astype(np.int32)
+        qterms[::2, 1] = -1  # half single-word (guaranteed hits)
+        qrs = np.full((args.queries, 2), 300, dtype=np.int32)
+        t0 = time.perf_counter()
+        pages, ranks, cnts = sh.sharded_query(
+            mesh, off, sc, jnp.asarray(corpus.bounds),
+            jnp.asarray(corpus.page_doc), jnp.asarray(corpus.page_base),
+            jnp.asarray(qterms), jnp.asarray(qrs), cap=512, topk=8,
+        )
+        nhit = int((np.asarray(pages) >= 0).sum())
+        t_q = time.perf_counter() - t0
+        print(f"sharded query ({n_shards} dev, incl. compile): "
+              f"{args.queries} queries in {t_q:.1f}s, {nhit} page hits",
+              file=sys.stderr)
+
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     total = t_tok + t_build
     print(f"peak host RSS: {rss_mb:.0f} MB", file=sys.stderr)
