@@ -95,6 +95,12 @@ def show_info(ind: Index, numb: int = 20) -> None:
     print("Histogram:")
     for key, value in list(hist.items())[:numb]:
         print(f"{key}: {100.0 * value / max(ind.max_coord, 1):.2f}%")
+    from docodo_tpu.utils import profiling
+
+    phases = profiling.format_report()
+    if phases:
+        print("Phase timings:")
+        print(phases)
 
 
 def interactive(ind: Index, dict_dir: str) -> None:

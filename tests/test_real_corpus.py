@@ -1,0 +1,92 @@
+"""Tests against the reference's real Test/ corpus (mirror of
+DataSourceTest.cs) plus engine-level robustness checks."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+import docodo_tpu
+from docodo_tpu.sources import DocumentsDataSource
+
+REF_TEST = "/root/reference/Test"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_TEST), reason="reference corpus not mounted"
+)
+
+
+def test_documents_source_real_folder():
+    """Walk the reference Test/ folder (ref DataSourceTest.cs:14-48):
+    both text corpora must appear with >10 pages each."""
+    src = DocumentsDataSource("doc", REF_TEST + os.sep)
+    src.reset()
+    names = {}
+    while True:
+        doc = src.next_document()
+        if doc is None:
+            break
+        pages = 0
+        for page in doc:
+            pages += 1
+        names[doc.name] = pages
+        doc.close()
+    assert any("Pickwick" in n for n in names)
+    assert any("voyna-i-mir" in n for n in names)
+    assert all(p > 10 for p in names.values()), names
+
+
+@pytest.fixture(scope="module")
+def war_index(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("waridx")
+    ind = docodo_tpu.Index(path=str(tmp), in_memory=True)
+    ind.add_data_source(
+        DocumentsDataSource("doc", REF_TEST + os.sep, mod="voyna*.txt")
+    )
+    ind.create()
+    yield ind, str(tmp)
+    ind.dispose()
+
+
+def test_lazy_mode_search_equals_in_memory(war_index):
+    """in_memory=False (disk-stub postings hydrated per lookup, ref
+    Index.cs:198-216, 346-348) must return identical results."""
+    ind, path = war_index
+    lazy = docodo_tpu.Index(path=path, in_memory=False)
+    try:
+        for req in ["наполеон", '"князь андрей"', "пьер безухов"]:
+            a = ind.search(req)
+            b = lazy.search(req)
+            assert a == b, req  # SearchResult equality = foundPages equal
+        assert lazy.count == ind.count
+    finally:
+        lazy.dispose()
+
+
+def test_search_during_rebuild(war_index):
+    """Searches must stay consistent while a rebuild runs concurrently —
+    the index swap is atomic under the search lock (ref Index.cs:399,
+    493; Search.cs:448)."""
+    ind, path = war_index
+    baseline = len(ind.search("наполеон").found_pages)
+    errors = []
+    results = []
+
+    def hammer():
+        try:
+            for _ in range(40):
+                r = ind.search("наполеон")
+                if r.success:
+                    results.append(len(r.found_pages))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    ind.create()  # full rebuild while searching
+    t.join(timeout=120)
+    assert not errors
+    # every successful search saw either the old or the new (equal) index
+    assert set(results) <= {baseline}
+    assert len(ind.search("наполеон").found_pages) == baseline
