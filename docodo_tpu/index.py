@@ -261,6 +261,17 @@ class Index:
                 tmp.close()
             if errors:
                 raise errors[0]
+            if self._cancel.is_set():
+                # cancelled during indexing: abandon the partial build
+                # (ref: a cancelled CreateAsync leaves the old index
+                # intact and restarts from scratch, Index.cs:434-444)
+                for d in os.listdir(self.work_path):
+                    full = os.path.join(self.work_path, d)
+                    if os.path.isdir(full):
+                        shutil.rmtree(full, ignore_errors=True)
+                self.status = "Idle"
+                print("Indexing was cancelled.")
+                return
 
             self.status = "Merge"
             t_merge = time.time()
@@ -344,6 +355,8 @@ class Index:
             try:
                 builder.add_doc(source.name, doc.name)
                 for page in doc:
+                    if self._cancel.is_set():
+                        break  # cooperative cancel inside huge documents
                     try:
                         low = tokenizer.lower_keep_length(page.text)
                         if len(low) == 0:

@@ -230,3 +230,57 @@ def test_mem_use_bounded_by_spill(tmp_path):
     assert index.count > 0
     res = index.search("pickwick")
     assert res.found_pages
+
+
+class _ExplodingDoc:
+    """Doc whose page iteration raises mid-way (ref Build.cs:537-540:
+    per-doc errors are caught, logged, and the build continues)."""
+
+    name = "boom"
+
+    def __iter__(self):
+        yield __import__("docodo_tpu.sources.base", fromlist=["IndexPage"]).IndexPage("1", "alpha beta words")
+        raise RuntimeError("injected source failure")
+
+    def close(self):
+        pass
+
+
+def test_build_survives_failing_document(tmp_path):
+    from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
+
+    index = Index(path=None)
+    index.work_path = str(tmp_path / "idx")
+    index.stemmers.clear()
+    index.max_degree_of_parallelism = 1
+    index.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile("good1", "gamma delta words here", ""),
+        _ExplodingDoc(),
+        IndexPagedTextFile("good2", "epsilon zeta words too", ""),
+    ]))
+    index.create()  # must not raise
+    assert index.can_search
+    assert len(index.search("gamma").found_docs) == 1
+    assert len(index.search("epsilon").found_docs) == 1
+    # the failing doc's first page WAS indexed before the error (parity:
+    # the reference logs and moves on, keeping earlier pages)
+    assert len(index.search("alpha").found_docs) == 1
+
+
+def test_cancel_stops_build(tmp_path):
+    """Cooperative cancellation (ref Index.cs:382-389, 434-435)."""
+    import threading
+    import time as _t
+
+    from fixtures import TestDataSource
+
+    index = Index(path=None)
+    index.work_path = str(tmp_path / "idx")
+    index.stemmers.clear()
+    index.max_degree_of_parallelism = 1
+    index.add_data_source(TestDataSource(100000))  # would take minutes
+    t = index.create_async()
+    _t.sleep(0.5)
+    index.cancel()
+    t.join(timeout=60)
+    assert not t.is_alive()
