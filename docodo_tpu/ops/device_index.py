@@ -206,11 +206,11 @@ def locate_topk_masked(vals, keep, bounds, topk: int):
     gaps are computed via a cummax previous-kept-slot scan, so no
     compaction of the stream is ever needed.
     """
+    from docodo_tpu.ops.seqops import _rank_in_sorted
+
     p = vals.shape[0]
     idx = jnp.arange(p, dtype=jnp.int32)
-    page = jnp.searchsorted(
-        bounds, vals, side="right", method="scan_unrolled"
-    ).astype(jnp.int32)
+    page = _rank_in_sorted(vals, bounds, strict=False)
     page = jnp.minimum(page, bounds.shape[0] - 1)
 
     pk = jax.lax.cummax(jnp.where(keep, idx, -1))

@@ -37,6 +37,35 @@ def pad_to(coords, cap: int):
     return out, np.int32(n)
 
 
+_COMPARE_ALL_MAX = 4096   # up to here, chunked compare-all beats gathers
+_COMPARE_CHUNK = 512
+
+
+def _rank_in_sorted(queries, sorted_vals, strict: bool):
+    """#{j: sorted_vals[j] < queries[i]} (strict) or <= (not strict).
+
+    For small/mid arrays this is a CHUNKED COMPARE-ALL (broadcast
+    compare + reduce — pure VPU work); binary-search gathers serialize
+    badly on TPU, so they are reserved for large arrays where the
+    O(n^2) compare would dominate.
+    """
+    m = sorted_vals.shape[-1]
+    if m <= _COMPARE_ALL_MAX:
+        acc = jnp.zeros(queries.shape, jnp.int32)
+        for j0 in range(0, m, _COMPARE_CHUNK):
+            block = sorted_vals[j0: j0 + _COMPARE_CHUNK]
+            cmp = (
+                block[None, :] < queries[:, None] if strict
+                else block[None, :] <= queries[:, None]
+            )
+            acc = acc + jnp.sum(cmp, axis=-1).astype(jnp.int32)
+        return acc
+    side = "left" if strict else "right"
+    return jnp.searchsorted(
+        sorted_vals, queries, side=side, method="scan_unrolled"
+    ).astype(jnp.int32)
+
+
 def combine_r(r1, r2):
     """Result window: max magnitude; ordered only if both ordered."""
     abs_r = jnp.maximum(jnp.abs(r1), jnp.abs(r2))
@@ -60,14 +89,12 @@ def _merge_sorted_tagged(a, na, b, nb):
     ib = jnp.arange(p2, dtype=jnp.int32) < nb
     av = jnp.where(ia, a, INF32)
     bv = jnp.where(ib, b, INF32)
-    ra = jnp.arange(p1, dtype=jnp.int32) + jnp.searchsorted(
-        bv, av, side="left", method="scan_unrolled"
-    ).astype(jnp.int32)
+    ra = jnp.arange(p1, dtype=jnp.int32) + _rank_in_sorted(
+        av, bv, strict=True
+    )
     k = jnp.arange(n, dtype=jnp.int32)
     # ca[k] = how many a-elements land at merged rank <= k (ra is ascending)
-    ca = jnp.searchsorted(ra, k, side="right", method="scan_unrolled").astype(
-        jnp.int32
-    )
+    ca = _rank_in_sorted(k, ra, strict=False)
     ai = jnp.clip(ca - 1, 0, p1 - 1)
     from_a = (ca > 0) & (ra[ai] == k)
     bi = jnp.clip(k - ca, 0, p2 - 1)
