@@ -213,27 +213,39 @@ def locate_topk_masked(vals, keep, bounds, topk: int):
     page = _rank_in_sorted(vals, bounds, strict=False)
     page = jnp.minimum(page, bounds.shape[0] - 1)
 
-    pk = jax.lax.cummax(jnp.where(keep, idx, -1))
-    prev_idx = jnp.concatenate([jnp.full(1, -1, jnp.int32), pk[:-1]])
-    has_prev = prev_idx >= 0
-    safe_prev = jnp.maximum(prev_idx, 0)
-    prev_page = jnp.where(has_prev, page[safe_prev], -1)
+    # GATHER-FREE previous-kept values: vals (and thus page) are
+    # non-decreasing over kept slots, so "value at the previous kept
+    # slot" is a shifted running max of the masked stream
+    prev_val = jnp.concatenate([
+        jnp.full(1, -1, vals.dtype),
+        jax.lax.cummax(jnp.where(keep, vals, -1))[:-1],
+    ])
+    prev_page = jnp.concatenate([
+        jnp.full(1, -1, jnp.int32),
+        jax.lax.cummax(jnp.where(keep, page, -1))[:-1],
+    ])
+    has_prev = prev_val >= 0
     first = keep & (page != prev_page)
-    gap = jnp.where(has_prev, vals - vals[safe_prev], 0)
+    gap = jnp.where(has_prev, vals - prev_val, 0)
     bonus = jnp.where(keep & ~first, 30 // jnp.maximum(5, gap), 0)
     bonus = bonus.astype(jnp.float32)
 
-    # page runs are CONTIGUOUS, so per-run totals are prefix-sum
-    # differences evaluated at each run's first slot — scatter-free
-    # (segment_sum lowers to a serialized scatter under vmap on TPU)
-    from_right = jnp.flip(
-        jax.lax.cummin(jnp.flip(jnp.where(first, idx, p)))
-    )
-    run_end = jnp.concatenate([from_right[1:], jnp.full(1, p, jnp.int32)]) - 1
+    # page runs are CONTIGUOUS and prefix sums NON-DECREASING, so the
+    # prefix value at each run's terminal slot is a reverse running min
+    # over terminals — no gathers, no scatters, no segment ops
+    big = jnp.float32(3.4e38)
+    terminal = jnp.concatenate([first[1:], jnp.ones(1, dtype=bool)])
     cbon = jnp.cumsum(bonus)
     ccnt = jnp.cumsum(keep.astype(jnp.float32))
-    run_bonus = cbon[run_end] - cbon[idx]  # bonus at the first slot is 0
-    run_count = ccnt[run_end] - jnp.where(idx > 0, ccnt[jnp.maximum(idx - 1, 0)], 0.0)
+    cbon_end = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(terminal, cbon, big))
+    ))
+    ccnt_end = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(terminal, ccnt, big))
+    ))
+    ccnt_prev = jnp.concatenate([jnp.zeros(1, jnp.float32), ccnt[:-1]])
+    run_bonus = cbon_end - cbon  # bonus at the first slot is 0
+    run_count = ccnt_end - ccnt_prev
     slot_rank = jnp.where(
         first, 1.0 + run_bonus + jnp.log(jnp.maximum(run_count, 1.0)), 0.0
     )

@@ -66,6 +66,28 @@ def _rank_in_sorted(queries, sorted_vals, strict: bool):
     ).astype(jnp.int32)
 
 
+def _place_by_rank(rank, src, tag, n: int):
+    """Gather-free placement: out[k] = sum_i src[i] * (rank[i]==k),
+    chunked over the output axis. `rank` values are unique.
+
+    Returns ((vals int32[n], placed int32[n]), tagged bool[n])."""
+    vals_parts, placed_parts, tag_parts = [], [], []
+    tag_i = tag.astype(jnp.int32)
+    for k0 in range(0, n, _COMPARE_CHUNK):
+        w = min(_COMPARE_CHUNK, n - k0)
+        kk = jnp.arange(k0, k0 + w, dtype=jnp.int32)
+        oh = rank[:, None] == kk[None, :]
+        vals_parts.append(jnp.sum(jnp.where(oh, src[:, None], 0), axis=0))
+        placed_parts.append(jnp.sum(oh, axis=0).astype(jnp.int32))
+        tag_parts.append(
+            jnp.sum(jnp.where(oh, tag_i[:, None], 0), axis=0)
+        )
+    return (
+        (jnp.concatenate(vals_parts), jnp.concatenate(placed_parts)),
+        jnp.concatenate(tag_parts) > 0,
+    )
+
+
 def combine_r(r1, r2):
     """Result window: max magnitude; ordered only if both ordered."""
     abs_r = jnp.maximum(jnp.abs(r1), jnp.abs(r2))
@@ -92,16 +114,28 @@ def _merge_sorted_tagged(a, na, b, nb):
     ra = jnp.arange(p1, dtype=jnp.int32) + _rank_in_sorted(
         av, bv, strict=True
     )
-    k = jnp.arange(n, dtype=jnp.int32)
-    # ca[k] = how many a-elements land at merged rank <= k (ra is ascending)
-    ca = _rank_in_sorted(k, ra, strict=False)
-    ai = jnp.clip(ca - 1, 0, p1 - 1)
-    from_a = (ca > 0) & (ra[ai] == k)
-    bi = jnp.clip(k - ca, 0, p2 - 1)
-    vals = jnp.where(from_a, av[ai], bv[bi])
-    isa = from_a & ia[ai]
-    isb = (~from_a) & ib[bi]
-    valid = vals < INF32
+    if n <= 2 * _COMPARE_ALL_MAX:
+        # place both operands at their merged ranks by chunked one-hot
+        # reduction — fully gather-free (rb mirrors ra with <= ties)
+        rb = jnp.arange(p2, dtype=jnp.int32) + _rank_in_sorted(
+            bv, av, strict=False
+        )
+        (va, pa), isa = _place_by_rank(ra, av, ia, n)
+        (vb, pb), isb = _place_by_rank(rb, bv, ib, n)
+        placed = pa + pb
+        vals = jnp.where(placed > 0, va + vb, INF32)
+        valid = vals < INF32
+    else:
+        k = jnp.arange(n, dtype=jnp.int32)
+        # ca[k] = #a-elements at merged rank <= k (ra is ascending)
+        ca = _rank_in_sorted(k, ra, strict=False)
+        ai = jnp.clip(ca - 1, 0, p1 - 1)
+        from_a = (ca > 0) & (ra[ai] == k)
+        bi = jnp.clip(k - ca, 0, p2 - 1)
+        vals = jnp.where(from_a, av[ai], bv[bi])
+        isa = from_a & ia[ai]
+        isb = (~from_a) & ib[bi]
+        valid = vals < INF32
     prev = jnp.concatenate([jnp.array([-1], dtype=vals.dtype), vals[:-1]])
     nxt = jnp.concatenate([vals[1:], jnp.array([INF32], dtype=vals.dtype)])
     dup_prev = (vals == prev) & valid
@@ -149,32 +183,44 @@ def and_masked(a, na, ra, b, nb, rb):
     seg_start = (idx == 0) | (gap_cut & valid)
 
     # ordered-mode extra cut: first A-tagged element of each gap segment,
-    # unless it already starts the segment (ghosts carry no tags)
+    # unless it already starts the segment (ghosts carry no tags).
+    # `before` is NON-DECREASING, so its value at the latest segment
+    # start propagates via a running max — no gather.
     def with_ordered_cuts():
         start_idx = jax.lax.cummax(jnp.where(seg_start, idx, -1))
         cum_a = jnp.cumsum(isa.astype(jnp.int32))
         before = cum_a - isa.astype(jnp.int32)
-        before_at_start = before[start_idx]
+        before_at_start = jax.lax.cummax(
+            jnp.where(seg_start, before, -1)
+        )
         prev_a_in_seg = before - before_at_start
         ordered_cut = isa & (prev_a_in_seg == 0) & (idx != start_idx)
         return seg_start | ordered_cut
 
     seg_start2 = jnp.where(r < 0, with_ordered_cuts(), seg_start)
 
-    # segments are CONTIGUOUS runs, so "my segment contains an a/b" is a
-    # prefix-sum difference between my segment's start and end — no
-    # segment_max scatter (vmapped scatters serialize on TPU)
-    sstart = jax.lax.cummax(jnp.where(seg_start2, idx, -1))
-    from_right = jnp.flip(
-        jax.lax.cummin(jnp.flip(jnp.where(seg_start2, idx, n)))
+    # segments are CONTIGUOUS runs and prefix sums NON-DECREASING:
+    # "prefix at segment end" = reverse running min over terminals,
+    # "prefix before segment start" = running max of the shifted prefix
+    # at starts — no gathers, no scatters, no segment ops
+    bigi = jnp.int32(np.iinfo(np.int32).max)
+    terminal = jnp.concatenate(
+        [seg_start2[1:], jnp.ones(1, dtype=bool)]
     )
-    send = jnp.concatenate([from_right[1:], jnp.full(1, n, jnp.int32)]) - 1
     cum_a = jnp.cumsum(isa.astype(jnp.int32))
     cum_b = jnp.cumsum(isb.astype(jnp.int32))
-    before_start_a = jnp.where(sstart > 0, cum_a[jnp.maximum(sstart - 1, 0)], 0)
-    before_start_b = jnp.where(sstart > 0, cum_b[jnp.maximum(sstart - 1, 0)], 0)
-    seg_has_a = cum_a[send] - before_start_a > 0
-    seg_has_b = cum_b[send] - before_start_b > 0
+    prev_cum_a = jnp.concatenate([jnp.zeros(1, jnp.int32), cum_a[:-1]])
+    prev_cum_b = jnp.concatenate([jnp.zeros(1, jnp.int32), cum_b[:-1]])
+    before_start_a = jax.lax.cummax(jnp.where(seg_start2, prev_cum_a, -1))
+    before_start_b = jax.lax.cummax(jnp.where(seg_start2, prev_cum_b, -1))
+    end_a = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(terminal, cum_a, bigi))
+    ))
+    end_b = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(terminal, cum_b, bigi))
+    ))
+    seg_has_a = end_a - before_start_a > 0
+    seg_has_b = end_b - before_start_b > 0
     keep = seg_has_a & seg_has_b & valid & ~ghost
     return vals, keep, r
 
