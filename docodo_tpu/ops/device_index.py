@@ -519,11 +519,9 @@ class DeviceIndex:
         if use_pallas is None:
             import os
 
-            env = os.environ.get("DOCODO_PALLAS")
-            if env is not None:
-                use_pallas = env == "1"
-            else:  # default: fused kernels on real TPU, XLA elsewhere
-                use_pallas = jax.default_backend() == "tpu"
+            # default OFF: the gather-free XLA path currently measures
+            # faster end-to-end (see bench.py); DOCODO_PALLAS=1 opts in
+            use_pallas = os.environ.get("DOCODO_PALLAS") == "1"
         outs = multi_bucket_query_step(
             self.term_offsets, self.coords, self.bounds, self.page_doc,
             tuple(terms_list), tuple(rs_list), tuple(caps_list), topk,
