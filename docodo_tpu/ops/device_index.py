@@ -452,12 +452,16 @@ class DeviceIndex:
         rs = np.ones((b, w), dtype=np.int32)
         max_len = 1
         for i, q in enumerate(queries):
+            if any(self.term_id(word) < 0 for word, _ in q):
+                # unknown word: the query matches NOTHING (host parity).
+                # An all -1 row evaluates empty — the fold starts from an
+                # empty accumulator, unlike a -1 at position >= 1, which
+                # would mean "padding/identity"
+                continue
             for j, (word, r) in enumerate(q):
-                tid = self.term_id(word)
-                terms[i, j] = tid
+                terms[i, j] = self.term_id(word)
                 rs[i, j] = r
-                if tid >= 0:
-                    max_len = max(max_len, self.posting_count(word))
+                max_len = max(max_len, self.posting_count(word))
         return terms, rs, _bucket(max_len)
 
     def search_batch(
