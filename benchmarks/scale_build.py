@@ -119,16 +119,29 @@ def main() -> int:
               f"{t_build:.2f}s -> {mb / t_build:.1f} MB/s "
               f"({n_built} postings)", file=sys.stderr)
     else:
-        # single chip: shard the stream into chunks sequentially
-        t0 = time.perf_counter()
-        base = 0
-        tot = 0
+        # single chip: every chunk padded to ONE static shape (a compile
+        # per shape is minutes over a TPU tunnel), executions chained,
+        # a single closing readback
+        cap = 1
+        while cap < max(r.size for r in tid_rows):
+            cap <<= 1
+        padded = []
         for ids, starts, pages in zip(tid_rows, coord_rows, doc_pages):
-            st, sc, off = build_postings(
-                jnp.asarray(ids), jnp.asarray(starts + np.int32(base)), T
-            )
-            tot += int(off[-1])
-            base += pages[-1]
+            pt = np.full(cap, int(INF32), dtype=np.int32)
+            pc = np.full(cap, int(INF32), dtype=np.int32)
+            pt[: ids.size] = ids
+            pc[: ids.size] = starts
+            padded.append((jnp.asarray(pt), jnp.asarray(pc), ids.size))
+        st, sc, off = build_postings(padded[0][0], padded[0][1], T)
+        assert int(off[T]) == padded[0][2]  # warm + force compile
+        t0 = time.perf_counter()
+        chain = jnp.int32(0)
+        tot = 0
+        for pt, pc, nreal in padded:
+            st, sc, off = build_postings(pt + chain, pc, T)
+            chain = (off[T] * 0).astype(jnp.int32)
+            tot += nreal
+        assert int(off[T]) == padded[-1][2]  # closes the chain
         t_build = time.perf_counter() - t0
         print(f"single-chip chunked build: {t_build:.2f}s -> "
               f"{mb / t_build:.1f} MB/s ({tot} postings)", file=sys.stderr)
