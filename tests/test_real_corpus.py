@@ -90,3 +90,56 @@ def test_search_during_rebuild(war_index):
     # every successful search saw either the old or the new (equal) index
     assert set(results) <= {baseline}
     assert len(ind.search("наполеон").found_pages) == baseline
+
+
+def test_device_batch_fuzz_parity_real_corpus(tmp_path):
+    """Fuzz: random word pairs from the real Pickwick corpus — the
+    device batch path's page sets must equal the host engine's for
+    proximity AND, ordered phrase, and single-word queries."""
+    import random
+
+    import docodo_tpu
+    from docodo_tpu.ops.device_index import DeviceIndex
+
+    path = os.path.join(REF_TEST,
+                        "Dickens Charles. The Pickwick Papers - royallib.ru.txt")
+    raw = open(path, encoding="cp1251", errors="replace").read()[:600_000]
+    from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
+
+    ind = docodo_tpu.Index(path=str(tmp_path / "fz"), in_memory=True)
+    ind.stemmers.clear()  # raw-form keys only: the device fast path's domain
+    ind.add_data_source(
+        ListDataSource("docs", [IndexPagedTextFile("pick", raw, "")])
+    )
+    ind.create()
+    di = DeviceIndex.from_index(ind)
+
+    # mid-frequency plain words (no #/$/& special keys)
+    words = [t for t in di.terms
+             if t[0].isalpha() and 4 <= len(t) <= 10
+             and 4 <= di.posting_count(t) <= 400]
+    rng = random.Random(11)
+    queries = []
+    host_sets = []
+    for _ in range(30):
+        w1, w2 = rng.sample(words, 2)
+        kind = rng.randrange(3)
+        if kind == 0:
+            q = [(w1, 255 + len(w1))]
+            req = w1
+        elif kind == 1:
+            q = [(w1, 255 + len(w1)), (w2, 255 + len(w2))]
+            req = f"{w1} {w2}"
+        else:
+            q = [(w1, -(len(w1) + 4)), (w2, -(len(w2) + 4))]
+            req = f'"{w1} {w2}"'
+        queries.append(q)
+        res = ind.search(req)
+        host_sets.append({p.id for p in res.found_pages})
+    pages, ranks, counts = di.search_batch(queries, topk=16)
+    for i, hs in enumerate(host_sets):
+        got = {di.page_ids[int(p)] for p in pages[i] if p >= 0}
+        if len(hs) > 16:  # device truncates at topk
+            assert got <= hs and len(got) == 16, queries[i]
+        else:
+            assert got == hs, (queries[i], got, hs)
