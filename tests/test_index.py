@@ -284,3 +284,15 @@ def test_cancel_stops_build(tmp_path):
     index.cancel()
     t.join(timeout=60)
     assert not t.is_alive()
+
+
+def test_close_words_and_group_names(tmp_path):
+    """GetCloseWords (Levenshtein top-10, ref Search.cs:169-174) and
+    GetWordsGroup (group code -> display word, ref Index.cs:270-281)."""
+    index = make_index(tmp_path, n_pages=3, vocs=[make_voc()],
+                       clear_stemmers=False)
+    close = index.get_close_words("tupnan")
+    assert close and close[0] == "tupman"
+    # '#<hex>' voc group code resolves to a member word of group 1 ('and')
+    name = index.get_words_group("#1")
+    assert isinstance(name, str) and name
