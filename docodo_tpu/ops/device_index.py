@@ -35,9 +35,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from docodo_tpu.ops.seqops import INF32, combine_r, device_and, pad_to
+from docodo_tpu.ops.seqops import (
+    INF32,
+    _compact,
+    _rank_in_sorted,
+    and_masked,
+    or_masked,
+)
 
 INT32_MAX = int(INF32)
+
+
+def _fold_select(skip, acc, keep_acc, n_acc, vals, keep):
+    """Select between the previous fold state (padded up to the new
+    size) and a fresh AND/OR result — the `skip` branch is the identity
+    for -1 padded query slots."""
+    pad = vals.shape[0] - acc.shape[0]
+    acc_w = jnp.concatenate([acc, jnp.full(pad, INF32, dtype=acc.dtype)])
+    keep_w = jnp.concatenate([keep_acc, jnp.zeros(pad, dtype=bool)])
+    return (
+        jnp.where(skip, acc_w, vals),
+        jnp.where(skip, keep_w, keep),
+        jnp.where(skip, n_acc, jnp.sum(keep).astype(jnp.int32)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -95,8 +115,6 @@ def eval_and_query(coords, term_offsets, terms, rs, cap: int):
     the mask directly. Intermediate folds (w >= 3) pay one compaction
     each to restore sortedness.
     """
-    from docodo_tpu.ops.seqops import _compact, and_masked
-
     w = terms.shape[0]
     acc, n_acc = gather_term(coords, term_offsets, terms[0], cap)
     keep_acc = jnp.arange(cap, dtype=jnp.int32) < n_acc
@@ -109,14 +127,9 @@ def eval_and_query(coords, term_offsets, terms, rs, cap: int):
         b, nb = gather_term(coords, term_offsets, terms[q], cap)
         vals, keep, r_out = and_masked(acc, n_acc, r_acc, b, nb, rs[q])
         skip = terms[q] < 0
-        pad = vals.shape[0] - acc.shape[0]
-        acc_w = jnp.concatenate(
-            [acc, jnp.full(pad, INF32, dtype=acc.dtype)]
+        acc, keep_acc, n_acc = _fold_select(
+            skip, acc, keep_acc, n_acc, vals, keep
         )
-        keep_w = jnp.concatenate([keep_acc, jnp.zeros(pad, dtype=bool)])
-        acc = jnp.where(skip, acc_w, vals)
-        keep_acc = jnp.where(skip, keep_w, keep)
-        n_acc = jnp.where(skip, n_acc, jnp.sum(keep).astype(jnp.int32))
         r_acc = jnp.where(skip, r_acc, r_out)
     return acc, keep_acc, r_acc
 
@@ -128,8 +141,6 @@ def gather_word_variants(coords, term_offsets, variants, cap: int):
     variants: int32[V], -1 padded. Returns (coords int32[cap*V... dense
     ascending], n). V=1 short-circuits to a plain gather.
     """
-    from docodo_tpu.ops.seqops import _compact, or_masked
-
     v = variants.shape[0]
     acc, n_acc = gather_term(coords, term_offsets, variants[0], cap)
     if v == 1:
@@ -138,17 +149,14 @@ def gather_word_variants(coords, term_offsets, variants, cap: int):
     for q in range(1, v):
         if q > 1:  # first operand is already dense
             acc, n_acc = _compact(acc, keep_acc, out_cap=acc.shape[0])
+            keep_acc = jnp.arange(acc.shape[0], dtype=jnp.int32) < n_acc
         b, nb = gather_term(coords, term_offsets, variants[q], cap)
         vals, keep, _ = or_masked(
             acc, n_acc, jnp.int32(1), b, nb, jnp.int32(1)
         )
-        skip = variants[q] < 0
-        pad = vals.shape[0] - acc.shape[0]
-        acc_w = jnp.concatenate([acc, jnp.full(pad, INF32, dtype=acc.dtype)])
-        keep_w = jnp.concatenate([keep_acc, jnp.zeros(pad, dtype=bool)])
-        acc = jnp.where(skip, acc_w, vals)
-        keep_acc = jnp.where(skip, keep_w, keep)
-        n_acc = jnp.where(skip, n_acc, jnp.sum(keep).astype(jnp.int32))
+        acc, keep_acc, n_acc = _fold_select(
+            variants[q] < 0, acc, keep_acc, n_acc, vals, keep
+        )
     acc, n_acc = _compact(acc, keep_acc, out_cap=acc.shape[0])
     return acc, n_acc
 
@@ -158,8 +166,6 @@ def eval_and_query_variants(coords, term_offsets, terms, rs, cap: int):
 
     terms: int32[W, V] (-1 padded both ways); rs: int32[W].
     """
-    from docodo_tpu.ops.seqops import and_masked
-
     w = terms.shape[0]
     acc, n_acc = gather_word_variants(coords, term_offsets, terms[0], cap)
     keep_acc = jnp.arange(acc.shape[0], dtype=jnp.int32) < n_acc
@@ -168,16 +174,11 @@ def eval_and_query_variants(coords, term_offsets, terms, rs, cap: int):
         b, nb = gather_word_variants(coords, term_offsets, terms[q], cap)
         vals, keep, r_out = and_masked(acc, n_acc, r_acc, b, nb, rs[q])
         skip = terms[q, 0] < 0
-        pad = vals.shape[0] - acc.shape[0]
-        acc_w = jnp.concatenate([acc, jnp.full(pad, INF32, dtype=acc.dtype)])
-        keep_w = jnp.concatenate([keep_acc, jnp.zeros(pad, dtype=bool)])
-        acc = jnp.where(skip, acc_w, vals)
-        keep_acc = jnp.where(skip, keep_w, keep)
-        n_acc = jnp.where(skip, n_acc, jnp.sum(keep).astype(jnp.int32))
+        acc, keep_acc, n_acc = _fold_select(
+            skip, acc, keep_acc, n_acc, vals, keep
+        )
         r_acc = jnp.where(skip, r_acc, r_out)
         if q < w - 1:
-            from docodo_tpu.ops.seqops import _compact
-
             acc, n_acc = _compact(acc, keep_acc, out_cap=acc.shape[0])
             keep_acc = jnp.arange(acc.shape[0], dtype=jnp.int32) < n_acc
     return acc, keep_acc, r_acc
@@ -206,8 +207,6 @@ def locate_topk_masked(vals, keep, bounds, topk: int):
     gaps are computed via a cummax previous-kept-slot scan, so no
     compaction of the stream is ever needed.
     """
-    from docodo_tpu.ops.seqops import _rank_in_sorted
-
     p = vals.shape[0]
     idx = jnp.arange(p, dtype=jnp.int32)
     page = _rank_in_sorted(vals, bounds, strict=False)

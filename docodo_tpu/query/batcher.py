@@ -16,15 +16,15 @@ normal path when needed.
 
 from __future__ import annotations
 
+import math
 import queue
 import re
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
-import numpy as np
-
-from docodo_tpu.constants import FIELD_NAME_CHAR
+from docodo_tpu.constants import DOC_RANK_MULTIPLY
 from docodo_tpu.ops.device_index import DeviceIndex
 from docodo_tpu.query.search import ResultDocPage, ResultDocument, SearchResult
 
@@ -133,13 +133,9 @@ class BatchExecutor:
             except queue.Empty:
                 continue
             batch = [first]
-            deadline = threading.Event()
-            t_end = self.max_wait_s
-            import time as _t
-
-            t0 = _t.perf_counter()
+            t0 = time.perf_counter()
             while len(batch) < self.max_batch:
-                left = t_end - (_t.perf_counter() - t0)
+                left = self.max_wait_s - (time.perf_counter() - t0)
                 if left <= 0:
                     break
                 try:
@@ -188,10 +184,6 @@ class BatchExecutor:
             # doc rank formula matches the host engine (ref
             # Search.cs:552-557): 1 + ln(sum page ranks), x10 when the
             # first found page is the header page "0"
-            import math
-
-            from docodo_tpu.constants import DOC_RANK_MULTIPLY
-
             for doc in res.found_docs:
                 total = doc.rank
                 doc.rank = 1 + math.log(total) if total > 0 else 1.0
