@@ -220,3 +220,36 @@ def test_padded_query_width_parity():
         if w == 2:
             want = got
         assert got == want, f"width {w}: {got} != {want}"
+
+
+def test_variants_v3_post_compact_mask():
+    """Three OR'd variants per word exercise the mid-fold compaction in
+    gather_word_variants (regression: stale keep mask after compact)."""
+    import jax.numpy as jnp
+
+    term_to_id, tids, coords, bounds, page_doc = build_tiny()
+    T = len(term_to_id)
+    st, sc, off = di.build_postings(tids.copy(), coords.copy(), T)
+    v = np.full((1, 2, 3), -1, dtype=np.int32)
+    v[0, 0, 0] = term_to_id["pickwick"]
+    v[0, 1, :] = [term_to_id["club"], term_to_id["rules"],
+                  term_to_id["travels"]]
+    rs = np.full((1, 2), 60, dtype=np.int32)
+    pages, ranks, counts = di.batched_query_step_variants(
+        off, sc, jnp.asarray(bounds), jnp.asarray(page_doc),
+        jnp.asarray(v), jnp.asarray(rs), cap=32, topk=8,
+    )
+    got = {int(p) for p in np.asarray(pages)[0] if p >= 0}
+
+    from docodo_tpu.core.postings import group_and, or_merge
+
+    def plist(w):
+        return np.sort(coords[tids == term_to_id[w]]).astype(np.uint64)
+
+    orred, _ = or_merge(plist("club"), plist("rules"), 60, 60)
+    orred, _ = or_merge(orred, plist("travels"), 60, 60)
+    want_coords, _ = group_and(plist("pickwick"), orred, 60, 60)
+    want = set(np.searchsorted(
+        bounds, np.asarray(want_coords, dtype=np.int64), side="right"
+    ).tolist())
+    assert got == want
