@@ -74,6 +74,15 @@ class DocodoServer:
                         self._route()
                     except BrokenPipeError:
                         pass
+                    except Exception as e:  # noqa: BLE001 — 502 like the
+                        # reference's error response (ref server.cs:96-99)
+                        try:
+                            self._send(
+                                502, f"502 Bad Gateway\n{e}".encode(),
+                                "text/plain; charset=utf-8",
+                            )
+                        except Exception:
+                            pass
 
             def _route(self):
                 parts = urlsplit(self.path)

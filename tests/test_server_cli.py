@@ -75,3 +75,25 @@ def test_cli_noninteractive(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "Found 1 pages in 1 docs" in out
     assert "a.txt" in out
+
+
+def test_server_error_returns_502(small_index, monkeypatch):
+    """Handler exceptions surface as a 502 response (ref server.cs:96-99)
+    instead of a dropped connection."""
+    import urllib.error
+
+    srv = DocodoServer(small_index, port=0)
+    srv.start(background=True)
+    try:
+        def boom(req, opt=None):
+            raise RuntimeError("injected")
+
+        monkeypatch.setattr(small_index, "search", boom)
+        try:
+            _get(srv.port, "/search?req=club")
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 502
+            assert "injected" in e.read().decode()
+    finally:
+        srv.stop()
