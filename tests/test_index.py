@@ -296,3 +296,16 @@ def test_close_words_and_group_names(tmp_path):
     # '#<hex>' voc group code resolves to a member word of group 1 ('and')
     name = index.get_words_group("#1")
     assert isinstance(name, str) and name
+
+
+def test_corrupted_index_files_fail_gracefully(tmp_path):
+    """A truncated/garbage .index must not crash: load reports failure,
+    search returns an error result (ref Load catch, Index.cs:357-359)."""
+    (tmp_path / ".index").write_bytes(
+        (12345).to_bytes(8, "little") + b"\x05hello"
+    )
+    (tmp_path / ".index.list").write_bytes(b"\x01\x02")
+    ind = Index(path=str(tmp_path), in_memory=True)
+    assert not ind.can_search
+    res = ind.search("hello")
+    assert not res.success

@@ -318,3 +318,17 @@ def test_index_documents_folder(tmp_path):
     res2 = ind.search('"quick silver"')
     assert len(res2.found_docs) == 1
     assert res2.found_docs[0].name.endswith("b.pdf")
+
+
+def test_malformed_pdfs_yield_empty_text():
+    assert extract_pdf_text(b"not a pdf at all") == ""
+    assert extract_pdf_text(b"%PDF-1.4\n1 0 obj\n<< /Type /Page") == ""
+    assert extract_pdf_text(b"") == ""
+    # flate stream with corrupt payload: page exists, text degrades to ""
+    bad = (b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n"
+           b"4 0 obj\n<< /Type /Page /Contents 5 0 R >>\nendobj\n"
+           b"5 0 obj\n<< /Length 8 /Filter /FlateDecode >>\nstream\n"
+           b"\xff\xfe\xfd\xfc\xfb\xfa\xf9\xf8\nendstream\nendobj\n"
+           b"trailer\n<< /Root 1 0 R >>\n%%EOF")
+    assert extract_pdf_text(bad) == ""
