@@ -253,3 +253,66 @@ def test_variants_v3_post_compact_mask():
         bounds, np.asarray(want_coords, dtype=np.int64), side="right"
     ).tolist())
     assert got == want
+
+
+def test_sharded_equals_single_device():
+    """The mesh-sharded build+query must return the same global page
+    hits as evaluating each shard's documents on a single device."""
+    import jax
+    import jax.numpy as jnp
+
+    from docodo_tpu.parallel import sharding as sh
+
+    term_to_id = {}
+    docs, doc_pages = [], []
+    rng = np.random.default_rng(21)
+    vocab = [f"w{chr(97 + i)}{chr(97 + j)}" for i in range(8) for j in range(8)]
+    for _ in range(8):
+        words = rng.choice(vocab, size=40)
+        text = " ".join(words)
+        toks = []
+        pos = 0
+        for w in words:
+            toks.append((term_to_id.setdefault(w, len(term_to_id)), pos))
+            pos += len(w) + 1
+        docs.append(toks)
+        doc_pages.append([len(text)])
+    T = len(term_to_id)
+    corpus = sh.stage_shards(docs, doc_pages, term_to_id, num_shards=8)
+    mesh = sh.make_mesh(8)
+
+    qwords = rng.choice(len(vocab), size=(6, 2)).astype(np.int32) % T
+    terms = qwords.copy()
+    terms[::3, 1] = -1
+    rs = np.full((6, 2), 50, dtype=np.int32)
+
+    pages, ranks, counts = sh.full_step(
+        mesh, corpus, terms, rs, num_terms=T, cap=64, topk=16
+    )
+    pages = np.asarray(pages)
+
+    # single-device oracle: evaluate each shard separately, same kernels
+    import jax.numpy as jnp
+
+    all_hits = [set() for _ in range(6)]
+    for s in range(8):
+        st, sc, off = di.build_postings(
+            corpus.term_ids[s].copy(), corpus.coords[s].copy(), T
+        )
+        p1, r1, c1 = di.batched_query_step(
+            off, sc, jnp.asarray(corpus.bounds[s]),
+            jnp.asarray(corpus.page_doc[s]),
+            jnp.asarray(terms), jnp.asarray(rs), cap=64, topk=16,
+        )
+        p1 = np.asarray(p1)
+        for qi in range(6):
+            for p in p1[qi]:
+                if p >= 0:
+                    all_hits[qi].add(int(p) + int(corpus.page_base[s]))
+    for qi in range(6):
+        got = {int(p) for p in pages[qi] if p >= 0}
+        want = all_hits[qi]
+        if len(want) > 16:
+            assert got <= want and len(got) == 16
+        else:
+            assert got == want, qi

@@ -96,3 +96,25 @@ def test_device_locate_rank(rng):
     host = ResultDocPage("1", [5, 8, 40])
     got = float(np.asarray(rank)[0])
     assert abs(got - host.rank) < 1e-4  # device rank is float32
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_device_and_cross_operand_collisions(rng, ordered):
+    """Shared coordinates between operands stress the dup/ghost rule
+    (a coordinate present in BOTH lists satisfies the group by itself)."""
+    for _ in range(25):
+        base = np.cumsum(rng.integers(1, 30, size=40, dtype=np.int64))
+        sel_a = rng.random(40) < 0.7
+        sel_b = rng.random(40) < 0.7
+        a = base[sel_a]
+        b = base[sel_b]  # heavy overlap with a
+        if a.size == 0 or b.size == 0:
+            continue
+        r1 = int(rng.integers(1, 25))
+        r2 = int(rng.integers(1, 25))
+        if ordered:
+            r1, r2 = -r1, -r2
+        want, wr = group_and(a.astype(np.uint64), b.astype(np.uint64), r1, r2)
+        got, gr = run_and(a, b, r1, r2)
+        assert gr == wr
+        np.testing.assert_array_equal(got, want.astype(np.int64))
