@@ -31,4 +31,16 @@ def __getattr__(name):
         from docodo_tpu.lang.vocab import Vocab
 
         return Vocab
+    if name == "DeviceIndex":
+        from docodo_tpu.ops.device_index import DeviceIndex
+
+        return DeviceIndex
+    if name == "BatchExecutor":
+        from docodo_tpu.query.batcher import BatchExecutor
+
+        return BatchExecutor
+    if name == "DocodoServer":
+        from docodo_tpu.server import DocodoServer
+
+        return DocodoServer
     raise AttributeError(name)

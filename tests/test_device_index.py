@@ -316,3 +316,32 @@ def test_sharded_equals_single_device():
             assert got <= want and len(got) == 16
         else:
             assert got == want, qi
+
+
+def test_stage_shards_arrays_equals_tuples():
+    """Array-native staging must produce the same shards as the
+    tuple-based reference implementation."""
+    from docodo_tpu.parallel import sharding as sh
+
+    term_to_id = {}
+    docs, doc_pages, doc_tids, doc_coords = [], [], [], []
+    for text in TEXTS:
+        words, starts = tokenize(text)
+        toks = []
+        tids, cs = [], []
+        for word, pos in zip(words, starts):
+            tid = term_to_id.setdefault(word, len(term_to_id))
+            toks.append((tid, int(pos)))
+            tids.append(tid)
+            cs.append(int(pos))
+        docs.append(toks)
+        doc_tids.append(np.asarray(tids, dtype=np.int32))
+        doc_coords.append(np.asarray(cs, dtype=np.int32))
+        doc_pages.append([len(text)])
+    a = sh.stage_shards(docs, doc_pages, term_to_id, num_shards=4)
+    b = sh.stage_shards_arrays(doc_tids, doc_coords, doc_pages, num_shards=4)
+    np.testing.assert_array_equal(a.term_ids, b.term_ids)
+    np.testing.assert_array_equal(a.coords, b.coords)
+    np.testing.assert_array_equal(a.bounds, b.bounds)
+    np.testing.assert_array_equal(a.page_doc, b.page_doc)
+    np.testing.assert_array_equal(a.page_base, b.page_base)
