@@ -169,9 +169,9 @@ def _parse_records(buf: bytes):
 def read_index(path: str, in_memory: bool = True) -> ArrayIndex:
     idx = ArrayIndex()
     with open(path, "rb") as f:
-        buf = f.read() if in_memory else None
-        if buf is None:
-            buf = f.read()  # parse once for spans even in lazy mode
+        # both modes parse the whole file once for record spans; lazy
+        # mode then drops the coords and re-reads per lookup
+        buf = f.read()
     max_coord, terms, spans = _parse_records(buf)
     idx.max_coord = max_coord
     idx.terms = terms
@@ -207,11 +207,19 @@ def read_index(path: str, in_memory: bool = True) -> ArrayIndex:
     else:
         idx.coords = None
         idx._spans = np.array(spans, dtype=np.int64).reshape(-1, 2)
-        counts = None
-        idx.offsets = None
         idx._file = open(path, "rb")
-        # offsets unknown without decode; posting_count falls back to spans
-        idx.offsets = np.zeros(len(terms) + 1, dtype=np.int64)
+        # decoded counts are unknown without reading postings; like the
+        # reference's lazy stubs, Count is the STORED u16 word count
+        # (ref Index.cs:346-348) — cumulated here so posting_count and
+        # enc_count work without touching the disk
+        nwords = (
+            idx._spans[:, 1] if len(spans)
+            else np.zeros(0, dtype=np.int64)
+        )
+        idx.offsets = np.concatenate(
+            [np.zeros(1, dtype=np.int64), np.cumsum(nwords)]
+        )
+        idx.enc_counts = nwords.astype(np.int64)
     return idx
 
 

@@ -365,7 +365,7 @@ class Index:
                             coord = self._index_header_page(builder, page.text, coord)
                             builder.end_page(page.id, coord)
                             continue
-                        words, starts = tokenizer.tokenize(page.text)
+                        words, starts = tokenizer.tokenize(low, lowered=True)
                         keep = [
                             k for k, w in enumerate(words)
                             if C.MIN_WORD_LENGTH <= len(w) <= C.MAX_WORD_LENGTH
@@ -514,8 +514,12 @@ class Index:
         lastword = parts[-1].lower()
         if len(lastword) < 2:
             return []
+        import bisect
+
         arr = self.arr
-        lo = np.searchsorted(np.array(arr.terms, dtype=object), lastword)
+        # terms is already a sorted list — bisect avoids building an
+        # O(T) object array per keystroke
+        lo = bisect.bisect_left(arr.terms, lastword)
         cands = []
         for tid in range(int(lo), len(arr.terms)):
             key = arr.terms[tid]

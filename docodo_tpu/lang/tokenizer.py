@@ -52,14 +52,16 @@ def to_units(text: str) -> np.ndarray:
     return np.frombuffer(text.encode("utf-16-le"), dtype="<u2")
 
 
-def tokenize(text: str) -> Tuple[List[str], np.ndarray]:
+def tokenize(text: str, lowered: bool = False) -> Tuple[List[str], np.ndarray]:
     """Tokenize lowercased `text`.
 
     Returns (words, starts): lowercase token strings and their UTF-16
     code-unit offsets in the lowercased text. No length filtering here —
     the index builder applies the 3..32 rule (ref Index.cs:97,113).
+    Pass lowered=True when the caller already ran lower_keep_length
+    (the build hot loop — avoids a second full lowercase pass).
     """
-    low = lower_keep_length(text)
+    low = text if lowered else lower_keep_length(text)
     units = to_units(low)
     n = units.size
     if n == 0:

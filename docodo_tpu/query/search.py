@@ -172,6 +172,30 @@ def combine_search_results(res1: SearchResult, res2: SearchResult) -> SearchResu
 _WORD_END_RE = re.compile(r"(?<=\w)\b")
 
 
+def _units_to_codepoints(text: str, positions: List[int]) -> List[int]:
+    """Translate UTF-16 code-unit offsets (the engine's coordinate unit,
+    matching C# string indexing) into Python code-point offsets.
+
+    Identity for BMP-only text (the overwhelmingly common case); with
+    astral characters each one occupies two units but one code point,
+    so positions after it must shift left."""
+    n_units = len(text.encode("utf-16-le")) // 2
+    if n_units == len(text):
+        return positions
+    # cumulative unit offset at the START of each code point
+    import numpy as np  # local: cold path
+
+    widths = np.fromiter(
+        ((2 if ord(c) > 0xFFFF else 1) for c in text),
+        dtype=np.int64, count=len(text),
+    )
+    unit_starts = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    idx = np.searchsorted(
+        unit_starts, np.asarray(positions, dtype=np.int64), side="right"
+    ) - 1
+    return [int(i) for i in idx]
+
+
 def _spans_from_positions(text: str, positions: List[int]):
     """Split `text` into (fragment, format) spans, marking the word starting
     at each position (ref SpannableString.Builder.Add, Search.cs:705-717)."""
@@ -233,6 +257,7 @@ def _spans_to_string(spans) -> str:
 
 def highlight_positions(text: str, positions: List[int]) -> str:
     """Whole-text highlight (used for header pages, ref Search.cs:571-573)."""
+    positions = _units_to_codepoints(text, positions)
     return _spans_to_string(_spans_from_positions(text, positions))
 
 
@@ -243,9 +268,12 @@ def prepare_page_text(page: ResultDocPage, text: str, max_len: int) -> tuple:
     """
     if not page.pos or not text:
         return "", []
-    spans = _spans_from_positions(text, page.pos)
-    lo = min(max(0, min(page.pos) - max_len // 4), len(text))
-    hi = min(min(max(page.pos) + max_len // 4, len(text)), lo + max_len)
+    # engine coordinates are UTF-16 units; Python strings index by code
+    # point — translate when the page contains astral characters
+    pos = _units_to_codepoints(text, page.pos)
+    spans = _spans_from_positions(text, pos)
+    lo = min(max(0, min(pos) - max_len // 4), len(text))
+    hi = min(min(max(pos) + max_len // 4, len(text)), lo + max_len)
     res = _spans_substring(spans, lo, hi - lo)
     cleaned = []
     for t, fmt in res:

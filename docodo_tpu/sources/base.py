@@ -100,11 +100,17 @@ class QueuedDataSource(DataSource):
         self._cancel = threading.Event()
         self._q = queue.Queue()
 
+        # bind: a thread outliving a later reset() must post its sentinel
+        # into ITS OWN queue (not the replacement) and keep observing ITS
+        # OWN cancel flag
+        q = self._q
+        cancel = self._cancel
+
         def run():
             try:
-                self.navigate(self._q.put, self._cancel.is_set)
+                self.navigate(q.put, cancel.is_set)
             finally:
-                self._q.put(self._SENTINEL)
+                q.put(self._SENTINEL)
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()

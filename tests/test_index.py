@@ -309,3 +309,36 @@ def test_corrupted_index_files_fail_gracefully(tmp_path):
     assert not ind.can_search
     res = ind.search("hello")
     assert not res.success
+
+
+def test_astral_chars_highlight_correctly(tmp_path):
+    """Coordinates are UTF-16 units; snippets index Python strings by
+    code point — positions after an astral char must translate
+    (regression for the unit/codepoint mismatch)."""
+    from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
+    from docodo_tpu.constants import BEGIN_MATCHED_SYMBOL
+
+    text = "intro \U0001F600\U0001F600 target word here"
+    index = Index(path=None)
+    index.work_path = str(tmp_path / "ast")
+    index.stemmers.clear()
+    index.add_data_source(
+        ListDataSource("d", [IndexPagedTextFile("a", text, "")])
+    )
+    index.create()
+    res = index.search("target")
+    assert res.found_pages
+    assert BEGIN_MATCHED_SYMBOL + "target" in (res.found_pages[0].text or "")
+
+
+def test_lazy_posting_count_is_stored_word_count(tmp_path):
+    """Lazy mode: posting_count/enc_count come from the stored u16 word
+    counts (reference lazy-stub parity, ref Index.cs:346-348)."""
+    index = make_index(tmp_path, n_pages=3)
+    lazy = Index(path=index.work_path, in_memory=False)
+    tid = lazy.arr.term_id("tupman")
+    assert tid >= 0
+    assert lazy.arr.posting_count(tid) > 0
+    assert lazy.arr.enc_count(tid) > 0
+    # suggestions path (uses enc_count ordering) still works lazily
+    assert lazy.get_suggestions("tupm", 5)
