@@ -32,7 +32,6 @@ CORPUS = os.environ.get(
     "/root/reference/Test/Dickens Charles. The Pickwick Papers - royallib.ru.txt",
 )
 N_QUERIES = int(os.environ.get("DOCODO_BENCH_QUERIES", "10000"))  # BASELINE.json: "10k concurrent mixed queries"
-CAP = 8192          # posting bucket: benchmark terms capped below this
 TOPK = 16
 REPS = int(os.environ.get("DOCODO_BENCH_REPS", "10"))
 

@@ -61,9 +61,12 @@ def main() -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.platform == "cpu":
-        os.environ.setdefault(
-            "XLA_FLAGS", f"--xla_force_host_platform_device_count={args.shards}"
-        )
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count="
+                f"{args.shards}"
+            ).strip()
     devices = jax.devices()
     print(f"devices: {len(devices)} x {devices[0].platform}", file=sys.stderr)
     n_shards = min(args.shards, len(devices)) if len(devices) > 1 else 1
@@ -169,7 +172,7 @@ def main() -> int:
               file=sys.stderr)
 
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-    total = t_tok + t_build
+    total = t_tok + t_build + (t_stage if n_shards > 1 else 0.0)
     print(f"peak host RSS: {rss_mb:.0f} MB", file=sys.stderr)
     print(f"END-TO-END: {mb:.0f} MB in {total:.1f}s = {mb / total:.1f} MB/s")
     return 0

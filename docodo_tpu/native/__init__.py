@@ -24,18 +24,27 @@ _tried = False
 
 
 def _compile() -> bool:
+    # unique temp per process: concurrent first-use compiles must not
+    # interleave into one output file before the atomic replace
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     try:
         res = subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-             "-fPIC", _SRC, "-o", _SO + ".tmp"],
+             "-fPIC", _SRC, "-o", tmp],
             capture_output=True, text=True, timeout=300,
         )
         if res.returncode != 0:
             return False
-        os.replace(_SO + ".tmp", _SO)
+        os.replace(tmp, _SO)
         return True
     except (OSError, subprocess.SubprocessError):
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:

@@ -10,7 +10,6 @@ the native library is unavailable (identical results).
 from __future__ import annotations
 
 import ctypes
-import unicodedata
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -23,25 +22,22 @@ _CLS: Optional[np.ndarray] = None
 
 def _tables() -> Tuple[np.ndarray, np.ndarray]:
     """Per-unit case-fold and class tables matching lang/tokenizer
-    semantics (fold keeps units whose lower() is not a single BMP char)."""
+    semantics (fold keeps units whose lower() is not a single BMP char).
+    The class table IS the tokenizer's own table — one source of truth,
+    so classification rules can never drift between the two paths."""
     global _FOLD, _CLS
     if _FOLD is None:
+        from docodo_tpu.lang.tokenizer import _unit_table
+
         fold = np.arange(0x10000, dtype=np.uint16)
-        cls = np.zeros(0x10000, dtype=np.uint8)
         for cp in range(0x10000):
             if 0xD800 <= cp <= 0xDFFF:
                 continue
-            ch = chr(cp)
-            cat = unicodedata.category(ch)
-            if cat[0] == "L":
-                cls[cp] = 1
-            elif cat[0] == "N":
-                cls[cp] = 2
-            low = ch.lower()
+            low = chr(cp).lower()
             if len(low) == 1 and ord(low) < 0x10000:
                 fold[cp] = ord(low)
         _FOLD = fold
-        _CLS = cls
+        _CLS = _unit_table()
     return _FOLD, _CLS
 
 

@@ -41,16 +41,30 @@ _COMPARE_ALL_MAX = 4096   # up to here, chunked compare-all beats gathers
 _COMPARE_CHUNK = 512
 
 
+def _use_compare_all() -> bool:
+    """Compare-all ranks are a TPU win (gathers serialize there) but a
+    CPU/GPU loss — XLA materializes the [n, m] broadcast on those
+    backends (measured: a CPU-mesh query phase went 5s -> 534s/25 GB).
+    DOCODO_COMPARE_ALL=1/0 overrides for testing."""
+    import os
+
+    env = os.environ.get("DOCODO_COMPARE_ALL")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def _rank_in_sorted(queries, sorted_vals, strict: bool):
     """#{j: sorted_vals[j] < queries[i]} (strict) or <= (not strict).
 
-    For small/mid arrays this is a CHUNKED COMPARE-ALL (broadcast
+    For small/mid arrays on TPU this is a CHUNKED COMPARE-ALL (broadcast
     compare + reduce — pure VPU work); binary-search gathers serialize
     badly on TPU, so they are reserved for large arrays where the
-    O(n^2) compare would dominate.
+    O(n^2) compare would dominate. Non-TPU backends always take the
+    binary-search path (see _use_compare_all).
     """
     m = sorted_vals.shape[-1]
-    if m <= _COMPARE_ALL_MAX:
+    if m <= _COMPARE_ALL_MAX and _use_compare_all():
         acc = jnp.zeros(queries.shape, jnp.int32)
         for j0 in range(0, m, _COMPARE_CHUNK):
             block = sorted_vals[j0: j0 + _COMPARE_CHUNK]
@@ -114,7 +128,7 @@ def _merge_sorted_tagged(a, na, b, nb):
     ra = jnp.arange(p1, dtype=jnp.int32) + _rank_in_sorted(
         av, bv, strict=True
     )
-    if n <= 2 * _COMPARE_ALL_MAX:
+    if n <= 2 * _COMPARE_ALL_MAX and _use_compare_all():
         # place both operands at their merged ranks by chunked one-hot
         # reduction — fully gather-free (rb mirrors ra with <= ties)
         rb = jnp.arange(p2, dtype=jnp.int32) + _rank_in_sorted(

@@ -118,3 +118,24 @@ def test_device_and_cross_operand_collisions(rng, ordered):
         got, gr = run_and(a, b, r1, r2)
         assert gr == wr
         np.testing.assert_array_equal(got, want.astype(np.int64))
+
+
+def test_compare_all_formulation_matches(rng, monkeypatch):
+    """The TPU compare-all rank/placement formulation (normally gated to
+    TPU backends) must match the binary-search path bit for bit."""
+    monkeypatch.setenv("DOCODO_COMPARE_ALL", "1")
+    import jax
+
+    jax.clear_caches()
+    try:
+        for _ in range(15):
+            a = strict_ascending(rng, int(rng.integers(0, 40)))
+            b = strict_ascending(rng, int(rng.integers(0, 40)))
+            r1, r2 = int(rng.integers(1, 25)), int(rng.integers(1, 25))
+            want, wr = group_and(a.astype(np.uint64), b.astype(np.uint64), r1, r2)
+            got, gr = run_and(a, b, r1, r2)
+            assert gr == wr
+            np.testing.assert_array_equal(got, want.astype(np.int64))
+    finally:
+        monkeypatch.delenv("DOCODO_COMPARE_ALL", raising=False)
+        jax.clear_caches()
