@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,7 @@ from docodo_tpu.ops.seqops import (
     _compact,
     _rank_in_sorted,
     and_masked,
+    compact_mask,
     or_masked,
 )
 
@@ -198,12 +199,12 @@ def batched_query_step_variants(term_offsets, coords, bounds, page_doc,
     return jax.vmap(one)(terms, rs)
 
 
-def locate_topk_masked(vals, keep, bounds, topk: int):
-    """Masked coordinate stream -> (top-k page idx, ranks, counts).
+def _locate_core(vals, keep, bounds):
+    """Shared rank pipeline: masked ascending stream -> per-slot page
+    index, first-of-page-run mask, run rank at first slots, run counts.
 
-    `vals` is ascending including dropped slots; `keep` marks hits. Page
-    rank = 1 + sum(30 // max(5, gap)) + ln(hits) over each page's kept
-    run (ref Search.cs:99-111, integer division preserved). Runs and
+    Page rank = 1 + sum(30 // max(5, gap)) + ln(hits) over each page's
+    kept run (ref Search.cs:99-111, integer division preserved). Runs and
     gaps are computed via a cummax previous-kept-slot scan, so no
     compaction of the stream is ever needed.
     """
@@ -249,13 +250,83 @@ def locate_topk_masked(vals, keep, bounds, topk: int):
         first, 1.0 + run_bonus + jnp.log(jnp.maximum(run_count, 1.0)), 0.0
     )
     slot_count = jnp.where(first, run_count, 0.0)
+    return page, first, slot_rank, slot_count
 
+
+def locate_topk_masked(vals, keep, bounds, topk: int):
+    """Masked coordinate stream -> (top-k page idx, ranks, counts)."""
+    page, first, slot_rank, slot_count = _locate_core(vals, keep, bounds)
     top_rank, top_slot = jax.lax.top_k(slot_rank, topk)
     top_page = jnp.where(top_rank > 0, page[top_slot], -1)
     top_count = jnp.where(
         top_rank > 0, slot_count[top_slot].astype(jnp.int32), 0
     )
     return top_page, top_rank, top_count
+
+
+class LocateFull(NamedTuple):
+    """Full per-query device result (ref Search.cs:365-420, 552-557).
+
+    pages/ranks/counts are rank-ordered top-k; `hits` is the ascending
+    coordinate stream restricted to those pages (INF-padded), so the host
+    can materialize exact per-page `ResultDocPage.pos` (ref Search.cs:381)
+    by running the normal prepare_search_result pipeline over it.
+    n_pages/n_hits are the UNtruncated totals: n_pages > topk or
+    n_hits > hit_cap tells the caller the result was rank-truncated.
+    """
+
+    pages: jax.Array      # int32[topk] page idx, -1 padded
+    ranks: jax.Array      # f32[topk]
+    counts: jax.Array     # int32[topk]
+    n_pages: jax.Array    # int32[] total pages with hits
+    docs: jax.Array       # int32[topk] doc ordinal per top page, -1 pad
+    doc_ranks: jax.Array  # f32[topk] doc rank at each doc's first slot
+    hits: jax.Array       # int32[hit_cap] coords in top pages, INF pad
+    n_hits: jax.Array     # int32[] total hits in top pages
+
+
+def locate_full(vals, keep, bounds, page_doc, is_header, topk: int,
+                hit_cap: int) -> LocateFull:
+    """locate_topk_masked plus hit-stream extraction and device-side doc
+    ranking (doc rank = 1 + ln(sum page ranks), x10 when the doc's header
+    page "0" is among the hits — ref Search.cs:552-557)."""
+    page, first, slot_rank, slot_count = _locate_core(vals, keep, bounds)
+    n_pages = jnp.sum(first.astype(jnp.int32))
+    top_rank, top_slot = jax.lax.top_k(slot_rank, topk)
+    valid_top = top_rank > 0
+    top_page = jnp.where(valid_top, page[top_slot], -1)
+    top_count = jnp.where(
+        valid_top, slot_count[top_slot].astype(jnp.int32), 0
+    )
+
+    # hits in top-k pages: page ids are non-negative, so -1 pads in
+    # top_page never match; [P, topk] compare is tiny (topk <= 128)
+    in_top = keep & jnp.any(page[:, None] == top_page[None, :], axis=-1)
+    n_hits = jnp.sum(in_top.astype(jnp.int32))
+    hits = compact_mask(vals, in_top, hit_cap)
+
+    # doc grouping among the top-k pages: [topk, topk] compares only
+    docs = jnp.where(valid_top, page_doc[jnp.maximum(top_page, 0)], -1)
+    same = (
+        (docs[:, None] == docs[None, :])
+        & valid_top[:, None] & valid_top[None, :]
+    )
+    doc_sum = jnp.sum(jnp.where(same, top_rank[None, :], 0.0), axis=1)
+    k_idx = jnp.arange(topk, dtype=jnp.int32)
+    first_of_doc = valid_top & ~jnp.any(
+        same & (k_idx[None, :] < k_idx[:, None]), axis=1
+    )
+    top_is_header = jnp.where(
+        valid_top, is_header[jnp.maximum(top_page, 0)], False
+    )
+    doc_has_header = jnp.any(same & top_is_header[None, :], axis=1)
+    doc_rank = 1.0 + jnp.log(jnp.maximum(doc_sum, 1e-30))
+    doc_rank = jnp.where(doc_has_header, doc_rank * 10.0, doc_rank)
+    doc_ranks = jnp.where(first_of_doc, doc_rank, 0.0)
+    return LocateFull(
+        pages=top_page, ranks=top_rank, counts=top_count, n_pages=n_pages,
+        docs=docs, doc_ranks=doc_ranks, hits=hits, n_hits=n_hits,
+    )
 
 
 def locate_topk(coords, n, bounds, page_doc, topk: int):
@@ -274,6 +345,70 @@ def query_step(term_offsets, coords, bounds, page_doc, terms, rs,
     locate)."""
     vals, keep, _ = eval_and_query(coords, term_offsets, terms, rs, cap)
     return locate_topk_masked(vals, keep, bounds, topk)
+
+
+def eval_query_masked(coords, term_offsets, terms, rs, cap: int):
+    """Evaluate one query to a masked coordinate stream, dispatching on
+    the terms layout: int32[W] = plain AND fold; int32[W, V] = AND fold
+    of per-word variant ORs (the reference's multi-code words and
+    `a|b` alternations, ref Search.cs:226-247, 351)."""
+    if terms.ndim == 1 or terms.shape[1] == 1:
+        t = terms if terms.ndim == 1 else terms[:, 0]
+        vals, keep, _ = eval_and_query(coords, term_offsets, t, rs, cap)
+    else:
+        vals, keep, _ = eval_and_query_variants(
+            coords, term_offsets, terms, rs, cap
+        )
+    return vals, keep
+
+
+def query_step_full(term_offsets, coords, bounds, page_doc, is_header,
+                    terms, rs, cap: int, topk: int,
+                    hit_cap: int) -> LocateFull:
+    """One query end-to-end with full result extraction: top-k pages,
+    hit coordinate stream, device doc ranks. Variant-aware."""
+    vals, keep = eval_query_masked(coords, term_offsets, terms, rs, cap)
+    return locate_full(vals, keep, bounds, page_doc, is_header, topk,
+                       hit_cap)
+
+
+@functools.partial(jax.jit, static_argnames=("caps", "topk", "hit_cap"))
+def multi_bucket_query_full(term_offsets, coords, bounds, page_doc,
+                            is_header, terms_list, rs_list, caps,
+                            topk: int, hit_cap: int):
+    """Full-result twin of multi_bucket_query_step: every shape bucket
+    (variant-aware, [Bi, Wi] or [Bi, Wi, Vi] terms) evaluates in ONE
+    device program; each bucket yields a batched LocateFull."""
+    outs = []
+    for tq, rq, cap in zip(terms_list, rs_list, caps):
+        fn = functools.partial(
+            query_step_full, cap=cap, topk=topk, hit_cap=hit_cap
+        )
+        outs.append(
+            jax.vmap(fn, in_axes=(None, None, None, None, None, 0, 0))(
+                term_offsets, coords, bounds, page_doc, is_header, tq, rq
+            )
+        )
+    return tuple(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("caps", "topk", "hit_cap"))
+def multi_bucket_query_full_chained(term_offsets, coords, bounds, page_doc,
+                                    is_header, terms_list, rs_list, chain,
+                                    caps, topk: int, hit_cap: int):
+    """multi_bucket_query_full with the dependency-chain scalar trick of
+    multi_bucket_query_step_chained (one final readback bounds the wall
+    time of a rep sequence on async/tunnelled dispatch layers)."""
+    zero = (chain * 0).astype(jnp.int32)
+    terms_list = tuple(t + zero for t in terms_list)
+    outs = multi_bucket_query_full(
+        term_offsets, coords, bounds, page_doc, is_header,
+        terms_list, rs_list, caps, topk, hit_cap,
+    )
+    s = jnp.float32(0)
+    for o in outs:
+        s = s + jnp.sum(o.ranks) + jnp.sum(o.n_hits.astype(jnp.float32))
+    return outs, s
 
 
 def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
@@ -405,6 +540,17 @@ class DeviceIndex:
     offsets_np: np.ndarray
     page_doc_np: np.ndarray
     bounds_np: np.ndarray
+    # header-page ("0") mask for the device doc-rank boost; derived from
+    # page_ids when absent (ref Search.cs:554-557)
+    is_header: Optional[jax.Array] = None
+
+    def header_mask(self) -> jax.Array:
+        if self.is_header is None:
+            self.is_header = jnp.asarray(np.fromiter(
+                (pid == "0" for pid in self.page_ids), dtype=bool,
+                count=len(self.page_ids),
+            ))
+        return self.is_header
 
     @classmethod
     def from_index(cls, ind) -> "DeviceIndex":
@@ -416,11 +562,18 @@ class DeviceIndex:
         offsets_np = np.asarray(arr.offsets, dtype=np.int64)
         page_doc_np = np.asarray(pt.page_doc, dtype=np.int32)
         bounds_np = pt.bounds.astype(np.int64)
+        # header pages (id "0") drive the x10 doc-rank boost on device
+        # (ref Search.cs:554-557, Index.cs:115)
+        header_np = np.fromiter(
+            (pid == "0" for pid in pt.page_ids), dtype=bool,
+            count=len(pt.page_ids),
+        )
         return cls(
             term_offsets=jnp.asarray(arr.offsets, dtype=jnp.int32),
             coords=jnp.asarray(arr.coords.astype(np.int64), dtype=jnp.int32),
             bounds=jnp.asarray(bounds_np, dtype=jnp.int32),
             page_doc=jnp.asarray(page_doc_np),
+            is_header=jnp.asarray(header_np),
             terms=list(arr.terms),
             page_ids=list(pt.page_ids),
             doc_names=list(pt.doc_names),
@@ -536,3 +689,117 @@ class DeviceIndex:
             ranks[idxs] = np.asarray(r_)[:n]
             counts[idxs] = np.asarray(c)[:n]
         return pages, ranks, counts
+
+    def compile_group_query(self, query):
+        """Normalize one group query [(codes, r), ...] (codes a str or a
+        sequence of variant code strings) into (id rows, rs, w, v, cap
+        need). Returns None when some group resolves to NO known terms —
+        the query then matches nothing (host parity: an empty PostingSeq
+        annihilates the AND, and unknown OR branches contribute nothing).
+        """
+        rows, rvals = [], []
+        need = 1
+        for codes, r in query:
+            if isinstance(codes, str):
+                codes = (codes,)
+            ids = []
+            for c in codes:
+                tid = self.term_id(c)
+                if tid >= 0:
+                    ids.append(tid)
+                    need = max(need, self.posting_count(c))
+            if not ids:
+                return None
+            rows.append(ids)
+            rvals.append(r)
+        w = max(len(rows), 1)
+        v = max((len(ids) for ids in rows), default=1)
+        return rows, rvals, w, v, need
+
+    def search_batch_full(
+        self, queries, topk: int = 64, hit_cap: int = 512,
+        cap: Optional[int] = None,
+        cap_ladder: Optional[Sequence[int]] = None,
+    ):
+        """Full-result batch evaluation with per-word variant ORs.
+
+        queries: per query a list of (codes, r) groups; codes is a term
+        key or a sequence of OR'd variant keys (the reference's voc-code
+        sets and `a|b` alternations, ref Search.cs:226-247).
+
+        Returns a dict of numpy arrays: pages/ranks/counts/docs/doc_ranks
+        [B, topk], n_pages/n_hits [B], hits [B, hit_cap] (ascending
+        coords restricted to the top-k pages, INT32_MAX padded).
+        n_pages > topk or n_hits > hit_cap flags rank truncation.
+        """
+        b = len(queries)
+        out = {
+            "pages": np.full((b, topk), -1, dtype=np.int32),
+            "ranks": np.zeros((b, topk), dtype=np.float32),
+            "counts": np.zeros((b, topk), dtype=np.int32),
+            "docs": np.full((b, topk), -1, dtype=np.int32),
+            "doc_ranks": np.zeros((b, topk), dtype=np.float32),
+            "n_pages": np.zeros(b, dtype=np.int32),
+            "n_hits": np.zeros(b, dtype=np.int32),
+            "hits": np.full((b, hit_cap), INT32_MAX, dtype=np.int32),
+        }
+
+        def round_cap(need: int) -> int:
+            if cap:
+                return cap
+            if cap_ladder:
+                for c in cap_ladder:
+                    if need <= c:
+                        return c
+            return _bucket(need)
+
+        compiled = []
+        buckets = {}
+        for i, q in enumerate(queries):
+            cg = self.compile_group_query(q)
+            compiled.append(cg)
+            if cg is None:
+                continue
+            rows, rvals, w, v, need = cg
+            vb = _bucket(v, lo=1)
+            buckets.setdefault((round_cap(need), w, vb), []).append(i)
+
+        terms_list, rs_list, caps_list, idx_list = [], [], [], []
+        for (qcap, w, vb), idxs in sorted(buckets.items()):
+            brows = _bucket(len(idxs), lo=8)
+            if vb == 1:
+                terms = np.full((brows, w), -1, dtype=np.int32)
+            else:
+                terms = np.full((brows, w, vb), -1, dtype=np.int32)
+            rs = np.ones((brows, w), dtype=np.int32)
+            for row, i in enumerate(idxs):
+                rows_i, rvals_i, _, _, _ = compiled[i]
+                for j, (ids, r) in enumerate(zip(rows_i, rvals_i)):
+                    if vb == 1:
+                        terms[row, j] = ids[0]
+                    else:
+                        terms[row, j, : len(ids)] = ids
+                    rs[row, j] = r
+            terms_list.append(jnp.asarray(terms))
+            rs_list.append(jnp.asarray(rs))
+            caps_list.append(qcap)
+            idx_list.append(idxs)
+
+        if not idx_list:
+            return out
+        outs = multi_bucket_query_full(
+            self.term_offsets, self.coords, self.bounds, self.page_doc,
+            self.header_mask(), tuple(terms_list), tuple(rs_list),
+            tuple(caps_list), topk, hit_cap,
+        )
+        for idxs, o in zip(idx_list, outs):
+            n = len(idxs)
+            out["pages"][idxs] = np.asarray(o.pages)[:n]
+            out["ranks"][idxs] = np.asarray(o.ranks)[:n]
+            out["counts"][idxs] = np.asarray(o.counts)[:n]
+            out["docs"][idxs] = np.asarray(o.docs)[:n]
+            out["doc_ranks"][idxs] = np.asarray(o.doc_ranks)[:n]
+            out["n_pages"][idxs] = np.asarray(o.n_pages)[:n]
+            out["n_hits"][idxs] = np.asarray(o.n_hits)[:n]
+            out["hits"][idxs] = np.asarray(o.hits)[:n]
+        return out

@@ -102,6 +102,31 @@ def _place_by_rank(rank, src, tag, n: int):
     )
 
 
+def compact_mask(vals, mask, out_cap: int):
+    """Stable compaction of an ASCENDING masked stream into the first
+    `out_cap` slots (INF32-padded): out[k] = k-th masked value.
+
+    On TPU (small/mid streams) this is the chunked one-hot placement —
+    the rank of each kept slot is a prefix sum, placement is a broadcast
+    compare + reduce, no gathers/scatters/sorts. Elsewhere (or for large
+    streams) one `lax.sort` of the INF-masked stream compacts it, since
+    ascending order makes masking + sorting a stable partition.
+    """
+    p = vals.shape[0]
+    if p <= 2 * _COMPARE_ALL_MAX and _use_compare_all():
+        rank = jnp.where(
+            mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, out_cap
+        )
+        (out, placed), _ = _place_by_rank(rank, vals, mask, out_cap)
+        return jnp.where(placed > 0, out, INF32)
+    out = jax.lax.sort(jnp.where(mask, vals, INF32))[:out_cap]
+    if out_cap > p:
+        out = jnp.concatenate(
+            [out, jnp.full(out_cap - p, INF32, dtype=vals.dtype)]
+        )
+    return out
+
+
 def combine_r(r1, r2):
     """Result window: max magnitude; ordered only if both ordered."""
     abs_r = jnp.maximum(jnp.abs(r1), jnp.abs(r2))

@@ -131,6 +131,50 @@ def sharded_query(mesh, term_offsets, coords, bounds, page_doc,
 # host-side shard assembly
 # ---------------------------------------------------------------------------
 
+INT32_COORD_LIMIT = (1 << 31) - 1  # device coords are int32 per shard
+
+
+class ShardCoordinateOverflow(ValueError):
+    """A shard's coordinate space would exceed 2^31-1 chars (the int32
+    device coordinate contract, ops/device_index.py) — raise rather than
+    silently wrap. Remedy: more shards, or split oversized documents."""
+
+
+def _assign_docs(sizes, extents, num_shards: int):
+    """Greedy least-loaded document assignment with an int32 coordinate
+    budget per shard: documents are placed on the least-loaded shard
+    whose coordinate space still fits the doc's extent; a doc that fits
+    no shard raises ShardCoordinateOverflow (the document-level split IS
+    the sharding — docs never span shards, so the only unsplittable unit
+    is a single >2 GB document)."""
+    loads = [0] * num_shards
+    coord_loads = [0] * num_shards
+    assign = [[] for _ in range(num_shards)]
+    order = sorted(range(len(sizes)), key=lambda i: -sizes[i])
+    for i in order:
+        ext = int(extents[i])
+        if ext > INT32_COORD_LIMIT:
+            raise ShardCoordinateOverflow(
+                f"document {i} spans {ext} chars > 2^31-1; split the "
+                f"document (e.g. smaller pages) before staging"
+            )
+        for s in sorted(range(num_shards), key=loads.__getitem__):
+            if coord_loads[s] + ext <= INT32_COORD_LIMIT:
+                assign[s].append(i)
+                loads[s] += sizes[i]
+                coord_loads[s] += ext
+                break
+        else:
+            raise ShardCoordinateOverflow(
+                f"document {i} ({ext} chars) fits no shard: every "
+                f"shard's int32 coordinate space is full — increase "
+                f"num_shards (corpus needs > {num_shards} shards)"
+            )
+    for s in range(num_shards):
+        assign[s].sort()
+    return assign
+
+
 @dataclass
 class ShardedCorpus:
     """Host staging of a tokenized corpus into uniform device shards."""
@@ -156,15 +200,12 @@ def stage_shards(
                    (coords doc-local ascending)
     doc_pages[i] : page END coords (doc-local) of document i
     """
-    loads = [0] * num_shards
-    assign: List[List[int]] = [[] for _ in range(num_shards)]
-    order = sorted(range(len(docs)), key=lambda i: -len(docs[i]))
-    for i in order:
-        s = int(np.argmin(loads))
-        assign[s].append(i)
-        loads[s] += len(docs[i])
-    for s in range(num_shards):
-        assign[s].sort()
+    extents = [
+        (doc_pages[i][-1] if doc_pages[i] else 0) for i in range(len(docs))
+    ]
+    assign = _assign_docs(
+        [len(d) for d in docs], extents, num_shards
+    )
 
     tid_rows, coord_rows, bound_rows, pdoc_rows = [], [], [], []
     for s in range(num_shards):
@@ -220,15 +261,13 @@ def stage_shards_arrays(
     """Array-native shard staging (no per-token Python objects): same
     assignment policy as stage_shards but documents stay as numpy
     (term_id, coord) arrays end to end — required at GB scale."""
-    loads = [0] * num_shards
-    assign: List[List[int]] = [[] for _ in range(num_shards)]
-    order = sorted(range(len(doc_tids)), key=lambda i: -doc_tids[i].size)
-    for i in order:
-        s = int(np.argmin(loads))
-        assign[s].append(i)
-        loads[s] += doc_tids[i].size
-    for s in range(num_shards):
-        assign[s].sort()
+    extents = [
+        (doc_pages[i][-1] if doc_pages[i] else 0)
+        for i in range(len(doc_tids))
+    ]
+    assign = _assign_docs(
+        [t.size for t in doc_tids], extents, num_shards
+    )
 
     nloc = max((sum(doc_tids[i].size for i in a) for a in assign), default=1) or 1
     ploc = max((sum(len(doc_pages[i]) for i in a) for a in assign), default=1) or 1

@@ -6,12 +6,21 @@ query at a time. Here concurrent requests are MICRO-BATCHED: a collector
 thread drains the request queue (up to `max_batch` or `max_wait_ms`),
 compiles every batchable query to term-id form, and evaluates the whole
 batch as one device program (ops/device_index). Requests the device path
-doesn't cover (wildcards, field filters, OR operators, regex filters)
-fall back to the host engine transparently.
+doesn't cover (wildcards, field filters, regex filters) fall back to the
+host engine transparently.
 
-Device-mode results carry doc/page ids, ranks and hit counts — the
-position/snippet materialization stays host-side and is served by the
-normal path when needed.
+Coverage: the device path evaluates every query whose operator AST is a
+conjunction of OR-groups of words — plain AND queries, quoted phrases,
+`a|b` alternations, and multi-vocabulary morphological words (each word
+contributes its voc-group/raw/stem codes as OR'd variants, ref
+Search.cs:226-247). The device returns the top-k pages AND the exact hit
+coordinate stream inside them, so results carry real per-page positions
+(`ResultDocPage.pos`, ref Search.cs:381) and are materialized through
+the same prepare_search_result/_materialize_docs pipeline as the host
+engine — device-served results match the host engine's bit for bit
+whenever the result fits the top-k/hit_cap budget; larger results
+(n_pages > topk or n_hits > hit_cap) re-serve host-side for exactness.
+Divergence from the host path: `SearchResult.words` info is not filled.
 """
 
 from __future__ import annotations
@@ -24,66 +33,195 @@ import time
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
+import numpy as np
+
 from docodo_tpu.constants import DOC_RANK_MULTIPLY
-from docodo_tpu.ops.device_index import DeviceIndex
-from docodo_tpu.query.search import ResultDocPage, ResultDocument, SearchResult
 
-_UNSUPPORTED = re.compile(r'[|?{}"~]|-filter:')
+from docodo_tpu.ops.device_index import INT32_MAX, DeviceIndex
+from docodo_tpu.query import parser as qparser
+from docodo_tpu.query.parser import WordThunk
+from docodo_tpu.query.search import SearchResult, prepare_search_result
+
 _DEFAULT_DIST = 255
+_UNSUPPORTED = re.compile(r"[?_{}~]|-filter:")
+_MAX_WORDS = 8
+_MAX_VARIANTS = 8
 
 
-def compile_request(index, req: str) -> Optional[List[Tuple[str, int]]]:
-    """Compile an AND-only request into device (term-key, R) pairs.
+def _disjunct_words(node) -> Optional[List[WordThunk]]:
+    """Flatten one AND operand into OR'd word leaves; None for nested
+    AND (e.g. a quoted phrase inside an OR branch)."""
+    if isinstance(node, WordThunk):
+        return [node]
+    if isinstance(node, tuple) and node[0] == "or":
+        left = _disjunct_words(node[1])
+        right = _disjunct_words(node[2])
+        if left is None or right is None:
+            return None
+        return left + right
+    return None
 
-    Mirrors the host pipeline's word handling (sanitize, 3..32 length,
-    stop words, voc-code preference — ref Search.cs:319-363, 192-260)
-    for the subset the device fast path evaluates: space-separated words
-    and quoted exact phrases. Returns None when the request needs the
-    host engine.
+
+def _word_codes(index, word: str) -> Optional[Tuple[Tuple[str, ...], int]]:
+    """One word -> (chosen index keys, R), mirroring the host
+    search_word preference rules (ref Search.cs:192-260): ALL-UPPERCASE
+    (quoted) words are exact (single raw-form key, negative ordered R);
+    otherwise voc-group '#' codes win over the raw form."""
+    b_exact = word.upper() == word and index.b_keep_forms
+    lw = word.lower()
+    codes = list(index.word_coder.codes(lw))
+    if not codes:
+        return None  # stop word / empty: matches nothing
+    selfcodes = [c for c in codes if re.match(r"\w", c[0])]
+    known = [c for c in codes if c not in selfcodes]
+    if b_exact:
+        chosen = selfcodes[:1]
+    else:
+        chosen = known if known else selfcodes[:1]
+    if not chosen:
+        return None
+    r = -(len(lw) + 4) if b_exact else _DEFAULT_DIST + len(lw)
+    return tuple(chosen), r
+
+
+_EMPTY_GROUP = ((("\0",), 1),)  # impossible key: matches nothing on device
+
+
+def _compile_group(index, node) -> Optional[Tuple[Tuple[str, ...], int]]:
+    """One OR-group of word leaves -> (variant keys, group R), or None
+    when the node isn't a flat OR of words. A group whose every branch
+    is empty (stop word) compiles to ((), 0) — "matches nothing".
+
+    Group R mirrors the reference operator+ combine: max magnitude,
+    ordered only if every member is ordered (IndexSequence.cs:286-322).
     """
-    if _UNSUPPORTED.search(req.replace('"', "")):
+    leaves = _disjunct_words(node)
+    if leaves is None:
         return None
-    stripped = req.strip()
-    quoted = False
-    if '"' in req:
-        # only a FULLY quoted request maps cleanly (partial quoting mixes
-        # exact and free modes — host engine handles that)
-        if not (
-            req.count('"') == 2
-            and stripped.startswith('"')
-            and stripped.endswith('"')
-        ):
-            return None
-        quoted = True
-    body = req.replace('"', " ")
-    body = re.sub(r"[^\w ]|_+", " ", body)
-    words = [w for w in body.split() if len(w) >= 3]
-    words = [w for w in words if w.lower() not in index.stop_words]
-    if not words or len(words) > 8:
+    variants: List[str] = []
+    rs: List[int] = []
+    for leaf in leaves:
+        wc = _word_codes(index, leaf.word)
+        if wc is None:
+            continue  # empty branch contributes nothing to the OR
+        codes, r = wc
+        variants.extend(c for c in codes if c not in variants)
+        rs.append(r)
+    if not variants:
+        return (), 0
+    mag = max(abs(r) for r in rs)
+    return tuple(variants), (-mag if all(r < 0 for r in rs) else mag)
+
+
+def _spine(index, node) -> Optional[list]:
+    """Left-spine linearization: the device kernel evaluates queries as
+    a LEFT FOLD of pairwise proximity-ANDs, which reproduces the host
+    AST evaluation exactly when the AND tree is a left spine (every
+    right child an atomic OR-group) — the shape the parser emits for
+    sequences without parentheses (and for a fully quoted phrase)."""
+    g = _compile_group(index, node)
+    if g is not None:
+        return [g]
+    if not (isinstance(node, tuple) and node[0] == "and"):
         return None
-    out = []
-    coder = index.word_coder
-    for w in words:
-        exact = quoted or (w.upper() == w and index.b_keep_forms)
-        lw = w.lower()
-        codes = list(coder.codes(lw))
-        if not codes:
+    left = _spine(index, node[1])
+    if left is None:
+        return None
+    right = _compile_group(index, node[2])
+    if right is None:
+        return None
+    return left + [right]
+
+
+def _and_subtrees(node) -> list:
+    """Conjunction operands as the parser chained them: only the LEFT
+    spine unrolls (the parser left-associates sequences); each right
+    child stays one operand — a parenthesized subtree survives intact."""
+    if isinstance(node, tuple) and node[0] == "and":
+        return _and_subtrees(node[1]) + [node[2]]
+    return [node]
+
+
+def _linearize(index, ast) -> Optional[list]:
+    """AST -> fold-ordered group list, or None for shapes the linear
+    fold can't reproduce (those fall back to the host AST evaluator).
+
+    Two accepted shapes:
+    * a left spine — fold order IS the host evaluation order;
+    * a spine containing exactly ONE parenthesized ordered sub-phrase
+      (a quoted phrase inside a free query, e.g. `word "a b"`) with
+      every other group unordered: the phrase moves to the FRONT of the
+      fold. Valid because the phrase folds first (preserving its ordered
+      cut) and every subsequent step combines to an unordered R, and
+      unordered proximity-AND is commutative/associative in its operand
+      set (both orders merge the same streams with the same window).
+    """
+    lst = _spine(index, ast)
+    if lst is not None:
+        return lst
+    phrase = None
+    rest = []
+    for sub in _and_subtrees(ast):
+        g = _compile_group(index, sub)
+        if g is not None:
+            if g[0] and g[1] < 0:
+                return None  # bare ordered group outside the spine case
+            rest.append(g)
+            continue
+        sp = _spine(index, sub)
+        if sp is None or phrase is not None:
+            return None  # nested non-spine, or a second phrase
+        if not all(r < 0 for codes, r in sp if codes):
             return None
-        selfcodes = [c for c in codes if re.match(r"\w", c[0])]
-        known = [c for c in codes if c not in selfcodes]
-        if exact:
-            chosen = selfcodes[:1]
-        else:
-            chosen = known if known else selfcodes[:1]
-        if not chosen:
-            return None
-        r = -(len(lw) + 4) if exact else _DEFAULT_DIST + len(lw)
-        out.append((chosen, r))
-    return out
+        phrase = sp
+    if phrase is None:
+        return None
+    return phrase + rest
+
+
+def compile_request(index, req: str) -> Optional[List[Tuple[Tuple[str, ...], int]]]:
+    """Compile a request into device groups [(variant keys, R), ...] in
+    left-fold evaluation order.
+
+    Returns None when the request needs the host engine (wildcards,
+    fields, filters, fold-incompatible operator shapes, parse errors).
+    A group may carry several OR'd variant keys (voc-group codes and
+    `a|b` alternations, ref Search.cs:226-247, 351).
+    """
+    if _UNSUPPORTED.search(req):
+        return None
+    thunks: List[WordThunk] = []
+    try:
+        main_expr, fields_expr = qparser.prepare_search_request(
+            req.lower(), thunks,
+            search_word=None, search_field=None,
+            stop_words=index.stop_words,
+        )
+    except Exception:  # noqa: BLE001 — any sanitize hiccup -> host
+        return None
+    if fields_expr.strip() or not main_expr.strip():
+        return None
+    try:
+        ast = qparser.parse_expression(main_expr, thunks)
+    except qparser.QuerySyntaxError:
+        return None
+    if ast is None:
+        return None
+    groups = _linearize(index, ast)
+    if groups is None or len(groups) > _MAX_WORDS:
+        return None
+    if any(not codes for codes, _ in groups):
+        # an all-empty AND operand annihilates the query (host parity:
+        # empty PostingSeq * anything = empty)
+        return list(_EMPTY_GROUP)
+    if any(len(codes) > _MAX_VARIANTS for codes, _ in groups):
+        return None
+    return groups
 
 
 @dataclass
 class _Pending:
+    req: str
     compiled: list
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[SearchResult] = None
@@ -93,29 +231,32 @@ class BatchExecutor:
     """Micro-batching device query executor."""
 
     def __init__(self, index, device_index: Optional[DeviceIndex] = None,
-                 max_batch: int = 512, max_wait_ms: float = 2.0):
+                 max_batch: int = 512, max_wait_ms: float = 2.0,
+                 topk: int = 64, hit_cap: int = 512,
+                 materialize: bool = True):
         self.index = index
         self.di = device_index or DeviceIndex.from_index(index)
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        self.topk = topk
+        self.hit_cap = hit_cap
+        self.materialize = materialize
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
-        self.stats = {"batches": 0, "device_queries": 0, "host_queries": 0}
+        self.stats = {
+            "batches": 0, "device_queries": 0, "host_queries": 0,
+            "truncated_fallbacks": 0,
+        }
 
     # ---- public ----------------------------------------------------------
     def search(self, req: str, timeout: float = 30.0) -> SearchResult:
         compiled = compile_request(self.index, req)
-        if compiled is not None and any(len(c) > 1 for c, _ in compiled):
-            # a word matching several vocabularies ORs all its group
-            # codes on the host path — serve those host-side
-            compiled = None
         if compiled is None:
             self.stats["host_queries"] += 1
             return self.index.search(req)
-        flat = [(codes[0], r) for codes, r in compiled]
-        p = _Pending(compiled=flat)
+        p = _Pending(req=req, compiled=compiled)
         self._q.put(p)
         if not p.event.wait(timeout):
             return self.index.search(req)  # device stall: serve host-side
@@ -157,41 +298,33 @@ class BatchExecutor:
     CAP_LADDER = (128, 1024, 16384, 1 << 17)
 
     def _execute(self, batch: List[_Pending]) -> None:
-        pages, ranks, counts = self.di.search_batch(
-            [p.compiled for p in batch], topk=16,
-            cap_ladder=self.CAP_LADDER,
+        out = self.di.search_batch_full(
+            [p.compiled for p in batch], topk=self.topk,
+            hit_cap=self.hit_cap, cap_ladder=self.CAP_LADDER,
         )
         self.stats["batches"] += 1
-        self.stats["device_queries"] += len(batch)
         for row, p in enumerate(batch):
-            res = SearchResult()
-            docs = {}
-            for k in range(pages.shape[1]):
-                pg = int(pages[row, k])
-                if pg < 0:
-                    continue
-                page = ResultDocPage(self.di.page_ids[pg])
-                page.pos = [0] * int(counts[row, k])  # count only; no offsets
-                res.found_pages.append(page)
-                dname = self.di.doc_names[int(self.di.page_doc_np[pg])]
-                doc = docs.get(dname)
-                if doc is None:
-                    doc = ResultDocument(dname)
-                    docs[dname] = doc
-                    res.found_docs.append(doc)
-                doc.pages.append(page)
-                doc.rank += float(ranks[row, k])
-            # doc rank formula matches the host engine (ref
-            # Search.cs:552-557): 1 + ln(sum page ranks), x10 when the
-            # first found page is the header page "0"
-            for doc in res.found_docs:
-                total = doc.rank
-                doc.rank = 1 + math.log(total) if total > 0 else 1.0
-                # device pages arrive in rank order, not coordinate
-                # order; the header page "0" is coordinate-first when
-                # hit at all, so "any" is the host-equivalent test
-                if any(pg.id == "0" for pg in doc.pages):
-                    doc.rank *= DOC_RANK_MULTIPLY
+            n_pages = int(out["n_pages"][row])
+            n_hits = int(out["n_hits"][row])
+            if n_pages > self.topk or n_hits > self.hit_cap:
+                # rank-truncated result: re-serve host-side so served
+                # results never silently diverge from the host engine
+                self.stats["truncated_fallbacks"] += 1
+                p.result = self.index.search(p.req)
+                p.event.set()
+                continue
+            self.stats["device_queries"] += 1
+            hits = out["hits"][row]
+            coords = hits[hits < INT32_MAX].astype(np.uint64)
+            res = prepare_search_result(coords, self.index.pages, [])
+            if self.materialize:
+                self.index._materialize_docs(res)
+            else:  # rank-only half of _materialize_docs (no snippet IO)
+                for doc in res.found_docs:
+                    total = doc.rank
+                    doc.rank = 1 + math.log(total) if total > 0 else 1.0
+                    if doc.pages and doc.pages[0].id == "0":
+                        doc.rank *= DOC_RANK_MULTIPLY
             res.found_docs.sort(key=lambda d: d.rank)
             p.result = res
             p.event.set()

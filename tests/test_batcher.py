@@ -81,10 +81,62 @@ def test_batch_executor_concurrent(ind):
         ex.close()
 
 
-def test_partial_quotes_fall_back_to_host(ind):
-    assert compile_request(ind, 'apple "bank account"') is None
-    assert compile_request(ind, '"bank account" apple') is None
+def test_partial_quotes_compile_with_fold_reorder(ind):
+    # a quoted phrase inside a free query compiles: the phrase moves to
+    # the fold front (unordered-AND commutativity keeps host semantics)
+    c = compile_request(ind, 'apple "bank account"')
+    assert c is not None
+    assert [r < 0 for _, r in c] == [True, True, False]
+    c = compile_request(ind, '"bank account" apple')
+    assert [r < 0 for _, r in c] == [True, True, False]
     assert compile_request(ind, '"bank account"') is not None
+    # two quoted phrases exceed the linear fold -> host engine
+    assert compile_request(ind, '"bank account" "old tavern"') is None
+
+
+def test_or_and_morphology_compile(ind):
+    c = compile_request(ind, "club | tavern")
+    assert c is not None and len(c) == 1
+    codes, r = c[0]
+    assert set(codes) >= {"club", "tavern"} and r > 0
+    c = compile_request(ind, "dinner (club|tavern)")
+    assert c is not None and len(c) == 2 and len(c[1][0]) >= 2
+    # wandered stems to $wander -> still a single-variant group (known
+    # codes preferred over raw form, ref Search.cs:230-233)
+    c = compile_request(ind, "wandered")
+    assert c is not None and c[0][0] == ("$wander",)
+
+
+def test_batch_executor_or_parity(ind):
+    ex = BatchExecutor(ind, max_wait_ms=1.0)
+    try:
+        for req in ["club | tavern", "dinner (club|tavern)",
+                    'noon "the tavern"', "wandered"]:
+            dev = ex.search(req)
+            host = ind.search(req)
+            assert dev == host, req  # foundPages equal incl. positions
+            assert {d.name for d in dev.found_docs} == \
+                {d.name for d in host.found_docs}, req
+    finally:
+        ex.close()
+
+
+def test_batch_executor_real_positions_and_snippets(ind):
+    ex = BatchExecutor(ind, max_wait_ms=1.0)
+    try:
+        dev = ex.search("dinner tavern")
+        host = ind.search("dinner tavern")
+        assert dev == host
+        assert dev.found_pages and all(
+            p.pos and all(x >= 0 for x in p.pos) for p in dev.found_pages
+        )
+        # snippets materialize from device-served results
+        assert any("`" in (d.summary or "") or d.summary
+                   for d in dev.found_docs)
+        assert [d.summary for d in dev.found_docs] == \
+            [d.summary for d in host.found_docs]
+    finally:
+        ex.close()
 
 
 def test_deep_crawl_chain_no_recursion_error():

@@ -318,6 +318,140 @@ def test_sharded_equals_single_device():
             assert got == want, qi
 
 
+def _tiny_device_index():
+    import jax.numpy as jnp
+
+    from docodo_tpu.ops.device_index import DeviceIndex
+
+    term_to_id, tids, coords, bounds, page_doc = build_tiny()
+    T = len(term_to_id)
+    st, sc, off = di.build_postings(tids.copy(), coords.copy(), T)
+    dix = DeviceIndex(
+        term_offsets=off, coords=sc, bounds=jnp.asarray(bounds),
+        page_doc=jnp.asarray(page_doc),
+        # ids start at "1": id "0" means a HEADER page (x10 doc boost)
+        terms=list(term_to_id), page_ids=[str(i + 1) for i in range(4)],
+        doc_names=[f"d{i}" for i in range(4)], _tmap=dict(term_to_id),
+        offsets_np=np.asarray(off), page_doc_np=page_doc,
+        bounds_np=bounds.astype(np.int64),
+    )
+    return dix, term_to_id, tids, coords, bounds
+
+
+def test_search_batch_full_hits_and_positions():
+    """locate_full must return the exact ascending hit-coordinate stream
+    of the top-k pages (the device source of ResultDocPage.pos,
+    ref Search.cs:381)."""
+    dix, term_to_id, tids, coords, bounds = _tiny_device_index()
+    out = dix.search_batch_full(
+        [
+            [("club", 200)],
+            [("pickwick", -12), ("club", -8)],
+            [(("club", "rules"), 60), ("pickwick", 60)],
+        ],
+        topk=8, hit_cap=64,
+    )
+
+    def oracle_coords(words, r):
+        from docodo_tpu.core.postings import group_and, or_merge
+
+        def plist(w):
+            return np.sort(coords[tids == term_to_id[w]]).astype(np.uint64)
+
+        acc = None
+        for w in words:
+            if isinstance(w, tuple):
+                cur = plist(w[0])
+                for w2 in w[1:]:
+                    cur, _ = or_merge(cur, plist(w2), r, r)
+            else:
+                cur = plist(w)
+            acc = cur if acc is None else group_and(acc, cur, r, r)[0]
+        return np.asarray(acc, dtype=np.int64)
+
+    # q0: single word -> hits are exactly the posting list
+    want = oracle_coords(["club"], 200)
+    got = out["hits"][0][: out["n_hits"][0]]
+    np.testing.assert_array_equal(got, want)
+    assert out["n_pages"][0] == 4
+
+    # q2: variant OR then AND
+    want = oracle_coords([("club", "rules"), "pickwick"], 60)
+    got = out["hits"][2][: out["n_hits"][2]]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_search_batch_full_truncation_flags():
+    """n_pages / n_hits report UNtruncated totals so callers can detect
+    rank truncation and fall back for exactness."""
+    dix, term_to_id, *_ = _tiny_device_index()
+    out = dix.search_batch_full([[("club", 200)]], topk=2, hit_cap=2)
+    assert out["n_pages"][0] == 4 > 2       # more pages than topk
+    # n_hits counts hits IN the top-k pages; "club" hits its top page
+    # twice plus one more page -> 3 > hit_cap
+    assert out["n_hits"][0] == 3 > 2
+    # the hit buffer still carries the LOWEST hit_cap coords of top pages
+    hits = out["hits"][0]
+    assert (hits[:2] < np.iinfo(np.int32).max).all()
+
+
+def test_search_batch_full_doc_ranks_match_host_formula():
+    """Device doc ranks = 1 + ln(sum page ranks) at each doc's first
+    top-k slot (ref Search.cs:552-557)."""
+    dix, term_to_id, *_ = _tiny_device_index()
+    out = dix.search_batch_full([[("club", 200)]], topk=8, hit_cap=64)
+    ranks = out["ranks"][0]
+    docs = out["docs"][0]
+    doc_ranks = out["doc_ranks"][0]
+    seen = {}
+    for k in range(8):
+        if docs[k] < 0:
+            continue
+        seen.setdefault(int(docs[k]), 0.0)
+        seen[int(docs[k])] += float(ranks[k])
+    first_slots = {}
+    for k in range(8):
+        if docs[k] >= 0 and int(docs[k]) not in first_slots:
+            first_slots[int(docs[k])] = k
+    for d, k in first_slots.items():
+        want = 1.0 + np.log(seen[d])
+        assert abs(float(doc_ranks[k]) - want) < 1e-4
+    # non-first slots carry zero
+    for k in range(8):
+        if docs[k] >= 0 and first_slots[int(docs[k])] != k:
+            assert doc_ranks[k] == 0.0
+
+
+def test_stage_shards_int32_coordinate_guard():
+    """Oversized coordinate spaces must split across shards by document
+    or raise clearly — never silently wrap int32 (device contract,
+    ops/device_index.py:23-25)."""
+    from docodo_tpu.parallel import sharding as sh
+
+    big = int(sh.INT32_COORD_LIMIT * 0.6)  # two fit nowhere together
+    doc_tids = [np.zeros(4, dtype=np.int32) for _ in range(3)]
+    doc_coords = [np.arange(4, dtype=np.int32) for _ in range(3)]
+    doc_pages = [[big], [big], [big]]
+
+    # 3 docs x 0.6 * 2^31 chars over 2 shards: one shard would need two
+    # docs -> overflow must raise, not wrap
+    with pytest.raises(sh.ShardCoordinateOverflow):
+        sh.stage_shards_arrays(doc_tids, doc_coords, doc_pages, num_shards=2)
+
+    # with 3 shards each doc gets its own coordinate space: fine
+    corpus = sh.stage_shards_arrays(
+        doc_tids, doc_coords, doc_pages, num_shards=3
+    )
+    assert (corpus.n_tokens == 4).all()
+
+    # a single document beyond 2^31-1 chars can never be staged
+    with pytest.raises(sh.ShardCoordinateOverflow):
+        sh.stage_shards_arrays(
+            doc_tids[:1], doc_coords[:1],
+            [[sh.INT32_COORD_LIMIT + 1]], num_shards=8,
+        )
+
+
 def test_stage_shards_arrays_equals_tuples():
     """Array-native staging must produce the same shards as the
     tuple-based reference implementation."""

@@ -143,3 +143,97 @@ def test_device_batch_fuzz_parity_real_corpus(tmp_path):
             assert got <= hs and len(got) == 16, queries[i]
         else:
             assert got == hs, (queries[i], got, hs)
+
+
+def test_device_positions_parity_real_corpus(tmp_path):
+    """Device-served positions must equal the host engine's
+    ResultDocPage.pos exactly (the parity north star, ref
+    Search.cs:365-420 esp. :381) — checked through the full serving
+    stack (BatchExecutor) on the real Pickwick corpus."""
+    import random
+
+    import docodo_tpu
+    from docodo_tpu.query.batcher import BatchExecutor
+    from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
+
+    path = os.path.join(REF_TEST,
+                        "Dickens Charles. The Pickwick Papers - royallib.ru.txt")
+    raw = open(path, encoding="cp1251", errors="replace").read()[:400_000]
+    ind = docodo_tpu.Index(path=str(tmp_path / "pp"), in_memory=True)
+    ind.stemmers.clear()
+    ind.add_data_source(
+        ListDataSource("docs", [IndexPagedTextFile("pick", raw, "")])
+    )
+    ind.create()
+
+    from docodo_tpu.ops.device_index import DeviceIndex
+
+    di = DeviceIndex.from_index(ind)
+    words = [t for t in di.terms
+             if t[0].isalpha() and 4 <= len(t) <= 10
+             and 4 <= di.posting_count(t) <= 200]
+    rng = random.Random(5)
+    ex = BatchExecutor(ind, device_index=di, max_wait_ms=1.0)
+    try:
+        served_device = 0
+        for _ in range(25):
+            w1, w2 = rng.sample(words, 2)
+            req = rng.choice([
+                w1, f"{w1} {w2}", f'"{w1} {w2}"', f"{w1} | {w2}",
+                f'{w1} "{w2} {w1}"',
+            ])
+            dev = ex.search(req)
+            host = ind.search(req)
+            # SearchResult __eq__ = foundPages sequence equal (id + pos)
+            assert dev == host, req
+        served_device = ex.stats["device_queries"]
+        # most of these must actually ride the device path
+        assert served_device >= 15, ex.stats
+    finally:
+        ex.close()
+
+
+def test_morphological_serving_en_voc(tmp_path):
+    """With en.voc loaded every real word carries a voc-group code; the
+    device path must evaluate those morphological queries (variant ORs)
+    with exact host parity (ref Search.cs:226-247)."""
+    import docodo_tpu
+    from docodo_tpu.lang.vocab import Vocab
+    from docodo_tpu.query.batcher import BatchExecutor, compile_request
+    from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
+
+    voc_path = "/root/reference/Dict/en.voc"
+    if not os.path.exists(voc_path):
+        pytest.skip("en.voc not mounted")
+    path = os.path.join(REF_TEST,
+                        "Dickens Charles. The Pickwick Papers - royallib.ru.txt")
+    raw = open(path, encoding="cp1251", errors="replace").read()[:300_000]
+    voc = Vocab(voc_path)
+    ind = docodo_tpu.Index(path=str(tmp_path / "mv"), in_memory=True,
+                           vocs=[voc])
+    ind.add_data_source(
+        ListDataSource("docs", [IndexPagedTextFile("pick", raw, "")])
+    )
+    ind.create()
+
+    # morphological check at the engine level first: plural query form
+    # finds the singular occurrences through the shared voc group
+    reqs = ["travelling companions", "member", '"pickwick club"',
+            "friends | enemies", "said observed"]
+    compiled = [compile_request(ind, r) for r in reqs]
+    assert all(c is not None for c in compiled), compiled
+    # voc-group '#' codes actually flow to the device groups
+    assert any(
+        any(code.startswith("#") for codes, _ in c for code in codes)
+        for c in compiled
+    )
+    ex = BatchExecutor(ind, max_wait_ms=1.0)
+    try:
+        for req in reqs:
+            dev = ex.search(req)
+            host = ind.search(req)
+            assert dev == host, req
+        assert ex.stats["device_queries"] + \
+            ex.stats["truncated_fallbacks"] >= len(reqs)
+    finally:
+        ex.close()
