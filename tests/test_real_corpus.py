@@ -193,6 +193,90 @@ def test_device_positions_parity_real_corpus(tmp_path):
         ex.close()
 
 
+def test_russian_morphology_end_to_end(tmp_path):
+    """BASELINE.md workload 3: ru.voc rebuilt offline from the bundled
+    OpenCorpora-format extract (Dict/ru/dict.opcorpora.xml), then
+    morphological + quoted-exact search over the real War&Peace corpus
+    with position parity (ref Dict.cs:216-257, Search.cs:226-247)."""
+    import re
+
+    import docodo_tpu
+    from docodo_tpu.lang.vocab import Vocab, build_opencorpora_voc
+    from docodo_tpu.query.batcher import BatchExecutor, compile_request
+    from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
+
+    dump = os.path.join(os.path.dirname(__file__), "..", "Dict", "ru",
+                        "dict.opcorpora.xml")
+    voc_path = str(tmp_path / "ru.voc")
+    build_opencorpora_voc(dump, voc_path)
+    voc = Vocab(voc_path)
+    assert len(voc) > 100
+
+    raw = open(os.path.join(REF_TEST, "voyna-i-mir-tom-1.txt"),
+               encoding="cp1251", errors="replace").read()[:400_000]
+    ind = docodo_tpu.Index(path=str(tmp_path / "ru"), in_memory=True,
+                           vocs=[voc])
+    ind.add_data_source(
+        ListDataSource("docs", [IndexPagedTextFile("vim", raw, "")])
+    )
+    ind.create()
+
+    # morphological: query in one inflection finds ALL forms that stem
+    # into the same voc group — oracle computed independently by
+    # stemming every regex token of the raw text
+    low = raw.lower()
+    grp = voc.search(voc.stem("войну"))
+    assert grp != 0
+    oracle = sorted(
+        m.start() for m in re.finditer(r"[^\W\d_]+", low)
+        if 3 <= len(m.group()) <= 32
+        and voc.search(voc.stem(m.group())) == grp
+    )
+    res = ind.search("войну")
+    got = []
+    pt = ind.pages
+    for p in res.found_pages:
+        pg = pt.page_ids.index(p.id)
+        base = int(pt.bounds[pg - 1]) if pg > 0 else 0
+        got.extend(base + x for x in p.pos)
+    assert sorted(got) == oracle, (len(got), len(oracle))
+    assert len({m for m in re.finditer(r"\bвойну\b", low)}) < len(oracle), \
+        "morphology must widen beyond the literal form"
+
+    # the voc-group key resolves through the device path too
+    c = compile_request(ind, "войну")
+    assert c is not None and c[0][0][0].startswith("#"), c
+
+    # quoted exact: only the literal phrase, positions vs regex oracle
+    phrase_oracle = [m.start() for m in
+                     re.finditer(r"\bкнязь\W{1,4}андрей\b", low)]
+    res = ind.search('"князь андрей"')
+    firsts = []
+    for p in res.found_pages:
+        pg = pt.page_ids.index(p.id)
+        base = int(pt.bounds[pg - 1]) if pg > 0 else 0
+        firsts.extend(base + x for x in p.pos)
+    assert set(phrase_oracle) <= set(firsts)
+    # exact mode must NOT morphologically widen: every emitted first
+    # coord is a literal form boundary of one of the two words
+    lits = {m.start() for m in re.finditer(r"\bкнязь\b|\bандрей\b", low)}
+    assert set(firsts) <= lits
+
+    # device serving parity on the morphological + exact mix
+    ex = BatchExecutor(ind, max_wait_ms=1.0)
+    try:
+        for req in ["войну", "князья", '"князь андрей"',
+                    "наполеон | кутузов", "сказала княжна"]:
+            dev = ex.search(req)
+            host = ind.search(req)
+            assert dev == host, req
+        assert ex.stats["device_queries"] + \
+            ex.stats["truncated_fallbacks"] >= 5
+    finally:
+        ex.close()
+        ind.dispose()
+
+
 def test_morphological_serving_en_voc(tmp_path):
     """With en.voc loaded every real word carries a voc-group code; the
     device path must evaluate those morphological queries (variant ORs)
