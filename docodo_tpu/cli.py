@@ -103,6 +103,83 @@ def show_info(ind: Index, numb: int = 20) -> None:
         print(phases)
 
 
+def read_search_request(ind: Index, getch=None, write=None,
+                        is_tty: bool | None = None) -> str:
+    """Interactive request line with LIVE suggestions rendered under the
+    cursor on every keystroke (ref Program.cs:268-307 ReadSearchRequest):
+    the current prefix's completions appear dimmed on the line below;
+    Tab accepts the first one; Enter submits; Backspace edits.
+
+    getch/write are injectable for tests; without a TTY this degrades to
+    a plain input() prompt (suggestions after submit, like round 1).
+    """
+    if is_tty is None:
+        is_tty = sys.stdin.isatty() and sys.stdout.isatty()
+    if not is_tty and getch is None:
+        sys.stdout.write("req:")
+        sys.stdout.flush()
+        req = input()
+        sugg = ind.get_suggestions(req, 12)
+        if sugg:
+            print("  suggestions:", " ".join(req + s for s in sugg))
+        return req
+
+    if getch is None or write is None:
+        import termios
+        import tty
+
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        tty.setcbreak(fd)
+
+        def _restore():
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
+        getch = getch or (lambda: sys.stdin.read(1))
+        write = write or (lambda s: (sys.stdout.write(s),
+                                     sys.stdout.flush()))
+    else:
+        def _restore():
+            return None
+
+    buf: list = []
+    sugg: list = []
+    try:
+        while True:
+            text = "".join(buf)
+            sugg = ind.get_suggestions(text, 12) if len(text) >= 2 else []
+            # render: input line, then a dimmed suggestion line below,
+            # cursor restored to the end of the input
+            line = "\r\x1b[Kreq:" + text
+            below = " ".join(
+                (text.rsplit(None, 1)[-1] if text.split() else text) + s
+                for s in sugg[:8]
+            )
+            write(line + "\n\x1b[K\x1b[2m" + below[:120] + "\x1b[0m"
+                  + "\x1b[A" + "\r\x1b[" + str(4 + len(text)) + "C")
+            ch = getch()
+            if ch in ("\n", "\r", ""):
+                break
+            if ch in ("\x7f", "\x08"):
+                if buf:
+                    buf.pop()
+            elif ch == "\t":
+                if sugg:  # accept the first completion
+                    buf.extend(sugg[0])
+            elif ch == "\x03":
+                raise KeyboardInterrupt
+            elif ch == "\x1b":  # swallow a simple escape sequence
+                nxt = getch()
+                if nxt == "[":
+                    getch()
+            elif ch.isprintable():
+                buf.append(ch)
+    finally:
+        _restore()
+        write("\n\x1b[K\x1b[A\r\x1b[" + str(4 + len(buf)) + "C\n")
+    return "".join(buf)
+
+
 def interactive(ind: Index, dict_dir: str) -> None:
     while True:
         opts = []
@@ -133,14 +210,9 @@ def interactive(ind: Index, dict_dir: str) -> None:
         elif c == "S":
             print("Type text to search, e - exit")
             while True:
-                sys.stdout.write("req:")
-                sys.stdout.flush()
-                req = input()
+                req = read_search_request(ind)
                 if req == "e":
                     break
-                sugg = ind.get_suggestions(req, 12)
-                if sugg:
-                    print("  suggestions:", " ".join(req + s for s in sugg))
                 result = ind.search(req)
                 print(f"Found {len(result.found_pages)} pages in "
                       f"{len(result.found_docs)} docs:")

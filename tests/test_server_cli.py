@@ -77,6 +77,38 @@ def test_cli_noninteractive(tmp_path, monkeypatch, capsys):
     assert "a.txt" in out
 
 
+def test_cli_live_suggestions_per_keystroke(small_index):
+    """read_search_request renders completions on EVERY keystroke, under
+    the input line (ref Program.cs:268-307): after typing 'pick' the
+    dimmed suggestion line must already show 'pickwick', before Enter."""
+    from docodo_tpu import cli
+
+    keys = iter(list("pick") + ["\t", "\n"])
+    frames = []
+
+    req = cli.read_search_request(
+        small_index, getch=lambda: next(keys),
+        write=frames.append, is_tty=True,
+    )
+    # Tab accepted the first completion of 'pick' -> 'pickwick'
+    assert req == "pickwick"
+    live = [f for f in frames if "req:pick\n" in f]
+    assert live and any("pickwick" in f for f in live), frames
+    # suggestions rendered BELOW the input line, dimmed, cursor restored
+    assert all("\x1b[2m" in f and "\x1b[A" in f for f in live)
+
+
+def test_cli_backspace_and_empty(small_index):
+    from docodo_tpu import cli
+
+    keys = iter(["c", "l", "x", "\x7f", "u", "b", "\n"])
+    req = cli.read_search_request(
+        small_index, getch=lambda: next(keys),
+        write=lambda s: None, is_tty=True,
+    )
+    assert req == "club"
+
+
 def test_server_error_returns_502(small_index, monkeypatch):
     """Handler exceptions surface as a 502 response (ref server.cs:96-99)
     instead of a dropped connection."""
