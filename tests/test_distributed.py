@@ -1,0 +1,122 @@
+"""Multi-host DCN layout validated on the 8-virtual-device CPU mesh
+treated as 2 hosts x 4 local devices: per-process staging materializes
+only each 'host's' shard rows, the 2-D build+query combine must equal a
+single-device evaluation of every shard."""
+
+import numpy as np
+import pytest
+
+from docodo_tpu.lang.tokenizer import tokenize
+from docodo_tpu.ops import device_index as di
+from docodo_tpu.parallel import distributed as dd
+
+
+def _corpus(n_docs=16, seed=3):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{chr(97 + i)}{chr(97 + j)}" for i in range(7) for j in range(7)]
+    term_to_id = {}
+    doc_tids, doc_coords, doc_pages = [], [], []
+    for _ in range(n_docs):
+        words = rng.choice(vocab, size=int(rng.integers(20, 60)))
+        tids, cs = [], []
+        pos = 0
+        for w in words:
+            tids.append(term_to_id.setdefault(w, len(term_to_id)))
+            cs.append(pos)
+            pos += len(w) + 1
+        doc_tids.append(np.asarray(tids, dtype=np.int32))
+        doc_coords.append(np.asarray(cs, dtype=np.int32))
+        doc_pages.append([pos])
+    return term_to_id, doc_tids, doc_coords, doc_pages
+
+
+def test_process_local_staging_covers_all_docs():
+    term_to_id, doc_tids, doc_coords, doc_pages = _corpus()
+    H, D = 2, 4
+    assign = dd.plan_document_assignment(
+        [t.size for t in doc_tids], [p[-1] for p in doc_pages], H * D
+    )
+    assert sorted(i for a in assign for i in a) == list(range(len(doc_tids)))
+
+    nloc = max(sum(doc_tids[i].size for i in a) for a in assign)
+    ploc = max(sum(len(doc_pages[i]) for i in a) for a in assign)
+    rows = []
+    for p in range(H):
+        own_docs = {
+            i for s in range(p * D, (p + 1) * D) for i in assign[s]
+        }
+        # a real process only loads ITS documents' tokens
+        tids_p = [t if i in own_docs else None
+                  for i, t in enumerate(doc_tids)]
+        coords_p = [c if i in own_docs else None
+                    for i, c in enumerate(doc_coords)]
+        rows.append(dd.stage_for_process(
+            tids_p, coords_p, doc_pages, assign, H, D, p,
+            nloc=nloc, ploc=ploc,
+        ))
+    corpus = dd.assemble_global(rows)
+    assert corpus.term_ids.shape[0] == H * D
+    # global page_base offsets are consistent and strictly increasing
+    assert (np.diff(corpus.page_base) > 0).all()
+    assert int(corpus.n_tokens.sum()) == sum(t.size for t in doc_tids)
+
+
+def test_distributed_build_query_equals_single_device():
+    import jax
+
+    assert len(jax.devices()) >= 8
+    term_to_id, doc_tids, doc_coords, doc_pages = _corpus()
+    T = len(term_to_id)
+    H, D = 2, 4
+    assign = dd.plan_document_assignment(
+        [t.size for t in doc_tids], [p[-1] for p in doc_pages], H * D
+    )
+    nloc = max(sum(doc_tids[i].size for i in a) for a in assign)
+    ploc = max(sum(len(doc_pages[i]) for i in a) for a in assign)
+    rows = [
+        dd.stage_for_process(doc_tids, doc_coords, doc_pages, assign,
+                             H, D, p, nloc=nloc, ploc=ploc)
+        for p in range(H)
+    ]
+    corpus = dd.assemble_global(rows)
+    mesh = dd.make_global_mesh(jax.devices()[:8], num_hosts=H)
+
+    import jax.numpy as jnp
+
+    st, sc, off = dd.distributed_build(
+        mesh, jnp.asarray(corpus.term_ids), jnp.asarray(corpus.coords), T
+    )
+
+    rng = np.random.default_rng(9)
+    terms = rng.integers(0, T, size=(5, 2)).astype(np.int32)
+    terms[::2, 1] = -1
+    rs = np.full((5, 2), 40, dtype=np.int32)
+    pages, ranks, counts = dd.distributed_query(
+        mesh, off, sc, jnp.asarray(corpus.bounds),
+        jnp.asarray(corpus.page_doc), jnp.asarray(corpus.page_base),
+        jnp.asarray(terms), jnp.asarray(rs), cap=64, topk=16,
+    )
+    pages = np.asarray(pages)
+
+    # single-device oracle over each shard separately
+    want = [set() for _ in range(5)]
+    for s in range(H * D):
+        st1, sc1, off1 = di.build_postings(
+            corpus.term_ids[s].copy(), corpus.coords[s].copy(), T
+        )
+        p1, _, _ = di.batched_query_step(
+            off1, sc1, jnp.asarray(corpus.bounds[s]),
+            jnp.asarray(corpus.page_doc[s]),
+            jnp.asarray(terms), jnp.asarray(rs), cap=64, topk=16,
+        )
+        p1 = np.asarray(p1)
+        for q in range(5):
+            for p in p1[q]:
+                if p >= 0:
+                    want[q].add(int(p) + int(corpus.page_base[s]))
+    for q in range(5):
+        got = {int(p) for p in pages[q] if p >= 0}
+        if len(want[q]) > 16:
+            assert got <= want[q] and len(got) == 16
+        else:
+            assert got == want[q], q
