@@ -1,20 +1,31 @@
-"""Minimal pure-Python PDF text extraction.
+"""Pure-Python PDF text extraction.
 
 The reference delegates to PdfSharp + the PdfSharpTextExtractor submodule
 (ref Docodo.NET/DataSources/DocumentDataSource.cs:27-117). No PDF library
-is available in this environment, so this is a small tolerant extractor
-sufficient for text-first PDFs: it scans indirect objects, resolves the
-page tree, inflates FlateDecode content streams and concatenates the
-string operands of the Tj/TJ/'/" text operators page by page.
+is available in this environment, so this module implements the subset of
+ISO 32000 a text indexer needs:
 
-Not supported (returns empty text rather than failing): encrypted
-documents, CID/Type0 composite fonts with custom CMaps, object streams
-(/ObjStm) holding page dictionaries.
+* a real COS object parser (dicts, arrays, names, refs, strings);
+* stream filter chains: FlateDecode (+ PNG predictors), LZWDecode,
+  ASCIIHexDecode, ASCII85Decode, RunLengthDecode;
+* object streams (/ObjStm) — where modern writers put page dicts;
+* encrypted documents via the Standard security handler: RC4 (R2/R3/R4)
+  and AES-128 (/AESV2) with the empty user password, plus AES-256
+  (R5/R6, /AESV3) including the revision-6 key-hardening hash;
+* CID/Type0 composite fonts through their /ToUnicode CMaps (bfchar +
+  bfrange, multi-byte code spaces), with per-page font resolution and
+  inherited /Resources.
+
+Anything unsupported degrades to empty text for that page rather than
+failing the ingestion pipeline (parity with the reference's
+catch-log-continue, ref Build.cs:537-540).
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
+import struct
 import zlib
 from typing import Dict, List, Optional, Tuple
 
@@ -22,16 +33,547 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n")
 
 
-class PdfDocument:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.objects: Dict[int, bytes] = {}
-        self._streams: Dict[int, bytes] = {}
-        self._scan_objects()
-        self.info = self._info()
-        self.pages = self._page_objects()
+# ---------------------------------------------------------------------------
+# COS object parser
+# ---------------------------------------------------------------------------
 
-    # ---- object scan -------------------------------------------------------
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int = 0):
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self):
+        return f"Ref({self.num},{self.gen})"
+
+    def __eq__(self, other):
+        return isinstance(other, Ref) and (self.num, self.gen) == (
+            other.num, other.gen
+        )
+
+    def __hash__(self):
+        return hash((self.num, self.gen))
+
+
+class Name(str):
+    """A /Name token (distinct from a text string)."""
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # % comment
+            e = data.find(b"\n", pos)
+            pos = len(data) if e < 0 else e + 1
+        else:
+            break
+    return pos
+
+
+def _parse_value(data: bytes, pos: int):
+    """Parse one COS value at `pos`; returns (value, next_pos).
+    Strings parse to raw BYTES (decoding is a font/encoding decision)."""
+    pos = _skip_ws(data, pos)
+    if pos >= len(data):
+        raise ValueError("eof")
+    c = data[pos]
+    if c == 0x2F:  # /Name
+        m = re.match(rb"/([^\s()<>\[\]{}/%]*)", data[pos:])
+        raw = m.group(1)
+        # #xx escapes in names
+        raw = re.sub(
+            rb"#([0-9A-Fa-f]{2})",
+            lambda mm: bytes([int(mm.group(1), 16)]), raw,
+        )
+        return Name(raw.decode("latin-1")), pos + m.end()
+    if data.startswith(b"<<", pos):
+        pos += 2
+        out = {}
+        while True:
+            pos = _skip_ws(data, pos)
+            if data.startswith(b">>", pos):
+                return out, pos + 2
+            key, pos = _parse_value(data, pos)
+            if not isinstance(key, Name):
+                raise ValueError("dict key is not a name")
+            val, pos = _parse_value(data, pos)
+            out[str(key)] = val
+    if c == 0x3C:  # <hex string>
+        e = data.find(b">", pos)
+        if e < 0:
+            raise ValueError("unterminated hex string")
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[pos + 1: e])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii")), e + 1
+    if c == 0x5B:  # [ array ]
+        pos += 1
+        out = []
+        while True:
+            pos = _skip_ws(data, pos)
+            if pos < len(data) and data[pos] == 0x5D:
+                return out, pos + 1
+            val, pos = _parse_value(data, pos)
+            out.append(val)
+    if c == 0x28:  # ( literal string )
+        return _parse_literal_string(data, pos)
+    m = re.match(rb"(\d+)\s+(\d+)\s+R\b", data[pos:])
+    if m:
+        return Ref(int(m.group(1)), int(m.group(2))), pos + m.end()
+    m = re.match(rb"[+-]?(?:\d+\.?\d*|\.\d+)", data[pos:])
+    if m:
+        tok = m.group(0)
+        val = float(tok) if b"." in tok else int(tok)
+        return val, pos + m.end()
+    m = re.match(rb"true|false|null", data[pos:])
+    if m:
+        return {b"true": True, b"false": False, b"null": None}[m.group(0)], \
+            pos + m.end()
+    raise ValueError(f"bad token at {pos}: {data[pos:pos+12]!r}")
+
+
+def _parse_literal_string(data: bytes, pos: int) -> Tuple[bytes, int]:
+    """( ... ) with nesting and backslash escapes -> raw bytes."""
+    assert data[pos] == 0x28
+    out = bytearray()
+    depth = 1
+    i = pos + 1
+    n = len(data)
+    esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+           0x28: 40, 0x29: 41, 0x5C: 92}
+    while i < n:
+        c = data[i]
+        if c == 0x5C and i + 1 < n:
+            nxt = data[i + 1]
+            if nxt in esc:
+                out.append(esc[nxt])
+                i += 2
+                continue
+            if 0x30 <= nxt <= 0x37:  # octal, 1-3 digits
+                j = i + 1
+                while j < n and j < i + 4 and 0x30 <= data[j] <= 0x37:
+                    j += 1
+                out.append(int(data[i + 1: j], 8) & 0xFF)
+                i = j
+                continue
+            if nxt in (10, 13):  # line continuation
+                i += 2
+                if nxt == 13 and i < n and data[i] == 10:
+                    i += 1
+                continue
+            out.append(nxt)
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+        out.append(c)
+        i += 1
+    raise ValueError("unterminated string")
+
+
+# ---------------------------------------------------------------------------
+# stream filters
+# ---------------------------------------------------------------------------
+
+def _png_predict(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    rowlen = (colors * bpc * columns + 7) // 8
+    bpp = max(1, (colors * bpc + 7) // 8)
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos + 1 <= len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1: pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if ft == 1:
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[i] = (row[i] + pr) & 0xFF
+        out.extend(row)
+        prev = row
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """LZWDecode (TIFF-style with EarlyChange=1, the PDF default)."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bitbuf = bitcnt = 0
+    width = 9
+    prev: Optional[bytes] = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _rl_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        l = data[i]
+        if l == 128:
+            break
+        if l < 128:
+            out.extend(data[i + 1: i + 2 + l])
+            i += 2 + l
+        else:
+            out.extend(data[i + 1: i + 2] * (257 - l))
+            i += 2
+    return bytes(out)
+
+
+def _a85_decode(data: bytes) -> bytes:
+    import base64
+
+    data = re.sub(rb"\s", b"", data)
+    if data.endswith(b"~>"):
+        data = data[:-2]
+    return base64.a85decode(data)
+
+
+def _apply_filters(sdict: dict, raw: bytes) -> bytes:
+    filters = sdict.get("Filter")
+    if filters is None:
+        return raw
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = sdict.get("DecodeParms") or sdict.get("DP")
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    for f, pm in zip(filters, parms):
+        f = str(f)
+        if f in ("FlateDecode", "Fl"):
+            raw = zlib.decompress(raw)
+        elif f in ("LZWDecode", "LZW"):
+            raw = _lzw_decode(raw)
+        elif f in ("ASCIIHexDecode", "AHx"):
+            hx = re.sub(rb"[^0-9A-Fa-f]", b"", raw.split(b">")[0])
+            if len(hx) % 2:
+                hx += b"0"
+            raw = bytes.fromhex(hx.decode("ascii"))
+        elif f in ("ASCII85Decode", "A85"):
+            raw = _a85_decode(raw)
+        elif f in ("RunLengthDecode", "RL"):
+            raw = _rl_decode(raw)
+        elif f == "Crypt":
+            continue  # handled by the encryption layer
+        else:
+            raise ValueError(f"unsupported filter {f}")
+        if isinstance(pm, dict):
+            pred = pm.get("Predictor", 1)
+            if isinstance(pred, (int, float)) and pred >= 10:
+                raw = _png_predict(
+                    raw, int(pm.get("Colors", 1)),
+                    int(pm.get("BitsPerComponent", 8)),
+                    int(pm.get("Columns", 1)),
+                )
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# encryption (Standard security handler)
+# ---------------------------------------------------------------------------
+
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes, iv: Optional[bytes] = None,
+                     unpad: bool = True) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    if iv is None:
+        iv, data = data[:16], data[16:]
+    if not data or len(data) % 16:
+        return b""
+    dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
+    out = dec.update(data) + dec.finalize()
+    if unpad and out:
+        n = out[-1]
+        if 1 <= n <= 16:
+            out = out[:-n]
+    return out
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+    return enc.update(data) + enc.finalize()
+
+
+def _hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (revision 6 key hardening)."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k1, k[16:32])
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+class _Encryption:
+    """Per-document decryption state (Standard handler, empty user pw)."""
+
+    def __init__(self, key: bytes, v: int, aes: bool):
+        self.key = key
+        self.v = v
+        self.aes = aes
+
+    @classmethod
+    def create(cls, enc: dict, id0: bytes,
+               password: bytes = b"") -> Optional["_Encryption"]:
+        if str(enc.get("Filter", "")) != "Standard":
+            return None
+        v = int(enc.get("V", 0))
+        r = int(enc.get("R", 2))
+        o = _as_bytes(enc.get("O", b""))
+        u = _as_bytes(enc.get("U", b""))
+        p = int(enc.get("P", -1)) & 0xFFFFFFFF
+        length = int(enc.get("Length", 40))
+        if v >= 5:  # AES-256, R5/R6
+            vsalt, ksalt = u[32:40], u[40:48]
+            if r == 6:
+                h = _hash_r6(password, vsalt, b"")
+            else:
+                h = hashlib.sha256(password + vsalt).digest()
+            if h != u[:32]:
+                # try the owner password slot with the same (empty) pw
+                ovsalt, oksalt = o[32:40], o[40:48]
+                oh = (_hash_r6(password, ovsalt, u[:48]) if r == 6 else
+                      hashlib.sha256(password + ovsalt + u[:48]).digest())
+                if oh != o[:32]:
+                    return None  # password required
+                ik = (_hash_r6(password, oksalt, u[:48]) if r == 6 else
+                      hashlib.sha256(password + oksalt + u[:48]).digest())
+                key = _aes_cbc_decrypt(
+                    ik, _as_bytes(enc.get("OE", b"")), iv=b"\0" * 16,
+                    unpad=False,
+                )
+            else:
+                ik = (_hash_r6(password, ksalt, b"") if r == 6 else
+                      hashlib.sha256(password + ksalt).digest())
+                key = _aes_cbc_decrypt(
+                    ik, _as_bytes(enc.get("UE", b"")), iv=b"\0" * 16,
+                    unpad=False,
+                )
+            return cls(key[:32], v, aes=True)
+        # V <= 4: RC4 / AES-128 file key (Algorithm 2)
+        pw = (password + _PAD)[:32]
+        h = hashlib.md5(pw + o[:32] + struct.pack("<I", p) + id0)
+        if r >= 4 and enc.get("EncryptMetadata") is False:
+            h.update(b"\xff\xff\xff\xff")
+        key = h.digest()
+        n = length // 8 if r >= 3 else 5
+        if r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:n]).digest()
+        key = key[:n]
+        aes = False
+        if v == 4:
+            cf = enc.get("CF", {})
+            stmf = str(enc.get("StmF", "Identity"))
+            cfm = ""
+            if isinstance(cf, dict) and stmf in cf and isinstance(
+                cf[stmf], dict
+            ):
+                cfm = str(cf[stmf].get("CFM", ""))
+            aes = cfm == "AESV2"
+        return cls(key, v, aes)
+
+    def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+        if self.v >= 5:
+            return _aes_cbc_decrypt(self.key, data)
+        k = self.key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+        if self.aes:
+            k += b"sAlT"
+        ok = hashlib.md5(k).digest()[: min(len(self.key) + 5, 16)]
+        return _aes_cbc_decrypt(ok, data) if self.aes else _rc4(ok, data)
+
+
+def _as_bytes(v) -> bytes:
+    if isinstance(v, bytes):
+        return v
+    if isinstance(v, str):
+        return v.encode("latin-1")
+    return b""
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps (CID/Type0 and simple fonts)
+# ---------------------------------------------------------------------------
+
+class _FontMap:
+    __slots__ = ("cmap", "nbytes")
+
+    def __init__(self, cmap: Dict[int, str], nbytes: int):
+        self.cmap = cmap
+        self.nbytes = nbytes
+
+    def decode(self, raw: bytes) -> str:
+        n = self.nbytes
+        out = []
+        for i in range(0, len(raw) - n + 1, n):
+            code = int.from_bytes(raw[i: i + n], "big")
+            s = self.cmap.get(code)
+            if s is None:
+                # unmapped code: keep 1-byte codes readable, drop wide ones
+                s = chr(code) if n == 1 and 32 <= code < 127 else ""
+            out.append(s)
+        return "".join(out)
+
+
+_CMAP_HEX = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(data: bytes) -> _FontMap:
+    cmap: Dict[int, str] = {}
+    nbytes = 0
+    for m in re.finditer(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+    ):
+        for hx in _CMAP_HEX.finditer(m.group(1)):
+            nbytes = max(nbytes, len(hx.group(1)) // 2)
+
+    def uni(hx: bytes) -> str:
+        b = bytes.fromhex(hx.decode("ascii"))
+        if len(b) % 2:
+            b = b"\0" + b
+        return b.decode("utf-16-be", "replace")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = _CMAP_HEX.findall(m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            cmap[int(toks[i], 16)] = uni(toks[i + 1])
+            nbytes = nbytes or len(toks[i]) // 2
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = m.group(1)
+        pos = 0
+        while True:
+            mm = re.match(
+                rb"\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*", body[pos:]
+            )
+            if not mm:
+                break
+            lo, hi = int(mm.group(1), 16), int(mm.group(2), 16)
+            nbytes = nbytes or len(mm.group(1)) // 2
+            pos += mm.end()
+            if body[pos: pos + 1] == b"[":
+                end = body.find(b"]", pos)
+                dsts = _CMAP_HEX.findall(body[pos:end])
+                for k, d in enumerate(dsts):
+                    cmap[lo + k] = uni(d)
+                pos = end + 1
+            else:
+                mm = re.match(rb"<([0-9A-Fa-f]+)>\s*", body[pos:])
+                if not mm:
+                    break
+                base = uni(mm.group(1))
+                pos += mm.end()
+                for k in range(hi - lo + 1):
+                    if base:
+                        cmap[lo + k] = base[:-1] + chr(
+                            ord(base[-1]) + k
+                        )
+    return _FontMap(cmap, nbytes or 1)
+
+
+# ---------------------------------------------------------------------------
+# document
+# ---------------------------------------------------------------------------
+
+class PdfDocument:
+    def __init__(self, data: bytes, password: bytes = b""):
+        self.data = data
+        self.objects: Dict[int, bytes] = {}       # raw body bytes
+        self._gens: Dict[int, int] = {}
+        self._raw_streams: Dict[int, bytes] = {}
+        self._parsed: Dict[int, object] = {}
+        self._from_objstm: set = set()
+        self._scan_objects()
+        self._crypt = self._setup_encryption(password)
+        self._expand_object_streams()
+        self.info = self._info()
+        self.pages, self._page_resources = self._page_objects()
+
+    # ---- object scan -----------------------------------------------------
     def _scan_objects(self) -> None:
         data = self.data
         for m in _OBJ_RE.finditer(data):
@@ -48,115 +590,230 @@ class PdfDocument:
                 es = raw.rfind(b"endstream")
                 if es >= 0:
                     raw = raw[:es]
-                self._streams[num] = raw.rstrip(b"\r\n")
+                self._raw_streams[num] = raw.rstrip(b"\r\n")
             else:
                 self.objects[num] = body
+            self._gens[num] = int(m.group(2))
 
-    def _resolve(self, num: int) -> bytes:
-        return self.objects.get(num, b"")
+    def obj(self, num: int):
+        """Parsed object value (dict for dictionaries), cached."""
+        if num in self._parsed:
+            return self._parsed[num]
+        body = self.objects.get(num)
+        val = None
+        if body is not None:
+            try:
+                val, _ = _parse_value(body, 0)
+            except Exception:
+                val = None
+        self._parsed[num] = val
+        return val
 
-    @staticmethod
-    def _dict_value(body: bytes, key: bytes) -> Optional[bytes]:
-        m = re.search(re.escape(key) + rb"\s*", body)
-        if not m:
+    def deref(self, v):
+        seen = 0
+        while isinstance(v, Ref) and seen < 32:
+            v = self.obj(v.num)
+            seen += 1
+        return v
+
+    # ---- encryption --------------------------------------------------------
+    def _setup_encryption(self, password: bytes) -> Optional[_Encryption]:
+        m = None
+        for m in re.finditer(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.data):
+            pass  # last trailer wins
+        if m is None:
             return None
-        rest = body[m.end():]
-        mm = re.match(rb"(\d+)\s+\d+\s+R", rest)
-        if mm:
-            return mm.group(0)
-        mm = re.match(rb"\[(.*?)\]", rest, re.S)
-        if mm:
-            return mm.group(0)
-        mm = re.match(rb"[^/\r\n<>\[\]]+", rest)
-        return mm.group(0) if mm else None
+        enc = self.obj(int(m.group(1)))
+        if not isinstance(enc, dict):
+            return None
+        id0 = b""
+        mid = None
+        for mid in re.finditer(rb"/ID\s*\[", self.data):
+            pass
+        if mid is not None:
+            try:
+                arr, _ = _parse_value(self.data, mid.end() - 1)
+                if isinstance(arr, list) and arr:
+                    id0 = _as_bytes(arr[0])
+            except Exception:
+                pass
+        return _Encryption.create(enc, id0, password)
 
-    @staticmethod
-    def _refs(val: bytes) -> List[int]:
-        return [int(m.group(1)) for m in re.finditer(rb"(\d+)\s+\d+\s+R", val)]
+    def stream(self, num: int) -> Optional[bytes]:
+        """Decoded (decrypted + defiltered) stream of object `num`."""
+        raw = self._raw_streams.get(num)
+        if raw is None:
+            return None
+        sdict = self.obj(num)
+        if not isinstance(sdict, dict):
+            sdict = {}
+        length = self.deref(sdict.get("Length"))
+        if isinstance(length, (int, float)) and 0 < int(length) <= len(raw):
+            raw = raw[: int(length)]
+        if self._crypt is not None and num not in self._from_objstm:
+            raw = self._crypt.decrypt(raw, num, self._gens.get(num, 0))
+        try:
+            return _apply_filters(sdict, raw)
+        except Exception:
+            return None
 
-    # ---- page tree ---------------------------------------------------------
-    def _page_objects(self) -> List[int]:
-        # find the catalog -> /Pages, walk /Kids depth-first in order
-        root: Optional[int] = None
-        m = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", self.data)
-        if m:
-            cat = self._resolve(int(m.group(1)))
-            v = self._dict_value(cat, b"/Pages")
-            if v:
-                refs = self._refs(v)
-                root = refs[0] if refs else None
+    # ---- object streams ----------------------------------------------------
+    def _expand_object_streams(self) -> None:
+        for num in list(self.objects):
+            d = self.obj(num)
+            if not (isinstance(d, dict) and str(d.get("Type", "")) == "ObjStm"):
+                continue
+            data = self.stream(num)
+            if data is None:
+                continue
+            try:
+                n = int(self.deref(d.get("N", 0)))
+                first = int(self.deref(d.get("First", 0)))
+            except (TypeError, ValueError):
+                continue
+            header = data[:first].split()
+            offsets = []
+            for i in range(0, min(len(header), 2 * n) - 1, 2):
+                offsets.append((int(header[i]), int(header[i + 1])))
+            for k, (onum, off) in enumerate(offsets):
+                end = (
+                    first + offsets[k + 1][1]
+                    if k + 1 < len(offsets) else len(data)
+                )
+                if onum not in self.objects:  # file-level copy wins
+                    self.objects[onum] = data[first + off: end]
+                    self._gens[onum] = 0
+                    self._from_objstm.add(onum)
+
+    # ---- page tree -----------------------------------------------------------
+    def _page_objects(self) -> Tuple[List[int], Dict[int, dict]]:
+        root_pages: Optional[int] = None
+        for m in re.finditer(rb"/Root\s+(\d+)\s+\d+\s+R", self.data):
+            cat = self.obj(int(m.group(1)))
+            if isinstance(cat, dict) and isinstance(cat.get("Pages"), Ref):
+                root_pages = cat["Pages"].num
+        if root_pages is None:  # catalog may live in an ObjStm
+            for num in self.objects:
+                d = self.obj(num)
+                if isinstance(d, dict) and str(d.get("Type", "")) == \
+                        "Catalog" and isinstance(d.get("Pages"), Ref):
+                    root_pages = d["Pages"].num
+                    break
         pages: List[int] = []
+        resources: Dict[int, dict] = {}
         seen = set()
 
-        def walk(num: int) -> None:
+        def walk(num: int, inherited_res) -> None:
             if num in seen:
                 return
             seen.add(num)
-            body = self._resolve(num)
-            if re.search(rb"/Type\s*/Page\b(?!s)", body):
-                pages.append(num)
+            d = self.obj(num)
+            if not isinstance(d, dict):
                 return
-            kids = self._dict_value(body, b"/Kids")
-            if kids:
-                for r in self._refs(kids):
-                    walk(r)
+            res = d.get("Resources", inherited_res)
+            if str(d.get("Type", "")) == "Page":
+                pages.append(num)
+                r = self.deref(res)
+                resources[num] = r if isinstance(r, dict) else {}
+                return
+            kids = self.deref(d.get("Kids"))
+            if isinstance(kids, list):
+                for k in kids:
+                    if isinstance(k, Ref):
+                        walk(k.num, res)
 
-        if root is not None:
-            walk(root)
+        if root_pages is not None:
+            walk(root_pages, None)
         if not pages:  # fallback: every /Type /Page object in file order
-            for num, body in sorted(self.objects.items()):
-                if re.search(rb"/Type\s*/Page\b(?!s)", body):
+            for num in sorted(self.objects):
+                d = self.obj(num)
+                if isinstance(d, dict) and str(d.get("Type", "")) == "Page":
                     pages.append(num)
-        return pages
+                    r = self.deref(d.get("Resources"))
+                    resources[num] = r if isinstance(r, dict) else {}
+        return pages, resources
 
-    # ---- metadata ----------------------------------------------------------
+    # ---- metadata ------------------------------------------------------------
     def _info(self) -> Dict[str, str]:
         info: Dict[str, str] = {}
-        m = re.search(rb"/Info\s+(\d+)\s+\d+\s+R", self.data)
-        if not m:
+        m = None
+        for m in re.finditer(rb"/Info\s+(\d+)\s+\d+\s+R", self.data):
+            pass
+        if m is None:
             return info
-        body = self._resolve(int(m.group(1)))
-        for key in (b"/Title", b"/Author", b"/Subject"):
-            km = re.search(re.escape(key) + rb"\s*\((.*?)(?<!\\)\)", body, re.S)
-            if km:
-                info[key[1:].decode()] = _decode_pdf_string(km.group(1))
-            else:
-                km = re.search(re.escape(key) + rb"\s*<([0-9A-Fa-f\s]+)>", body)
-                if km:
-                    info[key[1:].decode()] = _decode_hex_string(km.group(1))
+        num = int(m.group(1))
+        d = self.obj(num)
+        if not isinstance(d, dict):
+            return info
+        for key in ("Title", "Author", "Subject"):
+            v = self.deref(d.get(key))
+            if isinstance(v, bytes):
+                if self._crypt is not None and num not in self._from_objstm:
+                    v = self._crypt.decrypt(v, num, self._gens.get(num, 0))
+                info[key] = _decode_text_string(v)
         return info
 
     @property
     def page_count(self) -> int:
         return len(self.pages)
 
-    # ---- content -----------------------------------------------------------
+    # ---- content ----------------------------------------------------------
     def _content_bytes(self, page_num: int) -> bytes:
-        body = self._resolve(page_num)
-        v = self._dict_value(body, b"/Contents")
-        if not v:
+        d = self.obj(page_num)
+        if not isinstance(d, dict):
             return b""
+        contents = d.get("Contents")
+        refs: List[Ref] = []
+        if isinstance(contents, Ref):
+            inner = self.obj(contents.num)
+            if isinstance(inner, list):
+                refs = [r for r in inner if isinstance(r, Ref)]
+            else:
+                refs = [contents]
+        elif isinstance(contents, list):
+            refs = [r for r in contents if isinstance(r, Ref)]
         out = []
-        for ref in self._refs(v):
-            raw = self._streams.get(ref)
-            if raw is None:
-                continue
-            obj = self.objects.get(ref, b"")
-            if b"/FlateDecode" in obj:
-                try:
-                    raw = zlib.decompress(raw)
-                except zlib.error:
-                    try:
-                        raw = zlib.decompressobj().decompress(raw)
-                    except zlib.error:
-                        continue
-            out.append(raw)
+        for r in refs:
+            data = self.stream(r.num)
+            if data is not None:
+                out.append(data)
         return b"\n".join(out)
+
+    def _page_fonts(self, page_num: int) -> Dict[str, _FontMap]:
+        res = self._page_resources.get(page_num) or {}
+        fonts = self.deref(res.get("Font"))
+        out: Dict[str, _FontMap] = {}
+        if not isinstance(fonts, dict):
+            return out
+        for name, fref in fonts.items():
+            fd = self.deref(fref)
+            if not isinstance(fd, dict):
+                continue
+            tu = fd.get("ToUnicode")
+            if isinstance(tu, Ref):
+                data = self.stream(tu.num)
+                if data:
+                    try:
+                        fm = _parse_tounicode(data)
+                        if str(fd.get("Subtype", "")) == "Type0":
+                            fm.nbytes = max(fm.nbytes, 2)
+                        out[name] = fm
+                        continue
+                    except Exception:
+                        pass
+            if str(fd.get("Subtype", "")) == "Type0":
+                # identity CID mapping: 2-byte codes, often Identity-H
+                # over a Unicode-ordered CIDFont — decode as UTF-16BE
+                out[name] = _FontMap({}, 2)
+        return out
 
     def extract_page_text(self, index: int) -> str:
         if not 0 <= index < len(self.pages):
             return ""
-        return extract_text_operators(self._content_bytes(self.pages[index]))
+        num = self.pages[index]
+        return extract_text_operators(
+            self._content_bytes(num), self._page_fonts(num)
+        )
 
     def extract_text(self) -> str:
         return "\n".join(
@@ -164,54 +821,19 @@ class PdfDocument:
         )
 
 
-_ESCAPES = {
-    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
-    b"(": "(", b")": ")", b"\\": "\\",
-}
-
-
-def _decode_pdf_string(raw: bytes) -> str:
+def _decode_text_string(raw: bytes) -> str:
     if raw.startswith(b"\xfe\xff"):
-        try:
-            return raw.decode("utf-16-be", "replace")[1:]
-        except Exception:
-            pass
-    out = []
-    i = 0
-    while i < len(raw):
-        c = raw[i: i + 1]
-        if c == b"\\" and i + 1 < len(raw):
-            nxt = raw[i + 1: i + 2]
-            if nxt in _ESCAPES:
-                out.append(_ESCAPES[nxt])
-                i += 2
-                continue
-            if nxt.isdigit():  # octal escape, 1-3 digits
-                j = i + 1
-                while j < len(raw) and j < i + 4 and raw[j: j + 1].isdigit():
-                    j += 1
-                out.append(chr(int(raw[i + 1: j], 8) & 0xFF))
-                i = j
-                continue
-            i += 1
-            continue
-        out.append(c.decode("latin-1"))
-        i += 1
-    return "".join(out)
+        return raw.decode("utf-16-be", "replace")[1:]
+    return raw.decode("latin-1")
 
 
-def _decode_hex_string(raw: bytes) -> str:
-    hexstr = re.sub(rb"\s+", b"", raw)
-    if len(hexstr) % 2:
-        hexstr += b"0"
-    data = bytes.fromhex(hexstr.decode("ascii", "ignore"))
-    if data.startswith(b"\xfe\xff"):
-        return data.decode("utf-16-be", "replace")
-    return data.decode("latin-1")
-
+# ---------------------------------------------------------------------------
+# content stream interpretation
+# ---------------------------------------------------------------------------
 
 _TOKEN_RE = re.compile(
     rb"\((?:\\.|[^()\\])*\)"      # literal string
+    rb"|<<|>>"
     rb"|<[0-9A-Fa-f\s]*>"         # hex string
     rb"|\[|\]"
     rb"|/[^\s/<>\[\]()]*"
@@ -220,14 +842,33 @@ _TOKEN_RE = re.compile(
 )
 
 
-def extract_text_operators(content: bytes) -> str:
+class _Str(bytes):
+    """A string operand (raw bytes, undecoded)."""
+
+
+def extract_text_operators(content: bytes,
+                           fonts: Optional[Dict[str, _FontMap]] = None) -> str:
     """Walk a content stream, emitting string operands at text-showing
     operators. TD/Td/T*/ET insert line breaks; TJ number offsets below
-    -100/1000 em insert a space (word gap heuristic)."""
+    -100/1000 em insert a space (word gap heuristic). With `fonts`, Tf
+    switches the active ToUnicode map and strings decode through it
+    (CID/Type0 2-byte codes included); otherwise bytes decode latin-1.
+    """
+    fonts = fonts or {}
     out: List[str] = []
     stack: List[object] = []
     in_array: List[object] = []
     array_depth = 0
+    cur_font: Optional[_FontMap] = None
+
+    def dec(raw: bytes) -> str:
+        if cur_font is not None:
+            if cur_font.cmap:
+                return cur_font.decode(raw)
+            if cur_font.nbytes == 2:
+                return raw.decode("utf-16-be", "replace")
+        return raw.decode("latin-1")
+
     for m in _TOKEN_RE.finditer(content):
         tok = m.group(0)
         if tok == b"[":
@@ -239,11 +880,17 @@ def extract_text_operators(content: bytes) -> str:
             stack.append(list(in_array))
             in_array = []
             continue
+        if tok in (b"<<", b">>"):
+            continue
         target = in_array if array_depth else stack
         if tok.startswith(b"("):
-            target.append(_decode_pdf_string(tok[1:-1]))
+            raw, _ = _parse_literal_string(tok, 0)
+            target.append(_Str(raw))
         elif tok.startswith(b"<"):
-            target.append(_decode_hex_string(tok[1:-1]))
+            hx = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hx) % 2:
+                hx += b"0"
+            target.append(_Str(bytes.fromhex(hx.decode("ascii"))))
         elif tok.startswith(b"/"):
             target.append(tok)
         else:
@@ -253,16 +900,23 @@ def extract_text_operators(content: bytes) -> str:
             except ValueError:
                 pass
             op = tok
-            if op == b"Tj" and stack and isinstance(stack[-1], str):
-                out.append(stack[-1])
+            if op == b"Tf":
+                name = next(
+                    (t for t in reversed(stack) if isinstance(t, bytes)
+                     and t.startswith(b"/")), None,
+                )
+                if name is not None:
+                    cur_font = fonts.get(name[1:].decode("latin-1"))
+            elif op == b"Tj" and stack and isinstance(stack[-1], _Str):
+                out.append(dec(stack[-1]))
             elif op in (b"'", b'"'):
-                strs = [x for x in stack if isinstance(x, str)]
+                strs = [x for x in stack if isinstance(x, _Str)]
                 if strs:
-                    out.append("\n" + strs[-1])
+                    out.append("\n" + dec(strs[-1]))
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
                 for item in stack[-1]:
-                    if isinstance(item, str):
-                        out.append(item)
+                    if isinstance(item, _Str):
+                        out.append(dec(item))
                     elif isinstance(item, float) and item < -100:
                         out.append(" ")
             elif op in (b"Td", b"TD", b"T*", b"ET"):

@@ -144,6 +144,285 @@ def test_pdf_tj_array_and_escapes():
     assert extract_text_operators(content) == "Hello world\nparen)ok"
 
 
+def test_pdf_filter_chain_a85_flate_and_lzw():
+    import base64
+
+    from docodo_tpu.sources import pdftext as px
+
+    text = b"BT (chained filter text) Tj ET"
+    chained = base64.a85encode(zlib.compress(text)) + b"~>"
+    pdf = (
+        b"%PDF-1.5\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + b"4 0 obj\n<< /Length " + str(len(chained)).encode()
+        + b" /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n"
+        + chained + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "chained filter text"
+    # LZW round-trip via the decoder itself is covered by a known vector:
+    # TIFF LZW of b'-----A---B' (per the PDF spec example)
+    enc = bytes([0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01])
+    assert px._lzw_decode(enc) == b"-----A---B"
+
+
+def _make_objstm_pdf(text=b"inside objstm page"):
+    """Page tree + catalog packed into an /ObjStm (modern writer layout);
+    only the content stream is a file-level object."""
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+    ]
+    bodies = b""
+    header = b""
+    for num, body in inner:
+        header += f"{num} {len(bodies)} ".encode()
+        bodies += body + b"\n"
+    payload = header + bodies
+    stm = zlib.compress(payload)
+    content = b"BT (" + text + b") Tj ET"
+    return (
+        b"%PDF-1.5\n"
+        + b"4 0 obj\n<< /Type /ObjStm /N 3 /First "
+        + str(len(header)).encode()
+        + b" /Length " + str(len(stm)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + stm
+        + b"\nendstream\nendobj\n"
+        + b"5 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_pdf_object_streams():
+    doc = PdfDocument(_make_objstm_pdf())
+    assert doc.page_count == 1
+    assert doc.extract_page_text(0) == "inside objstm page"
+
+
+def _encrypt_pdf_rc4(pages, user_pw=b""):
+    """Standard handler V2/R3 (RC4-128) encryption of _make_pdf output,
+    following ISO 32000 Algorithm 2 for the file key."""
+    import hashlib
+    import struct
+
+    from docodo_tpu.sources import pdftext as px
+
+    o_entry = bytes(range(32))
+    id0 = bytes(range(16))
+    p = 0xFFFFFFFC  # -4
+    key = hashlib.md5(
+        (user_pw + px._PAD)[:32] + o_entry + struct.pack("<I", p) + id0
+    ).digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:16]).digest()
+    key = key[:16]
+
+    def obj_key(num, gen):
+        k = key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+        return hashlib.md5(k).digest()[:16]
+
+    objs = []
+    kids = ", ".join(f"{3 + 2 * i} 0 R" for i in range(len(pages)))
+    objs.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    objs.append(
+        f"2 0 obj\n<< /Type /Pages /Kids [{kids}] /Count {len(pages)} "
+        f">>\nendobj\n".encode()
+    )
+    for i, text in enumerate(pages):
+        content = b"BT (" + text.encode("latin-1") + b") Tj ET"
+        enc = px._rc4(obj_key(4 + 2 * i, 0), content)
+        objs.append(
+            f"{3 + 2 * i} 0 obj\n<< /Type /Page /Parent 2 0 R /Contents "
+            f"{4 + 2 * i} 0 R >>\nendobj\n".encode()
+        )
+        objs.append(
+            f"{4 + 2 * i} 0 obj\n<< /Length {len(enc)} >>\nstream\n".encode()
+            + enc + b"\nendstream\nendobj\n"
+        )
+    objs.append(
+        b"9 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P -4 /O <"
+        + o_entry.hex().encode() + b"> /U <" + bytes(32).hex().encode()
+        + b"> >>\nendobj\n"
+    )
+    return (
+        b"%PDF-1.4\n" + b"".join(objs)
+        + b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R /ID [<"
+        + id0.hex().encode() + b"> <" + id0.hex().encode() + b">] >>\n%%EOF\n"
+    )
+
+
+def test_pdf_rc4_encrypted():
+    data = _encrypt_pdf_rc4(["rc4 secret body", "second rc4 page"])
+    doc = PdfDocument(data)
+    assert doc.page_count == 2
+    assert doc.extract_page_text(0) == "rc4 secret body"
+    assert doc.extract_page_text(1) == "second rc4 page"
+
+
+def _encrypt_pdf_aes128(text):
+    """V4/R4 with /StdCF AESV2 (AES-128-CBC, random IV, PKCS#5 pad)."""
+    import hashlib
+    import os as _os
+    import struct
+
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    from docodo_tpu.sources import pdftext as px
+
+    o_entry = bytes(range(32, 64))
+    id0 = bytes(range(16))
+    p = 0xFFFFFFFC
+    key = hashlib.md5(
+        px._PAD + o_entry + struct.pack("<I", p) + id0
+    ).digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:16]).digest()
+    key = key[:16]
+    content = b"BT (" + text + b") Tj ET"
+    ok = hashlib.md5(
+        key + struct.pack("<I", 4)[:3] + struct.pack("<I", 0)[:2] + b"sAlT"
+    ).digest()[:16]
+    iv = _os.urandom(16)
+    padn = 16 - len(content) % 16
+    enc_ = Cipher(algorithms.AES(ok), modes.CBC(iv)).encryptor()
+    enc = iv + enc_.update(content + bytes([padn]) * padn) + enc_.finalize()
+    return (
+        b"%PDF-1.6\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + b"4 0 obj\n<< /Length " + str(len(enc)).encode()
+        + b" >>\nstream\n" + enc + b"\nendstream\nendobj\n"
+        + b"9 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 /P -4"
+        b" /CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF /StrF /StdCF"
+        b" /O <" + o_entry.hex().encode() + b"> /U <"
+        + bytes(32).hex().encode() + b"> >>\nendobj\n"
+        + b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R /ID [<"
+        + id0.hex().encode() + b">] >>\n%%EOF\n"
+    )
+
+
+def test_pdf_aes128_encrypted():
+    data = _encrypt_pdf_aes128(b"aes secret words")
+    assert extract_pdf_text(data) == "aes secret words"
+
+
+def test_pdf_aes256_r6_encrypted():
+    import os as _os
+
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    from docodo_tpu.sources import pdftext as px
+
+    file_key = bytes(range(11, 43))
+    vsalt, ksalt = bytes(range(8)), bytes(range(8, 16))
+    u_hash = px._hash_r6(b"", vsalt, b"")
+    ik = px._hash_r6(b"", ksalt, b"")
+    ue = px._aes_cbc_encrypt_nopad(ik, file_key, b"\0" * 16)
+    u_entry = u_hash + vsalt + ksalt
+
+    content = b"BT (aes256 hardened) Tj ET"
+    iv = _os.urandom(16)
+    padn = 16 - len(content) % 16
+    enc_ = Cipher(algorithms.AES(file_key), modes.CBC(iv)).encryptor()
+    enc = iv + enc_.update(content + bytes([padn]) * padn) + enc_.finalize()
+    data = (
+        b"%PDF-2.0\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + b"4 0 obj\n<< /Length " + str(len(enc)).encode()
+        + b" >>\nstream\n" + enc + b"\nendstream\nendobj\n"
+        + b"9 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 /P -4"
+        b" /O <" + bytes(48).hex().encode() + b"> /U <"
+        + u_entry.hex().encode() + b"> /UE <" + ue.hex().encode()
+        + b"> /OE <" + bytes(32).hex().encode() + b"> >>\nendobj\n"
+        + b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R /ID [<"
+        + bytes(16).hex().encode() + b">] >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(data) == "aes256 hardened"
+
+
+def _make_cid_pdf(text="Composite Text"):
+    """Type0/CID font: content shows 2-byte codes mapped via /ToUnicode."""
+    codes = {ch: i + 1 for i, ch in enumerate(dict.fromkeys(text))}
+    hexstr = "".join(f"{codes[c]:04X}" for c in text)
+    bfchars = "".join(
+        f"<{v:04X}> <{ord(k):04X}>\n" for k, v in codes.items()
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(codes)} beginbfchar\n{bfchars}endbfchar\n"
+        "endcmap end end\n"
+    ).encode()
+    content = f"BT /F1 12 Tf <{hexstr}> Tj ET".encode()
+    return (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+        + b"4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        + b"5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H"
+        b" /Encoding /Identity-H /ToUnicode 6 0 R >>\nendobj\n"
+        + b"6 0 obj\n<< /Length " + str(len(cmap)).encode()
+        + b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n"
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_pdf_cid_type0_tounicode():
+    data = _make_cid_pdf("Composite CID Text")
+    assert extract_pdf_text(data) == "Composite CID Text"
+
+
+def test_pdf_tounicode_bfrange():
+    from docodo_tpu.sources.pdftext import _parse_tounicode
+
+    cmap = (
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfrange <41> <43> <0061> endbfrange\n"
+        b"1 beginbfrange <50> <52> [<0078> <0079> <007A>] endbfrange\n"
+    )
+    fm = _parse_tounicode(cmap)
+    assert fm.nbytes == 1
+    assert fm.decode(b"\x41\x42\x43") == "abc"
+    assert fm.decode(b"\x50\x51\x52") == "xyz"
+
+
+def test_pdf_inherited_resources():
+    """/Resources on the /Pages node must be inherited by kid pages."""
+    cmap = (
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfchar <0001> <0058> endbfchar\n"
+    )
+    content = b"BT /F1 9 Tf <0001> Tj ET"
+    data = (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + b"4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        + b"5 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>\nendobj\n"
+        + b"6 0 obj\n<< /Length " + str(len(cmap)).encode()
+        + b" >>\nstream\n" + cmap + b"\nendstream\nendobj\n"
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(data) == "X"
+
+
 def test_documents_source_mixed(tmp_path):
     (tmp_path / "t.txt").write_text("plain words here")
     (tmp_path / "d.pdf").write_bytes(_make_pdf(["pdf body text"]))
