@@ -165,10 +165,15 @@ def main() -> None:
     # Reps are chained through a ranks-checksum scalar so ONE final tiny
     # readback bounds the wall time of all executions even where
     # block_until_ready is unreliable (remote-tunnel device).
-    # Default OFF: after the gather-free rewrites the XLA path measures
-    # faster than Pallas routing (82.0k vs 55.8k QPS on TPU v5e); the
-    # fused kernel remains available via DOCODO_PALLAS=1.
-    use_pallas = os.environ.get("DOCODO_PALLAS", "0") == "1"
+    # Default ON for TPU since round 2: the scan-based kernel rewrite +
+    # per-cap Q blocks + the merge-free single-word kernel beat the XLA
+    # path on this bench (133.2k vs 131.5k QPS); DOCODO_PALLAS=0/1
+    # overrides.
+    env_pallas = os.environ.get("DOCODO_PALLAS")
+    if env_pallas is not None:
+        use_pallas = env_pallas == "1"
+    else:
+        use_pallas = jax.default_backend() == "tpu"
     log(f"pallas kernels for small buckets: {use_pallas}")
 
     def step(chain):

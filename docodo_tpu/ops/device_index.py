@@ -372,6 +372,23 @@ def query_step_full(term_offsets, coords, bounds, page_doc, is_header,
                        hit_cap)
 
 
+@functools.partial(jax.jit, static_argnames=("cap", "topk", "hit_cap"))
+def batched_query_full(term_offsets, coords, bounds, page_doc, is_header,
+                       terms, rs, cap: int, topk: int, hit_cap: int):
+    """One bucket of full-result queries ([B, W] or [B, W, V] terms) as
+    its own cached jit — serving uses this instead of the fused
+    multi-bucket program because batch COMPOSITIONS churn per request
+    wave: a fused program recompiles per composition tuple (minutes over
+    a remote-tunnel device), while per-bucket shapes recur and hit this
+    cache."""
+    fn = functools.partial(
+        query_step_full, cap=cap, topk=topk, hit_cap=hit_cap
+    )
+    return jax.vmap(fn, in_axes=(None, None, None, None, None, 0, 0))(
+        term_offsets, coords, bounds, page_doc, is_header, terms, rs
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("caps", "topk", "hit_cap"))
 def multi_bucket_query_full(term_offsets, coords, bounds, page_doc,
                             is_header, terms_list, rs_list, caps,
@@ -413,16 +430,20 @@ def multi_bucket_query_full_chained(term_offsets, coords, bounds, page_doc,
 
 def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
                    topk: int):
-    """Route one (cap, W<=2) bucket through the fused Pallas kernel
+    """Route one (cap, W<=2) bucket through the fused Pallas kernels
     (ops/pallas_query): gather the posting blocks, evaluate the whole
-    bucket as ONE kernel launch. Single-word queries feed the list as
-    both operands — the cross-operand dup/ghost rule then reduces the
-    AND to the identity, so the same kernel serves W=1 and W=2."""
-    from docodo_tpu.ops.pallas_query import Q as PQ
-    from docodo_tpu.ops.pallas_query import pallas_batched_and_locate
+    bucket as ONE kernel launch. Single-word buckets take the merge-free
+    locate-only kernel; pairs take the full AND kernel."""
+    from docodo_tpu.ops.pallas_query import (
+        pallas_batched_and_locate,
+        pallas_batched_single_locate,
+        q_for_cap,
+    )
 
+    single = tq.shape[1] == 1
+    pq = min(64, q_for_cap(cap) * 2) if single else q_for_cap(cap)
     bsz = tq.shape[0]
-    pad = (-bsz) % PQ
+    pad = (-bsz) % pq
     if pad:
         tq = jnp.concatenate(
             [tq, jnp.full((pad, tq.shape[1]), -1, jnp.int32)]
@@ -432,14 +453,16 @@ def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
         lambda t: gather_term(coords, term_offsets, t, cap)
     )
     a, na = gather(tq[:, 0])
-    if tq.shape[1] == 1:
-        b, nb, rb = a, na, rq[:, 0]
-    else:
-        b, nb = gather(tq[:, 1])
-        rb = rq[:, 1]
+    interpret = jax.default_backend() != "tpu"
+    if single:
+        pg, rk, ct = pallas_batched_single_locate(
+            a, na, bounds, cap=cap, topk=topk, interpret=interpret,
+        )
+        return pg[:bsz], rk[:bsz], ct[:bsz]
+    b, nb = gather(tq[:, 1])
     pg, rk, ct = pallas_batched_and_locate(
-        a, na, rq[:, 0], b, nb, rb, bounds, cap=cap, topk=topk,
-        interpret=jax.default_backend() != "tpu",
+        a, na, rq[:, 0], b, nb, rq[:, 1], bounds, cap=cap, topk=topk,
+        interpret=interpret,
     )
     return pg[:bsz], rk[:bsz], ct[:bsz]
 
@@ -675,9 +698,15 @@ class DeviceIndex:
         if use_pallas is None:
             import os
 
-            # default OFF: the gather-free XLA path currently measures
-            # faster end-to-end (see bench.py); DOCODO_PALLAS=1 opts in
-            use_pallas = os.environ.get("DOCODO_PALLAS") == "1"
+            # default ON for TPU: the fused kernels (per-cap Q blocks +
+            # merge-free W=1 path) measure faster than the XLA path on
+            # the 10k mixed bench (133.2k vs 131.5k QPS, TPU v5e);
+            # DOCODO_PALLAS=0/1 overrides
+            env = os.environ.get("DOCODO_PALLAS")
+            if env is not None:
+                use_pallas = env == "1"
+            else:
+                use_pallas = jax.default_backend() == "tpu"
         outs = multi_bucket_query_step(
             self.term_offsets, self.coords, self.bounds, self.page_doc,
             tuple(terms_list), tuple(rs_list), tuple(caps_list), topk,
@@ -720,6 +749,7 @@ class DeviceIndex:
         self, queries, topk: int = 64, hit_cap: int = 512,
         cap: Optional[int] = None,
         cap_ladder: Optional[Sequence[int]] = None,
+        fused: bool = True,
     ):
         """Full-result batch evaluation with per-word variant ORs.
 
@@ -787,11 +817,24 @@ class DeviceIndex:
 
         if not idx_list:
             return out
-        outs = multi_bucket_query_full(
-            self.term_offsets, self.coords, self.bounds, self.page_doc,
-            self.header_mask(), tuple(terms_list), tuple(rs_list),
-            tuple(caps_list), topk, hit_cap,
-        )
+        if fused:
+            outs = multi_bucket_query_full(
+                self.term_offsets, self.coords, self.bounds, self.page_doc,
+                self.header_mask(), tuple(terms_list), tuple(rs_list),
+                tuple(caps_list), topk, hit_cap,
+            )
+        else:
+            # per-bucket cached jits: serving batch compositions churn,
+            # so one fused program per composition would recompile
+            # endlessly — individual bucket shapes recur and cache
+            outs = [
+                batched_query_full(
+                    self.term_offsets, self.coords, self.bounds,
+                    self.page_doc, self.header_mask(), tq, rq,
+                    cap=qcap, topk=topk, hit_cap=hit_cap,
+                )
+                for tq, rq, qcap in zip(terms_list, rs_list, caps_list)
+            ]
         for idxs, o in zip(idx_list, outs):
             n = len(idxs)
             out["pages"][idxs] = np.asarray(o.pages)[:n]

@@ -15,8 +15,12 @@ TPU-shaped building blocks (no dynamic gathers, no scatters, no sorts):
   small-cap buckets this kernel serves (cap <= 128 covers most real
   query terms; bigger buckets stay on the XLA path);
 * placement by ONE-HOT REDUCTION: merged[k] = sum_i a[i] * (ra[i]==k);
-* shifted neighbors via roll; prefix sums via jnp.cumsum; value-at-index
-  again via one-hot reductions;
+* shifted neighbors via roll; prefix sums via log-step doubling scans;
+* every "value at an earlier index" is a MONOTONE quantity here (prefix
+  sums at segment starts/ends, previous kept value), so it propagates by
+  a running max / reverse running min — the same gather-free scan
+  formulation as the XLA path (ops/seqops.py), NOT O(n^2) one-hot
+  value-at-index reductions (the round-1 kernel's bottleneck);
 * top-k by iterative masked argmax (topk passes).
 
 The kernel is numerically IDENTICAL to the XLA path (tests compare both
@@ -34,7 +38,21 @@ from jax.experimental import pallas as pl
 
 from docodo_tpu.ops.seqops import INF32
 
-Q = 8  # queries per kernel program (TPU sublane)
+Q = 32  # default queries per kernel program (4 sublane tiles)
+
+
+def q_for_cap(cap: int) -> int:
+    """Queries per program, VMEM-bounded: the two [Q, cap, 2cap] int32
+    merge one-hots dominate — keep their sum <= ~8 MB (measured safe at
+    cap 128 / Q 32). cap 64 -> 64 queries/program, cap 128 -> 32."""
+
+    def onehot_bytes(q: int) -> int:
+        return 2 * q * cap * (2 * cap) * 4
+
+    q = 8
+    while q < 64 and onehot_bytes(q * 2) <= 8 * 1024 * 1024 + 1:
+        q <<= 1
+    return q
 MAX_PALLAS_CAP = 128
 
 
@@ -99,23 +117,13 @@ def _cumsum(x):
     return x
 
 
-def _value_at(idx, values):
-    """values[q, idx[q, k]] per lane via one-hot reduction.
-
-    idx, values: [Q, n]. Returns [Q, n]."""
-    q, n = idx.shape
-    oh = idx[:, :, None] == _iota((q, n, n), 2)
-    return jnp.sum(
-        jnp.where(oh, values[:, None, :], values.dtype.type(0)), axis=2
-    )
-
-
 def _and_locate_kernel(a_ref, na_ref, ra_ref, b_ref, nb_ref, rb_ref,
                        bounds_ref, pages_ref, ranks_ref, counts_ref,
                        *, cap: int, topk: int):
     n = 2 * cap
-    lane_c = _iota((Q, cap), 1)
-    lane = _iota((Q, n), 1)
+    q = a_ref.shape[0]
+    lane_c = _iota((q, cap), 1)
+    lane = _iota((q, n), 1)
 
     na = na_ref[:, 0][:, None]            # [Q, 1]
     nb = nb_ref[:, 0][:, None]
@@ -134,7 +142,7 @@ def _and_locate_kernel(a_ref, na_ref, ra_ref, b_ref, nb_ref, rb_ref,
     rb = lane_c + jnp.sum(le, axis=2)
 
     # place values/tags at merged ranks: one-hot reductions [Q, cap, n]
-    lane_qcn = _iota((Q, cap, n), 2)
+    lane_qcn = _iota((q, cap, n), 2)
     oh_a = ra[:, :, None] == lane_qcn
     oh_b = rb[:, :, None] == lane_qcn
     # NB: Mosaic cannot reshape 2D bool vectors to 3D — expand masks as
@@ -174,11 +182,13 @@ def _and_locate_kernel(a_ref, na_ref, ra_ref, b_ref, nb_ref, rb_ref,
     gap_cut = jnp.logical_and(abs_r != 0, gap_prev > abs_r)
     seg_start = jnp.logical_or(lane == 0, jnp.logical_and(gap_cut, valid))
 
-    # ordered mode: cut before each segment's first a-tagged element
+    # ordered mode: cut before each segment's first a-tagged element.
+    # `before` (a-count before this slot) is NON-DECREASING, so its
+    # value at the latest segment start is a running max — no gather
     start_idx = _cummax(jnp.where(seg_start, lane, -1))
     cum_a = _cumsum(isa2.astype(jnp.int32))
     before = cum_a - isa2.astype(jnp.int32)
-    before_at_start = _value_at(start_idx, before)
+    before_at_start = _cummax(jnp.where(seg_start, before, -1))
     ordered_cut = jnp.logical_and(
         jnp.logical_and(isa2, (before - before_at_start) == 0),
         lane != start_idx,
@@ -187,51 +197,86 @@ def _and_locate_kernel(a_ref, na_ref, ra_ref, b_ref, nb_ref, rb_ref,
         seg_start, jnp.logical_and(ordered, ordered_cut)
     )
 
-    # segment containment via prefix differences at start/end
-    sstart = _cummax(jnp.where(seg_start, lane, -1))
-    nxt_start = _rev_cummin(jnp.where(seg_start, lane, n), n)
-    nxt_start = _roll(nxt_start, -1)
-    nxt_start = jnp.where(lane == n - 1, n, nxt_start)
-    send = jnp.clip(nxt_start - 1, 0, n - 1)
-    cum_a2 = _cumsum(isa2.astype(jnp.int32))
-    cum_b2 = _cumsum(isb2.astype(jnp.int32))
-    sprev = jnp.maximum(sstart - 1, 0)
-    a_before = jnp.where(sstart > 0, _value_at(sprev, cum_a2), 0)
-    b_before = jnp.where(sstart > 0, _value_at(sprev, cum_b2), 0)
-    has_a = (_value_at(send, cum_a2) - a_before) > 0
-    has_b = (_value_at(send, cum_b2) - b_before) > 0
+    # segment containment: prefix sums are NON-DECREASING and segments
+    # CONTIGUOUS, so "prefix at segment end" is a reverse running min
+    # over terminal slots and "prefix before segment start" a running
+    # max of the shifted prefix at starts (ops/seqops.py and_masked)
+    bigi = jnp.int32(np.iinfo(np.int32).max)
+    terminal = _roll(seg_start.astype(jnp.int32), -1) > 0
+    terminal = jnp.logical_or(terminal, lane == n - 1)
+    cum_b = _cumsum(isb2.astype(jnp.int32))
+    prev_cum_a = _shift_right_fill(cum_a, np.int32(0))
+    prev_cum_b = _shift_right_fill(cum_b, np.int32(0))
+    before_start_a = _cummax(jnp.where(seg_start, prev_cum_a, -1))
+    before_start_b = _cummax(jnp.where(seg_start, prev_cum_b, -1))
+    end_a = _rev_cummin(jnp.where(terminal, cum_a, bigi), bigi)
+    end_b = _rev_cummin(jnp.where(terminal, cum_b, bigi), bigi)
+    has_a = (end_a - before_start_a) > 0
+    has_b = (end_b - before_start_b) > 0
     keep = jnp.logical_and(
         jnp.logical_and(has_a, has_b), jnp.logical_and(valid, ~ghost)
     )
 
-    # ---- locate: page = #bounds <= val (right bisect), compare-all -----
+    _locate_rank_topk(
+        vals, keep, lane, n, bounds_ref, pages_ref, ranks_ref, counts_ref,
+        topk=topk,
+    )
+
+
+def _single_word_kernel(a_ref, na_ref, bounds_ref, pages_ref, ranks_ref,
+                        counts_ref, *, cap: int, topk: int):
+    """W=1 fast path: no merge/segmentation at all — a single word's
+    posting block IS the result stream (the AND fold is empty), so only
+    the locate/rank/top-k tail runs (ref Search.cs:365-420)."""
+    q = a_ref.shape[0]
+    lane = _iota((q, cap), 1)
+    na = na_ref[:, 0][:, None]
+    keep = lane < na
+    vals = jnp.where(keep, a_ref[...], INF32)
+    _locate_rank_topk(
+        vals, keep, lane, cap, bounds_ref, pages_ref, ranks_ref,
+        counts_ref, topk=topk,
+    )
+
+
+def _locate_rank_topk(vals, keep, lane, n, bounds_ref, pages_ref,
+                      ranks_ref, counts_ref, *, topk: int):
+    """Shared result tail: coords+mask -> per-page runs -> rank -> topk.
+
+    page = #bounds <= val (right bisect) by compare-all."""
     nb_pages = bounds_ref.shape[-1]
     cmp = bounds_ref[0, :][None, None, :] <= vals[:, :, None]
     page = jnp.sum(cmp, axis=2).astype(jnp.int32)
     page = jnp.minimum(page, nb_pages - 1)
 
-    # page runs over kept slots
-    pk = _cummax(jnp.where(keep, lane, -1))
-    prev_idx = _shift_right_fill(pk, np.int32(-1))
-    has_prev = prev_idx >= 0
-    safe_prev = jnp.maximum(prev_idx, 0)
-    prev_page = jnp.where(has_prev, _value_at(safe_prev, page), -1)
+    # page runs over kept slots: vals (and thus page) are non-decreasing
+    # over kept slots, so the previous kept value/page is a shifted
+    # running max of the masked stream (ops/device_index._locate_core)
+    prev_val = _shift_right_fill(
+        _cummax(jnp.where(keep, vals, -1)), np.int32(-1)
+    )
+    prev_page = _shift_right_fill(
+        _cummax(jnp.where(keep, page, -1)), np.int32(-1)
+    )
+    has_prev = prev_val >= 0
     first = jnp.logical_and(keep, page != prev_page)
-    gap = jnp.where(has_prev, vals - _value_at(safe_prev, vals), 0)
+    gap = jnp.where(has_prev, vals - prev_val, 0)
     bonus = jnp.where(
         jnp.logical_and(keep, ~first), 30 // jnp.maximum(5, gap), 0
     ).astype(jnp.float32)
 
-    from_right = _rev_cummin(jnp.where(first, lane, n), n)
-    run_end = _roll(from_right, -1)
-    run_end = jnp.where(lane == n - 1, n, run_end) - 1
-    run_end = jnp.clip(run_end, 0, n - 1)
+    # prefix value at each run's terminal slot = reverse running min
+    # over terminals; prefix before the run = shifted prefix
+    bigf = jnp.float32(3.4e38)
+    terminal_p = _roll(first.astype(jnp.int32), -1) > 0
+    terminal_p = jnp.logical_or(terminal_p, lane == n - 1)
     cbon = _cumsum(bonus)
     ccnt = _cumsum(keep.astype(jnp.float32))
-    run_bonus = _value_at(run_end, cbon) - cbon
-    lane_prev = jnp.maximum(lane - 1, 0)
-    ccnt_prev = jnp.where(lane > 0, _value_at(lane_prev, ccnt), 0.0)
-    run_count = _value_at(run_end, ccnt) - ccnt_prev
+    cbon_end = _rev_cummin(jnp.where(terminal_p, cbon, bigf), bigf)
+    ccnt_end = _rev_cummin(jnp.where(terminal_p, ccnt, bigf), bigf)
+    ccnt_prev = _shift_right_fill(ccnt, jnp.float32(0))
+    run_bonus = cbon_end - cbon  # bonus at the first slot is 0
+    run_count = ccnt_end - ccnt_prev
     slot_rank = jnp.where(
         first,
         1.0 + run_bonus + jnp.log(jnp.maximum(run_count, 1.0)),
@@ -265,34 +310,35 @@ def pallas_batched_and_locate(a, na, ra, b, nb, rb, bounds,
     a, b    : int32[B, cap] padded posting blocks (ascending + INF pad)
     na, nb  : int32[B] lengths;  ra, rb: int32[B] per-word R windows
     bounds  : int32[P] page end coordinates
-    B must be a multiple of Q=8 (callers pad with empty queries).
+    B must be a multiple of q_for_cap(cap) (callers pad with empties).
     Returns (pages int32[B, topk], ranks f32[B, topk], counts int32[B, topk]).
     """
     bsz = a.shape[0]
-    assert bsz % Q == 0, f"batch {bsz} must be a multiple of {Q}"
+    q = min(q_for_cap(cap), bsz)
+    assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
     na2 = na.reshape(bsz, 1)
     nb2 = nb.reshape(bsz, 1)
     ra2 = ra.reshape(bsz, 1)
     rb2 = rb.reshape(bsz, 1)
     bounds2 = bounds.reshape(1, -1)
     kernel = functools.partial(_and_locate_kernel, cap=cap, topk=topk)
-    grid = (bsz // Q,)
+    grid = (bsz // q,)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Q, cap), lambda i: (i, 0)),
-            pl.BlockSpec((Q, 1), lambda i: (i, 0)),
-            pl.BlockSpec((Q, 1), lambda i: (i, 0)),
-            pl.BlockSpec((Q, cap), lambda i: (i, 0)),
-            pl.BlockSpec((Q, 1), lambda i: (i, 0)),
-            pl.BlockSpec((Q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((q, cap), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((q, cap), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
             pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((Q, topk), lambda i: (i, 0)),
-            pl.BlockSpec((Q, topk), lambda i: (i, 0)),
-            pl.BlockSpec((Q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
@@ -301,3 +347,37 @@ def pallas_batched_and_locate(a, na, ra, b, nb, rb, bounds,
         ],
         interpret=interpret,
     )(a, na2, ra2, b, nb2, rb2, bounds2)
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "topk", "interpret"))
+def pallas_batched_single_locate(a, na, bounds, cap: int, topk: int,
+                                 interpret: bool = False):
+    """Batched fused single-word locate+rank+topk (W=1 queries skip the
+    merge entirely — the posting block is the result stream)."""
+    bsz = a.shape[0]
+    q = min(64, q_for_cap(cap) * 2, bsz)  # no merge one-hots: [q, cap] VMEM
+    assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
+    na2 = na.reshape(bsz, 1)
+    bounds2 = bounds.reshape(1, -1)
+    kernel = functools.partial(_single_word_kernel, cap=cap, topk=topk)
+    grid = (bsz // q,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, cap), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, topk), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
+        ],
+        interpret=interpret,
+    )(a, na2, bounds2)

@@ -98,3 +98,28 @@ def test_multi_bucket_pallas_matches_xla(rng):
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
         np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=1e-4)
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_pallas_single_word_kernel(rng):
+    """Merge-free W=1 kernel must equal the XLA locate pipeline."""
+    cap = 64
+    bsz = 16
+    a = np.zeros((bsz, cap), np.int32)
+    na = np.zeros(bsz, np.int32)
+    for i in range(bsz):
+        xa = np.cumsum(rng.integers(1, 40, size=rng.integers(0, cap)))
+        a[i], na[i] = pad_to(xa, cap)
+    bounds = np.arange(1, 20, dtype=np.int32) * 70
+    pg, rk, ct = pq.pallas_batched_single_locate(
+        jnp.asarray(a), jnp.asarray(na), jnp.asarray(bounds),
+        cap=cap, topk=8, interpret=True,
+    )
+    pg, rk, ct = np.asarray(pg), np.asarray(rk), np.asarray(ct)
+    for i in range(bsz):
+        keep = jnp.arange(cap) < na[i]
+        p2, r2, c2 = locate_topk_masked(
+            jnp.asarray(a[i]), keep, jnp.asarray(bounds), 8
+        )
+        np.testing.assert_array_equal(pg[i], np.asarray(p2), err_msg=f"q{i}")
+        np.testing.assert_allclose(rk[i], np.asarray(r2), atol=1e-4)
+        np.testing.assert_array_equal(ct[i], np.asarray(c2))
