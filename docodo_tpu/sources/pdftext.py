@@ -590,7 +590,11 @@ class PdfDocument:
                 es = raw.rfind(b"endstream")
                 if es >= 0:
                     raw = raw[:es]
-                self._raw_streams[num] = raw.rstrip(b"\r\n")
+                # Keep raw bytes intact: binary stream data (e.g. AES
+                # ciphertext) may legitimately end in 0x0a/0x0d. The EOL
+                # before `endstream` is trimmed in stream() — by /Length
+                # when present, by rstrip only as a fallback.
+                self._raw_streams[num] = raw
             else:
                 self.objects[num] = body
             self._gens[num] = int(m.group(2))
@@ -650,6 +654,8 @@ class PdfDocument:
         length = self.deref(sdict.get("Length"))
         if isinstance(length, (int, float)) and 0 < int(length) <= len(raw):
             raw = raw[: int(length)]
+        else:
+            raw = raw.rstrip(b"\r\n")
         if self._crypt is not None and num not in self._from_objstm:
             raw = self._crypt.decrypt(raw, num, self._gens.get(num, 0))
         try:
