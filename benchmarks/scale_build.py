@@ -54,6 +54,9 @@ def main() -> int:
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--tok-workers", type=int, default=0,
                     help="tokenizer threads (0 = one per core)")
+    ap.add_argument("--no-overlap", action="store_true",
+                    help="disable the tokenize/device pipeline overlap "
+                         "(single-chip path)")
     args = ap.parse_args()
 
     import jax
@@ -79,13 +82,110 @@ def main() -> int:
 
     from docodo_tpu.native import pipeline as npipe
 
-    t0 = time.perf_counter()
-    # stream in 8 MB slices (documents) on parallel threads — the native
-    # call releases the GIL, so tokenize+intern scales on cores
+    # ---- device build --------------------------------------------------
+    import jax.numpy as jnp
+
+    from docodo_tpu.ops.device_index import build_postings
+    from docodo_tpu.ops.seqops import INF32
+
     slice_chars = 8_000_000
     parts = [text[off: off + slice_chars]
              for off in range(0, len(text), slice_chars)]
     doc_pages = [[len(p)] for p in parts]
+
+    if n_shards == 1 and not args.no_overlap:
+        # ---- pipelined single chip: tokenize slice i+1 on a producer
+        # thread (the native call releases the GIL) WHILE the device
+        # sorts slice i — end-to-end ~= max(host, device), not the sum.
+        # Every chunk pads to ONE static shape (a compile per shape is
+        # minutes over a TPU tunnel); executions are chained through a
+        # zero scalar so one closing readback bounds the wall time.
+        import queue as _queue
+        import threading
+
+        interner = npipe.make_interner()
+        # warm compile at a cap sized from slice 0 (synchronous)
+        t_first0 = time.perf_counter()
+        ids0, starts0 = npipe.tokenize_intern(parts[0], interner)
+        first_tok = time.perf_counter() - t_first0
+        cap = 1
+        while cap < ids0.size * 5 // 4:
+            cap <<= 1
+
+        def pad(ids, starts):
+            pt = np.full(cap, int(INF32), dtype=np.int32)
+            pc = np.full(cap, int(INF32), dtype=np.int32)
+            pt[: ids.size] = ids
+            pc[: ids.size] = starts
+            return jnp.asarray(pt), jnp.asarray(pc), ids.size
+
+        # estimate T up front: term count stabilizes fast under Zipf; a
+        # fixed T keeps build_postings' shape static. Interning is global
+        # and monotonic, so pad T generously and assert at the end.
+        T = max(2 * len(interner), 1 << 18)
+        pt0, pc0, _ = pad(ids0, starts0)
+        st, sc, off = build_postings(pt0, pc0, T)
+        assert int(off[T]) == ids0.size  # warm + force compile
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=4)
+        tok_busy = [first_tok]
+
+        def producer():
+            for p in parts[1:]:
+                t1 = time.perf_counter()
+                ids, starts = npipe.tokenize_intern(p, interner)
+                tok_busy.append(time.perf_counter() - t1)
+                while ids.size > cap:  # oversize slice: split rows
+                    q.put((ids[:cap], starts[:cap]))
+                    ids, starts = ids[cap:], starts[cap:]
+                q.put((ids, starts))
+            q.put(None)
+
+        t0 = time.perf_counter()
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        chain = jnp.int32(0)
+        tot = last_nreal = ids0.size
+        st, sc, off = build_postings(pt0 + chain, pc0, T)
+        chain = (off[T] * 0).astype(jnp.int32)
+        n_chunks = 1
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            ids, starts = item
+            pt, pc, nreal = pad(ids, starts)
+            st, sc, off = build_postings(pt + chain, pc, T)
+            chain = (off[T] * 0).astype(jnp.int32)
+            tot += nreal
+            last_nreal = nreal
+            n_chunks += 1
+        last = int(off[T])  # single closing readback drains the chain
+        th.join()
+        t_build = time.perf_counter() - t0
+        assert last == last_nreal and len(interner) <= T
+        t_tok = sum(tok_busy)
+        terms_n = len(interner)
+        interner.close()
+        total = first_tok + t_build
+        host_frac = (t_tok - first_tok) / t_build if t_build else 0.0
+        print(
+            f"pipelined build: first-slice tokenize {first_tok:.1f}s + "
+            f"overlapped {t_build:.1f}s ({n_chunks} chunks, {tot} "
+            f"postings, {terms_n} terms); host busy "
+            f"{100 * host_frac:.0f}% of the device phase, tokenize "
+            f"alone would be {t_tok:.1f}s ({mb / t_tok:.1f} MB/s)",
+            file=sys.stderr,
+        )
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        print(f"peak host RSS: {rss_mb:.0f} MB", file=sys.stderr)
+        print(f"END-TO-END: {mb:.0f} MB in {total:.1f}s = "
+              f"{mb / total:.1f} MB/s")
+        return 0
+
+    t0 = time.perf_counter()
+    # parallel threads — the native call releases the GIL, so
+    # tokenize+intern scales on cores
     tid_rows, coord_rows, terms = npipe.parallel_tokenize_intern(
         parts, workers=args.tok_workers
     )
@@ -94,12 +194,6 @@ def main() -> int:
     n_tokens = sum(r.size for r in tid_rows)
     print(f"tokenize+intern: {t_tok:.1f}s -> {mb / t_tok:.1f} MB/s host, "
           f"{n_tokens} postings, {T} terms", file=sys.stderr)
-
-    # ---- device build --------------------------------------------------
-    import jax.numpy as jnp
-
-    from docodo_tpu.ops.device_index import build_postings
-    from docodo_tpu.ops.seqops import INF32
 
     if n_shards > 1:
         from docodo_tpu.parallel import sharding as sh

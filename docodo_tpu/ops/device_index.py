@@ -547,6 +547,17 @@ def _bucket(n: int, lo: int = 64) -> int:
     return c
 
 
+def _bucket4(n: int, lo: int = 8) -> int:
+    """Power-of-FOUR bucket: serving row counts churn per request wave,
+    and every distinct row shape is a compile (minutes over a tunnelled
+    device) — a x4 ladder caps the shape count at the cost of <4x row
+    padding (padding rows are empty -1 queries, micro-seconds each)."""
+    c = lo
+    while c < n:
+        c <<= 2
+    return c
+
+
 @dataclass
 class DeviceIndex:
     """Device arrays + host dictionaries for query compilation."""
@@ -796,7 +807,9 @@ class DeviceIndex:
 
         terms_list, rs_list, caps_list, idx_list = [], [], [], []
         for (qcap, w, vb), idxs in sorted(buckets.items()):
-            brows = _bucket(len(idxs), lo=8)
+            brows = _bucket4(len(idxs)) if not fused else _bucket(
+                len(idxs), lo=8
+            )
             if vb == 1:
                 terms = np.full((brows, w), -1, dtype=np.int32)
             else:
@@ -835,14 +848,19 @@ class DeviceIndex:
                 )
                 for tq, rq, qcap in zip(terms_list, rs_list, caps_list)
             ]
+        # ONE coalesced transfer for the whole result pytree: per-array
+        # np.asarray readbacks are separate device->host round trips, and
+        # remote-tunnel devices stall intermittently under many small
+        # readbacks (see CLAUDE.md)
+        outs = jax.device_get(outs)
         for idxs, o in zip(idx_list, outs):
             n = len(idxs)
-            out["pages"][idxs] = np.asarray(o.pages)[:n]
-            out["ranks"][idxs] = np.asarray(o.ranks)[:n]
-            out["counts"][idxs] = np.asarray(o.counts)[:n]
-            out["docs"][idxs] = np.asarray(o.docs)[:n]
-            out["doc_ranks"][idxs] = np.asarray(o.doc_ranks)[:n]
-            out["n_pages"][idxs] = np.asarray(o.n_pages)[:n]
-            out["n_hits"][idxs] = np.asarray(o.n_hits)[:n]
-            out["hits"][idxs] = np.asarray(o.hits)[:n]
+            out["pages"][idxs] = o.pages[:n]
+            out["ranks"][idxs] = o.ranks[:n]
+            out["counts"][idxs] = o.counts[:n]
+            out["docs"][idxs] = o.docs[:n]
+            out["doc_ranks"][idxs] = o.doc_ranks[:n]
+            out["n_pages"][idxs] = o.n_pages[:n]
+            out["n_hits"][idxs] = o.n_hits[:n]
+            out["hits"][idxs] = o.hits[:n]
         return out

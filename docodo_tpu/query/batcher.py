@@ -301,6 +301,11 @@ class BatchExecutor:
         out = self.di.search_batch_full(
             [p.compiled for p in batch], topk=self.topk,
             hit_cap=self.hit_cap, cap_ladder=self.CAP_LADDER,
+            # per-bucket cached jits: serving batch COMPOSITIONS churn per
+            # request wave, and the fused multi-bucket program recompiles
+            # per composition tuple (minutes over a remote-tunnel device);
+            # individual bucket shapes recur and hit the jit cache
+            fused=False,
         )
         self.stats["batches"] += 1
         for row, p in enumerate(batch):
