@@ -345,8 +345,20 @@ class Index:
 
     def _index_task(self, source) -> None:
         """Per-thread worker: pull docs, tokenize pages, feed the builder
-        (ref Build.cs:445-564)."""
+        (ref Build.cs:445-564).
+
+        Body pages take the native one-pass tokenize+intern when the C++
+        library is available (same fold/class tables as the Python
+        tokenizer — one source of truth), expanding word codes once per
+        UNIQUE interned id; the pure-Python path remains the fallback
+        (DOCODO_NO_NATIVE) and serves header pages."""
+        from docodo_tpu.native import pipeline as npipe
+
         builder = IndexBuilder(parent=self)
+        interner = None
+        if npipe.get_lib() is not None:
+            interner = npipe.NativeInterner()
+        id_words: List[str] = []
         coord = 0
         while not self._cancel.is_set():
             doc = source.next_document(True)
@@ -358,13 +370,28 @@ class Index:
                     if self._cancel.is_set():
                         break  # cooperative cancel inside huge documents
                     try:
-                        low = tokenizer.lower_keep_length(page.text)
-                        if len(low) == 0:
+                        if len(page.text) == 0:
                             continue
                         if page.id == "0":
                             coord = self._index_header_page(builder, page.text, coord)
                             builder.end_page(page.id, coord)
                             continue
+                        if interner is not None:
+                            ids, starts = npipe.tokenize_intern_native(
+                                page.text, interner,
+                                C.MIN_WORD_LENGTH, C.MAX_WORD_LENGTH,
+                            )
+                            for k in range(len(id_words), len(interner)):
+                                id_words.append(interner.term_at(k))
+                            builder.add_interned(
+                                ids,
+                                starts.astype(np.uint64) + np.uint64(coord),
+                                id_words,
+                            )
+                            coord += tokenizer.char_len(page.text)
+                            builder.end_page(page.id, coord)
+                            continue
+                        low = tokenizer.lower_keep_length(page.text)
                         words, starts = tokenizer.tokenize(low, lowered=True)
                         keep = [
                             k for k, w in enumerate(words)
@@ -384,6 +411,8 @@ class Index:
                 close = getattr(doc, "close", None)
                 if close:
                     close()
+        if interner is not None:
+            interner.close()
         builder.save()
 
     def _index_header_page(self, builder: "IndexBuilder", text: str, coord: int) -> int:
@@ -719,6 +748,7 @@ class IndexBuilder:
         self._terms: List[str] = []
         self._tmap: Dict[str, int] = {}
         self._word_tids: Dict[str, np.ndarray] = {}
+        self._id_tids: Dict[int, np.ndarray] = {}  # interner id -> tids
         self._chunk_tids: List[np.ndarray] = []
         self._chunk_coords: List[np.ndarray] = []
         self._one_tids: List[int] = []
@@ -791,6 +821,53 @@ class IndexBuilder:
             )
             self._chunk_tids.append(tids)
             self._chunk_coords.append(out_coords)
+            self.total_count += total
+        if len(coords):
+            self.max_coord = int(coords[-1])
+        if self.total_count > self.max_items:
+            self.save(save_pages=False)
+            self._reset_buffers()
+            self.total_count = 0
+
+    def add_interned(self, ids: np.ndarray, coords: np.ndarray,
+                     id_words: List[str]) -> None:
+        """Bulk path over PRE-INTERNED tokens (the native tokenizer's
+        dense ids): word-code expansion runs once per unique id, the
+        token stream fans out through one vectorized gather — no
+        per-token Python, no object-array unique (ref Build.cs:526-530,
+        the AddWord hot loop, recast as array ops)."""
+        if ids.size == 0:
+            if len(coords):
+                self.max_coord = int(coords[-1])
+            return
+        coder = self.parent.word_coder
+        cache = self._id_tids
+        uids = np.unique(ids)
+        for i in uids.tolist():
+            if i not in cache:
+                cache[i] = np.array(
+                    [self._tid(c) for c in coder.codes(id_words[i])],
+                    dtype=np.int64,
+                )
+        arrs = [cache[i] for i in uids.tolist()]
+        lens = np.fromiter((a.size for a in arrs), np.int64, uids.size)
+        flat_u = (
+            np.concatenate(arrs) if arrs else np.zeros(0, dtype=np.int64)
+        )
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        inv = np.searchsorted(uids, ids)
+        counts = lens[inv]
+        total = int(counts.sum())
+        if total:
+            gather = (
+                np.repeat(offs[inv], counts)
+                + np.arange(total)
+                - np.repeat(np.cumsum(counts) - counts, counts)
+            )
+            self._chunk_tids.append(flat_u[gather])
+            self._chunk_coords.append(
+                np.repeat(np.asarray(coords, dtype=np.uint64), counts)
+            )
             self.total_count += total
         if len(coords):
             self.max_coord = int(coords[-1])

@@ -54,6 +54,24 @@ class NativeInterner:
     def __len__(self) -> int:
         return int(self._lib.docodo_interner_count(self._ptr))
 
+    def term_at(self, idx: int) -> str:
+        """Single term fetch by dense id (incremental consumers pull only
+        the ids minted since their last call, avoiding the O(total)
+        arena export of terms())."""
+        lib = self._lib
+        buf = np.empty(64, dtype=np.uint16)  # MAX_WORD_LENGTH is 32
+        n = int(lib.docodo_interner_get(
+            self._ptr, idx, buf.ctypes.data_as(ctypes.c_void_p), buf.size
+        ))
+        if n < 0:
+            raise IndexError(idx)
+        if n > buf.size:
+            buf = np.empty(n, dtype=np.uint16)
+            lib.docodo_interner_get(
+                self._ptr, idx, buf.ctypes.data_as(ctypes.c_void_p), buf.size
+            )
+        return buf[:n].tobytes().decode("utf-16-le")
+
     def terms(self) -> List[str]:
         lib = self._lib
         n = len(self)

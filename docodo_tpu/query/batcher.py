@@ -247,11 +247,11 @@ class BatchExecutor:
         self._thread.start()
         self.stats = {
             "batches": 0, "device_queries": 0, "host_queries": 0,
-            "truncated_fallbacks": 0,
+            "truncated_fallbacks": 0, "device_s": 0.0, "material_s": 0.0,
         }
 
     # ---- public ----------------------------------------------------------
-    def search(self, req: str, timeout: float = 30.0) -> SearchResult:
+    def search(self, req: str, timeout: float = 120.0) -> SearchResult:
         compiled = compile_request(self.index, req)
         if compiled is None:
             self.stats["host_queries"] += 1
@@ -298,6 +298,7 @@ class BatchExecutor:
     CAP_LADDER = (128, 1024, 16384, 1 << 17)
 
     def _execute(self, batch: List[_Pending]) -> None:
+        t0 = time.perf_counter()
         out = self.di.search_batch_full(
             [p.compiled for p in batch], topk=self.topk,
             hit_cap=self.hit_cap, cap_ladder=self.CAP_LADDER,
@@ -308,6 +309,8 @@ class BatchExecutor:
             fused=False,
         )
         self.stats["batches"] += 1
+        t1 = time.perf_counter()
+        self.stats["device_s"] += t1 - t0
         for row, p in enumerate(batch):
             n_pages = int(out["n_pages"][row])
             n_hits = int(out["n_hits"][row])
@@ -333,3 +336,4 @@ class BatchExecutor:
             res.found_docs.sort(key=lambda d: d.rank)
             p.result = res
             p.event.set()
+        self.stats["material_s"] += time.perf_counter() - t1

@@ -43,9 +43,19 @@ class DocodoServer:
     """Threaded HTTP server bound to an Index."""
 
     def __init__(self, index, port: int = 9001, host: str = "0.0.0.0",
-                 device_batching: bool = False):
+                 device_batching: bool = False,
+                 max_threads: Optional[int] = None):
         self.index = index
-        self.max_threads = (os.cpu_count() or 1) * 4
+        if max_threads is None:
+            # host path: 4 x CPU (ref server.cs:16). Device batching:
+            # requests park on batcher events (no CPU) — a low cap
+            # starves the micro-batcher of batch fodder (4 threads on a
+            # 1-core host = 4-query device batches), so admit enough
+            # concurrency to fill a device batch
+            max_threads = (
+                1024 if device_batching else (os.cpu_count() or 1) * 4
+            )
+        self.max_threads = max_threads
         self._sem = threading.BoundedSemaphore(self.max_threads)
         self.batcher = None
         if device_batching:

@@ -99,3 +99,32 @@ def test_speed_vs_list_append(rng):
         t_enc = min(t_enc, time.perf_counter() - t1)
     assert enc.size >= n
     assert t_enc < 2.5 * t_list, (t_enc, t_list)
+
+
+def test_native_and_numpy_paths_agree(rng, monkeypatch):
+    """The C codec and the NumPy fallback must produce identical streams
+    (the fallback is live under DOCODO_NO_NATIVE and wherever g++ is
+    absent)."""
+    from docodo_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    cases = [
+        ascending(rng, 4096),
+        np.cumsum(rng.integers(1 << 14, 1 << 40, 512).astype(np.uint64)),
+        np.array([0, 1, 2 ** 63], dtype=np.uint64),
+        np.array([7], dtype=np.uint64),
+    ]
+    for coords in cases:
+        enc_nat = varint.encode(coords)
+        n_nat = varint.encoded_len(coords)
+        dec_nat = varint.decode(enc_nat)
+        monkeypatch.setattr(varint, "_native", None)
+        monkeypatch.setattr(varint, "_native_tried", True)
+        enc_np = varint.encode(coords)
+        dec_np = varint.decode(enc_nat)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(enc_nat, enc_np)
+        np.testing.assert_array_equal(dec_nat, coords)
+        np.testing.assert_array_equal(dec_np, coords)
+        assert n_nat == enc_np.size
