@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--platform", default=os.environ.get("DOCODO_BENCH_PLATFORM"))
     ap.add_argument("--host-pass", action="store_true",
                     help="also measure the unbatched host path")
+    ap.add_argument("--brief", action="store_true",
+                    help="serve rank/position results without snippet "
+                         "text IO (isolates engine+HTTP from host "
+                         "materialization)")
     args = ap.parse_args()
 
     import jax
@@ -41,17 +45,21 @@ def main() -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    import docodo_tpu
-    from docodo_tpu.server import DocodoServer
-    from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
-
-    with open(CORPUS, encoding="cp1251", errors="replace") as f:
-        raw = f.read()
+    import shutil
     import tempfile
 
+    import docodo_tpu
+    from docodo_tpu.server import DocodoServer
+    from docodo_tpu.sources.files import IndexTextFilesDataSource
+
+    # index through the REAL file source (3000-char pages + text cache,
+    # ref DataSources.cs:308): a single whole-book page would make every
+    # snippet decompress and span-scan megabytes
+    corpus_dir = tempfile.mkdtemp()
+    shutil.copy(CORPUS, os.path.join(corpus_dir, "pickwick.txt"))
     ind = docodo_tpu.Index(path=tempfile.mkdtemp(), in_memory=True)
     ind.add_data_source(
-        ListDataSource("docs", [IndexPagedTextFile("pickwick", raw, "")])
+        IndexTextFilesDataSource("docs", corpus_dir + "/", "*.txt")
     )
     t0 = time.perf_counter()
     ind.create()
@@ -75,7 +83,8 @@ def main() -> int:
             reqs.append(f"{rng.choice(words)} {rng.choice(words)}")
 
     def run_pass(device_batching: bool):
-        srv = DocodoServer(ind, port=0, device_batching=device_batching)
+        srv = DocodoServer(ind, port=0, device_batching=device_batching,
+                           materialize=not args.brief)
         srv.start(background=True)
         lat = []
 

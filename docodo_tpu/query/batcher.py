@@ -232,7 +232,7 @@ class BatchExecutor:
 
     def __init__(self, index, device_index: Optional[DeviceIndex] = None,
                  max_batch: int = 512, max_wait_ms: float = 2.0,
-                 topk: int = 64, hit_cap: int = 512,
+                 topk: int = 128, hit_cap: int = 2048,
                  materialize: bool = True):
         self.index = index
         self.di = device_index or DeviceIndex.from_index(index)

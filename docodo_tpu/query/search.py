@@ -205,8 +205,13 @@ def _spans_from_positions(text: str, positions: List[int]):
         if p < last or p > len(text):
             continue
         spans.append((text[last:p], 0))
-        m = _WORD_END_RE.search(text[p:])
-        wordend = m.start() if m else 0
+        # search from an offset, not a slice: text[p:] copies the tail
+        # per position (quadratic on big pages). The lookbehind sees
+        # text[p-1], but positions are word STARTS (preceded by a
+        # non-word char or the text start), so the first match is the
+        # current word's end either way.
+        m = _WORD_END_RE.search(text, p)
+        wordend = (m.start() - p) if m else 0
         spans.append((text[p: p + wordend], 1))
         last = p + wordend
     spans.append((text[last:], 0))

@@ -44,7 +44,8 @@ class DocodoServer:
 
     def __init__(self, index, port: int = 9001, host: str = "0.0.0.0",
                  device_batching: bool = False,
-                 max_threads: Optional[int] = None):
+                 max_threads: Optional[int] = None,
+                 materialize: bool = True):
         self.index = index
         if max_threads is None:
             # host path: 4 x CPU (ref server.cs:16). Device batching:
@@ -61,7 +62,9 @@ class DocodoServer:
         if device_batching:
             from docodo_tpu.query.batcher import BatchExecutor
 
-            self.batcher = BatchExecutor(index)
+            # materialize=False serves rank/position results without the
+            # per-doc snippet text IO (clients that only need hit lists)
+            self.batcher = BatchExecutor(index, materialize=materialize)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -103,8 +106,10 @@ class DocodoServer:
                         result = outer.batcher.search(req)
                     else:
                         result = outer.index.search(req)
+                    # compact dump like the reference's Newtonsoft default
+                    # (ref server.cs:93)
                     body = json.dumps(
-                        result_to_json(result), ensure_ascii=False, indent=2
+                        result_to_json(result), ensure_ascii=False
                     ).encode("utf-8")
                     self._send(200, body, "application/json; charset=utf-8")
                 elif parts.path == "/suggest":
