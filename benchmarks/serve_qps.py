@@ -92,7 +92,7 @@ def main() -> int:
             t0 = time.perf_counter()
             with urllib.request.urlopen(
                 f"http://127.0.0.1:{srv.port}/search?req="
-                + urllib.parse.quote(req), timeout=120,
+                + urllib.parse.quote(req), timeout=600,
             ) as r:
                 json.loads(r.read())
             lat.append(time.perf_counter() - t0)

@@ -269,8 +269,9 @@ class _SpillCursor:
 
 
 def merge_spills(
-    paths: List[str], out_path: str, shift_coords: bool = False
-) -> None:
+    paths: List[str], out_path: str, shift_coords: bool = False,
+    collect: Optional[list] = None,
+) -> int:
     """STREAMING k-way merge of spill/index files (ref Index.cs:577-689,
     which also streams term-by-term so memory stays bounded).
 
@@ -279,6 +280,11 @@ def merge_spills(
     shift_coords each file's coordinates are offset by the cumulative
     max_coord of the preceding files — the reference's shard-merge
     shift. Peak memory = one term's postings, never a whole file.
+
+    With `collect` (a list), every merged (term, coords) record is also
+    appended to it — an in-memory build can then install the arrays
+    directly instead of re-reading the file it just wrote. Returns the
+    output max_coord (the stream header value).
     """
     import heapq
 
@@ -315,7 +321,11 @@ def merge_spills(
                     heapq.heappush(heap, (c.term, q))
             parts.sort(key=lambda t: t[0])  # file order = coordinate order
             arrs = [p for _, p in parts]
-            yield term, (np.concatenate(arrs) if len(arrs) > 1 else arrs[0])
+            rec = term, (np.concatenate(arrs) if len(arrs) > 1 else arrs[0])
+            if collect is not None:
+                collect.append(rec)
+            yield rec
 
     with open(out_path, "wb") as f:
         write_postings_stream(f, out_max, records())
+    return int(out_max)

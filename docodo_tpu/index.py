@@ -303,7 +303,10 @@ class Index:
                     os.replace(merged + "_", merged)
                 files.append(merged)
 
-            self._merge_indexes(files, os.path.join(self.work_path, storage.INDEX_FILE))
+            merged = self._merge_indexes(
+                files, os.path.join(self.work_path, storage.INDEX_FILE),
+                collect=self.in_memory,
+            )
             profiling.record("index.merge", time.time() - t_merge)
 
             with self._search_lock:
@@ -324,8 +327,32 @@ class Index:
                         new_sources.append(source)
                 self.sources = new_sources
 
-                self.load()
-                self.can_search = True
+                if merged is not None:
+                    # in-memory build: install the merged arrays directly
+                    # — the .index on disk is already written; re-reading
+                    # it would only re-decode what is in hand
+                    records, table, max_coord = merged
+                    terms = [t for t, _ in records]
+                    lens = np.fromiter(
+                        (c.size for _, c in records), np.int64, len(records)
+                    )
+                    offsets = np.concatenate(
+                        [np.zeros(1, np.int64), np.cumsum(lens)]
+                    )
+                    coords = (
+                        np.concatenate([c for _, c in records])
+                        if records else np.zeros(0, dtype=np.uint64)
+                    )
+                    if self.arr is not None:
+                        self.arr.close()
+                    self.arr = storage.ArrayIndex.from_postings(
+                        terms, offsets, coords, max_coord
+                    )
+                    self.pages = table
+                    self.can_search = True
+                else:
+                    self.load()
+                    self.can_search = True
 
             for d in dirs:
                 shutil.rmtree(os.path.join(self.work_path, d), ignore_errors=True)
@@ -435,12 +462,20 @@ class Index:
             coord += len(line) + 1
         return coord
 
-    def _merge_indexes(self, files: List[str], output: str) -> None:
+    def _merge_indexes(self, files: List[str], output: str,
+                       collect: bool = False):
         """Final cross-builder merge with coordinate shifts
-        (ref Index.cs:695-752)."""
+        (ref Index.cs:695-752).
+
+        With `collect`, returns (records, table, max_coord) so an
+        in-memory build can install the merged arrays directly instead of
+        re-reading (and re-decoding) the .index it just wrote."""
         if not files:
-            return
-        storage.merge_spills(files, output + "_", shift_coords=True)
+            return None
+        records: Optional[list] = [] if collect else None
+        max_coord = storage.merge_spills(
+            files, output + "_", shift_coords=True, collect=records
+        )
         table = PageTable()
         shift = 0
         for path in files:
@@ -465,6 +500,9 @@ class Index:
             os.replace(output + "_", output)
         for path in files:
             os.remove(path)
+        if collect:
+            return records, table, max_coord
+        return None
 
     # ------------------------------------------------------------------ lookup
     def search_word(self, word: str) -> PostingSeq:
