@@ -19,8 +19,10 @@ coordinate stream inside them, so results carry real per-page positions
 the same prepare_search_result/_materialize_docs pipeline as the host
 engine — device-served results match the host engine's bit for bit
 whenever the result fits the top-k/hit_cap budget; larger results
-(n_pages > topk or n_hits > hit_cap) re-serve host-side for exactness.
-Divergence from the host path: `SearchResult.words` info is not filled.
+(n_pages > topk or n_hits > hit_cap) re-serve host-side for exactness
+(on the CALLER's thread — fallbacks inside the collector would serialize
+every pending batch behind them). `SearchResult.words` is filled from
+per-word resolved posting counts, cached per index generation.
 """
 
 from __future__ import annotations
@@ -179,7 +181,8 @@ def _linearize(index, ast) -> Optional[list]:
     return phrase + rest
 
 
-def compile_request(index, req: str) -> Optional[List[Tuple[Tuple[str, ...], int]]]:
+def compile_request(index, req: str, words_out: Optional[list] = None,
+                    n_found=None) -> Optional[List[Tuple[Tuple[str, ...], int]]]:
     """Compile a request into device groups [(variant keys, R), ...] in
     left-fold evaluation order.
 
@@ -187,6 +190,11 @@ def compile_request(index, req: str) -> Optional[List[Tuple[Tuple[str, ...], int
     fields, filters, fold-incompatible operator shapes, parse errors).
     A group may carry several OR'd variant keys (voc-group codes and
     `a|b` alternations, ref Search.cs:226-247, 351).
+
+    With `words_out` (a list), the per-word WordInfo records are appended
+    to it on success — the host path's result.words parity (ref
+    Search.cs:599-601); `n_found(word) -> int` supplies the resolved
+    posting counts (cached by the executor).
     """
     if _UNSUPPORTED.search(req):
         return None
@@ -210,12 +218,17 @@ def compile_request(index, req: str) -> Optional[List[Tuple[Tuple[str, ...], int
     groups = _linearize(index, ast)
     if groups is None or len(groups) > _MAX_WORDS:
         return None
+    if any(len(codes) > _MAX_VARIANTS for codes, _ in groups):
+        return None
+    if words_out is not None:
+        for t in thunks:
+            if n_found is not None:
+                t.info.n_found = n_found(t.word)
+            words_out.append(t.info)
     if any(not codes for codes, _ in groups):
         # an all-empty AND operand annihilates the query (host parity:
         # empty PostingSeq * anything = empty)
         return list(_EMPTY_GROUP)
-    if any(len(codes) > _MAX_VARIANTS for codes, _ in groups):
-        return None
     return groups
 
 
@@ -223,6 +236,7 @@ def compile_request(index, req: str) -> Optional[List[Tuple[Tuple[str, ...], int
 class _Pending:
     req: str
     compiled: list
+    words: list = field(default_factory=list)
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[SearchResult] = None
 
@@ -232,7 +246,7 @@ class BatchExecutor:
 
     def __init__(self, index, device_index: Optional[DeviceIndex] = None,
                  max_batch: int = 512, max_wait_ms: float = 2.0,
-                 topk: int = 128, hit_cap: int = 2048,
+                 topk: int = 64, hit_cap: int = 1024,
                  materialize: bool = True):
         self.index = index
         self.di = device_index or DeviceIndex.from_index(index)
@@ -249,17 +263,47 @@ class BatchExecutor:
             "batches": 0, "device_queries": 0, "host_queries": 0,
             "truncated_fallbacks": 0, "device_s": 0.0, "material_s": 0.0,
         }
+        self._winfo: dict = {}
 
     # ---- public ----------------------------------------------------------
+    def _n_found(self, word: str) -> int:
+        """Resolved posting count of one request word (WordThunk.d()'s
+        info.n_found): the union of the chosen variant keys' postings.
+        Cached per word — counts are query-independent for an index
+        generation, and the executor is rebuilt on index rebuild."""
+        v = self._winfo.get(word)
+        if v is not None:
+            return v
+        wc = _word_codes(self.index, word)
+        n = 0
+        if wc is not None:
+            arrs = [
+                a for a in (self.index.arr.get(c) for c in wc[0])
+                if a is not None and a.size
+            ]
+            if len(arrs) == 1:
+                n = int(arrs[0].size)
+            elif arrs:
+                n = int(np.unique(np.concatenate(arrs)).size)
+        self._winfo[word] = n
+        return n
+
     def search(self, req: str, timeout: float = 120.0) -> SearchResult:
-        compiled = compile_request(self.index, req)
+        words: list = []
+        compiled = compile_request(
+            self.index, req, words_out=words, n_found=self._n_found
+        )
         if compiled is None:
             self.stats["host_queries"] += 1
             return self.index.search(req)
-        p = _Pending(req=req, compiled=compiled)
+        p = _Pending(req=req, compiled=compiled, words=words)
         self._q.put(p)
-        if not p.event.wait(timeout):
-            return self.index.search(req)  # device stall: serve host-side
+        if not p.event.wait(timeout) or p.result is None:
+            # device stall, or a rank-truncated result the device can't
+            # serve exactly: re-serve host-side ON THIS THREAD — running
+            # fallbacks in the collector would serialize every pending
+            # batch behind them
+            return self.index.search(req)
         return p.result
 
     def close(self) -> None:
@@ -315,10 +359,10 @@ class BatchExecutor:
             n_pages = int(out["n_pages"][row])
             n_hits = int(out["n_hits"][row])
             if n_pages > self.topk or n_hits > self.hit_cap:
-                # rank-truncated result: re-serve host-side so served
-                # results never silently diverge from the host engine
+                # rank-truncated result: the caller's thread re-serves it
+                # host-side (result stays None) so served results never
+                # silently diverge from the host engine
                 self.stats["truncated_fallbacks"] += 1
-                p.result = self.index.search(p.req)
                 p.event.set()
                 continue
             self.stats["device_queries"] += 1
@@ -334,6 +378,7 @@ class BatchExecutor:
                     if doc.pages and doc.pages[0].id == "0":
                         doc.rank *= DOC_RANK_MULTIPLY
             res.found_docs.sort(key=lambda d: d.rank)
+            res.words = p.words
             p.result = res
             p.event.set()
         self.stats["material_s"] += time.perf_counter() - t1

@@ -165,3 +165,18 @@ def test_deep_crawl_chain_no_recursion_error():
     while src.next_document() is not None:
         count += 1
     assert count >= n - 2
+
+
+def test_batch_executor_fills_words_info(ind):
+    """Device-served results carry result.words like the host path
+    (ref Search.cs:599-601): same words, same resolved posting counts."""
+    ex = BatchExecutor(ind, max_wait_ms=1.0)
+    try:
+        for req in ["club", "dinner tavern", '"pickwick club"', "club zzqq"]:
+            dev = ex.search(req)
+            host = ind.search(req)
+            dw = [(w.word, w.n_found) for w in dev.words]
+            hw = [(w.word, w.n_found) for w in host.words]
+            assert dw == hw, (req, dw, hw)
+    finally:
+        ex.close()
