@@ -150,12 +150,12 @@ def _merge_sorted_tagged(a, na, b, nb):
     ib = jnp.arange(p2, dtype=jnp.int32) < nb
     av = jnp.where(ia, a, INF32)
     bv = jnp.where(ib, b, INF32)
-    ra = jnp.arange(p1, dtype=jnp.int32) + _rank_in_sorted(
-        av, bv, strict=True
-    )
     if n <= 2 * _COMPARE_ALL_MAX and _use_compare_all():
         # place both operands at their merged ranks by chunked one-hot
         # reduction — fully gather-free (rb mirrors ra with <= ties)
+        ra = jnp.arange(p1, dtype=jnp.int32) + _rank_in_sorted(
+            av, bv, strict=True
+        )
         rb = jnp.arange(p2, dtype=jnp.int32) + _rank_in_sorted(
             bv, av, strict=False
         )
@@ -164,7 +164,25 @@ def _merge_sorted_tagged(a, na, b, nb):
         placed = pa + pb
         vals = jnp.where(placed > 0, va + vb, INF32)
         valid = vals < INF32
+    elif _use_compare_all():
+        # LARGE operands on TPU: one lax.sort of the tagged
+        # concatenation IS the merge. The log-depth searchsorted scan
+        # costs ~10 ms/query at 16-32k postings (measured) while the
+        # native sort runs at GB/s; ties sort a (tag 0) before b,
+        # matching the compare-all tie rule
+        tag = jnp.concatenate([
+            jnp.zeros(p1, jnp.int32), jnp.ones(p2, jnp.int32)
+        ])
+        vals, tag_s = jax.lax.sort(
+            (jnp.concatenate([av, bv]), tag), num_keys=2
+        )
+        valid = vals < INF32
+        isa = (tag_s == 0) & valid
+        isb = (tag_s == 1) & valid
     else:
+        ra = jnp.arange(p1, dtype=jnp.int32) + _rank_in_sorted(
+            av, bv, strict=True
+        )
         k = jnp.arange(n, dtype=jnp.int32)
         # ca[k] = #a-elements at merged rank <= k (ra is ascending)
         ca = _rank_in_sorted(k, ra, strict=False)

@@ -139,3 +139,39 @@ def test_compare_all_formulation_matches(rng, monkeypatch):
     finally:
         monkeypatch.delenv("DOCODO_COMPARE_ALL", raising=False)
         jax.clear_caches()
+
+
+def test_sort_merge_branch_matches_large_caps(rng, monkeypatch):
+    """Large-cap TPU merges take a lax.sort of the tagged concatenation
+    (> 2*_COMPARE_ALL_MAX); it must match the host oracle and the
+    binary-search path bit for bit."""
+    from docodo_tpu.core.postings import group_and, or_merge
+
+    monkeypatch.setenv("DOCODO_COMPARE_ALL", "1")
+    import jax
+
+    jax.clear_caches()
+    cap = seqops._COMPARE_ALL_MAX + 64  # 2*cap > 2*_COMPARE_ALL_MAX
+    try:
+        for ordered in (False, True):
+            for _ in range(4):
+                a = strict_ascending(rng, int(rng.integers(100, 900)))
+                b = strict_ascending(rng, int(rng.integers(100, 900)))
+                r1, r2 = int(rng.integers(1, 25)), int(rng.integers(1, 25))
+                if ordered:
+                    r1, r2 = -r1, -r2
+                want, wr = group_and(
+                    a.astype(np.uint64), b.astype(np.uint64), r1, r2
+                )
+                got, gr = run_and(a, b, r1, r2, cap=cap)
+                assert gr == wr
+                np.testing.assert_array_equal(got, want.astype(np.int64))
+                wanto, _ = or_merge(
+                    a.astype(np.uint64), b.astype(np.uint64),
+                    abs(r1), abs(r2),
+                )
+                goto, _ = run_or(a, b, abs(r1), abs(r2), cap=cap)
+                np.testing.assert_array_equal(goto, wanto.astype(np.int64))
+    finally:
+        monkeypatch.delenv("DOCODO_COMPARE_ALL", raising=False)
+        jax.clear_caches()
