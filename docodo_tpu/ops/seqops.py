@@ -37,6 +37,15 @@ def pad_to(coords, cap: int):
     return out, np.int32(n)
 
 
+def _compare_all_max() -> int:
+    """Operand size up to which chunked compare-all ranks beat the
+    sort-merge (measured crossover on TPU v5e; DOCODO_COMPARE_ALL_MAX
+    overrides for tuning)."""
+    import os
+
+    return int(os.environ.get("DOCODO_COMPARE_ALL_MAX", _COMPARE_ALL_MAX))
+
+
 _COMPARE_ALL_MAX = 4096   # up to here, chunked compare-all beats gathers
 _COMPARE_CHUNK = 512
 
@@ -64,7 +73,7 @@ def _rank_in_sorted(queries, sorted_vals, strict: bool):
     binary-search path (see _use_compare_all).
     """
     m = sorted_vals.shape[-1]
-    if m <= _COMPARE_ALL_MAX and _use_compare_all():
+    if m <= _compare_all_max() and _use_compare_all():
         acc = jnp.zeros(queries.shape, jnp.int32)
         for j0 in range(0, m, _COMPARE_CHUNK):
             block = sorted_vals[j0: j0 + _COMPARE_CHUNK]
@@ -113,7 +122,7 @@ def compact_mask(vals, mask, out_cap: int):
     ascending order makes masking + sorting a stable partition.
     """
     p = vals.shape[0]
-    if p <= 2 * _COMPARE_ALL_MAX and _use_compare_all():
+    if p <= 2 * _compare_all_max() and _use_compare_all():
         rank = jnp.where(
             mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, out_cap
         )
@@ -150,7 +159,7 @@ def _merge_sorted_tagged(a, na, b, nb):
     ib = jnp.arange(p2, dtype=jnp.int32) < nb
     av = jnp.where(ia, a, INF32)
     bv = jnp.where(ib, b, INF32)
-    if n <= 2 * _COMPARE_ALL_MAX and _use_compare_all():
+    if n <= 2 * _compare_all_max() and _use_compare_all():
         # place both operands at their merged ranks by chunked one-hot
         # reduction — fully gather-free (rb mirrors ra with <= ties)
         ra = jnp.arange(p1, dtype=jnp.int32) + _rank_in_sorted(
