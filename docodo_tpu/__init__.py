@@ -43,4 +43,8 @@ def __getattr__(name):
         from docodo_tpu.server import DocodoServer
 
         return DocodoServer
+    if name == "ShardedDeviceIndex":
+        from docodo_tpu.parallel.serving import ShardedDeviceIndex
+
+        return ShardedDeviceIndex
     raise AttributeError(name)

@@ -1,0 +1,262 @@
+"""Mesh-sharded full-result serving: a built Index re-sharded by
+document over a jax.sharding Mesh and served with EXACT host parity.
+
+The single-chip serving path (ops/device_index.DeviceIndex +
+query/batcher) requires the whole CSR in one device's HBM. Here the
+corpus is document-sharded (parallel/sharding staging — the device twin
+of the reference's per-thread builders, ref Docodo.NET/Index.cs:464-465):
+every device evaluates the replicated query batch against its local
+shard with the full-result program (query_step_full), the per-shard
+LocateFull fields ride one all_gather over ICI, and the host
+materializes each shard's hit stream against that shard's OWN page
+table. Because documents never span shards (sharding._assign_docs),
+per-shard materialization composes exactly: the final result is the
+union of per-shard docs, ranked by the same doc-rank formula
+(ref Search.cs:552-599) via the parent index's materializer.
+
+Queries whose per-shard result overflows the topk/hit_cap budget
+re-serve through the parent host engine, mirroring the single-chip
+batcher's truncation contract.
+
+Boundary contract: the reference's coordinates are CORPUS-GLOBAL, so its
+proximity windows can span document boundaries (ref Build.cs:529-531 —
+coord accumulates across docs with no gap). Documents are therefore
+assigned to shards in CONTIGUOUS ranges (assign_docs_contiguous):
+cross-document windows match the host exactly within every shard; only
+matches that would span one of the S-1 shard boundaries are dropped — a
+window-width (default 255+len chars) sliver per boundary.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from docodo_tpu.core.pagetable import PageTable
+from docodo_tpu.ops.device_index import INT32_MAX, _bucket
+from docodo_tpu.parallel import sharding as sh
+from docodo_tpu.query.search import SearchResult, prepare_search_result
+
+
+class ShardedDeviceIndex:
+    """A built host Index staged onto a device mesh for serving."""
+
+    def __init__(self, index, mesh, corpus: sh.ShardedCorpus,
+                 shard_tables: List[PageTable]):
+        self.index = index
+        self.mesh = mesh
+        self.corpus = corpus
+        self.shard_tables = shard_tables
+        self.terms = list(index.arr.terms)
+        self._tmap = {t: i for i, t in enumerate(self.terms)}
+        counts = index.arr.offsets[1:] - index.arr.offsets[:-1]
+        self._counts = np.asarray(counts, dtype=np.int64)
+        # device arrays
+        self._st, self._sc, self._off = sh.sharded_build(
+            mesh, jnp.asarray(corpus.term_ids), jnp.asarray(corpus.coords),
+            len(self.terms),
+        )
+        self._bounds = jnp.asarray(corpus.bounds)
+        self._page_doc = jnp.asarray(corpus.page_doc)
+        header = np.zeros(corpus.bounds.shape, dtype=bool)
+        for s, table in enumerate(shard_tables):
+            for p, pid in enumerate(table.page_ids):
+                header[s, p] = pid == "0"
+        self._is_header = jnp.asarray(header)
+        self._doc_ordinal = {
+            n: i for i, n in enumerate(index.pages.doc_names)
+        }
+
+    # ---- staging -----------------------------------------------------------
+    @classmethod
+    def from_index(cls, index, mesh) -> "ShardedDeviceIndex":
+        """Re-shard a built in-memory Index by document.
+
+        The global CSR's (term, coord) stream is re-based into per-doc
+        local coordinate spaces (the inverse of the reference's
+        coordinate-shift merge, ref Index.cs:584-592) and greedily
+        assigned to shards; per-shard page tables keep the original page
+        ids and doc names so snippets and headers resolve through the
+        parent index's sources.
+        """
+        arr = index.arr
+        if arr.coords is None:
+            raise ValueError("sharded staging requires an in-memory index")
+        pt = index.pages
+        num_shards = int(np.prod([d for d in mesh.devices.shape]))
+
+        T = len(arr.terms)
+        counts = (arr.offsets[1:] - arr.offsets[:-1]).astype(np.int64)
+        g_tids = np.repeat(np.arange(T, dtype=np.int32), counts)
+        g_coords = arr.coords.astype(np.uint64)
+
+        bounds = pt.bounds.astype(np.uint64)
+        page_doc = pt.page_doc.astype(np.int64)
+        n_docs = len(pt.doc_names)
+        # doc base coord = end bound of the previous doc's last page
+        doc_last_page = np.zeros(n_docs, dtype=np.int64)
+        for p, d in enumerate(page_doc):
+            doc_last_page[d] = p
+        doc_base = np.zeros(n_docs, dtype=np.uint64)
+        doc_base[1:] = bounds[doc_last_page[:-1]]
+
+        page_of = np.searchsorted(bounds, g_coords, side="right")
+        page_of = np.minimum(page_of, len(bounds) - 1)
+        doc_of = page_doc[page_of]
+
+        order = np.argsort(doc_of, kind="stable")
+        sorted_docs = doc_of[order]
+        splits = np.searchsorted(
+            sorted_docs, np.arange(n_docs + 1), side="left"
+        )
+        doc_tids: List[np.ndarray] = []
+        doc_coords: List[np.ndarray] = []
+        doc_pages: List[List[int]] = [[] for _ in range(n_docs)]
+        for d in range(n_docs):
+            sel = order[splits[d]: splits[d + 1]]
+            # per-doc streams must ascend by coordinate for the device
+            # sort's padding contract; CSR order is term-major
+            local = (g_coords[sel] - doc_base[d]).astype(np.int64)
+            sub = np.argsort(local, kind="stable")
+            doc_tids.append(g_tids[sel][sub])
+            doc_coords.append(local[sub].astype(np.int32))
+        for p, d in enumerate(page_doc):
+            doc_pages[d].append(int(bounds[p] - doc_base[d]))
+
+        # CONTIGUOUS doc ranges: the reference's proximity windows span
+        # document boundaries (coordinates are corpus-global), and
+        # contiguous packing preserves that behavior within every shard;
+        # only windows crossing one of the S-1 shard boundaries diverge
+        assign = sh.assign_docs_contiguous(
+            [t.size for t in doc_tids],
+            [(p[-1] if p else 0) for p in doc_pages],
+            num_shards,
+        )
+        corpus = sh.stage_shards_arrays(
+            doc_tids, doc_coords, doc_pages, num_shards=num_shards,
+            terms=list(arr.terms), assign=assign,
+        )
+        # per-shard page tables in shard-local coordinates
+        tables: List[PageTable] = []
+        for s in range(num_shards):
+            t = PageTable()
+            bnds, pdoc, pids, names = [], [], [], []
+            base = 0
+            for nd, d in enumerate(corpus.doc_assign[s]):
+                names.append(pt.doc_names[d])
+                for p in np.flatnonzero(page_doc == d):
+                    bnds.append(base + int(bounds[p] - doc_base[d]))
+                    pdoc.append(nd)
+                    pids.append(pt.page_ids[p])
+                base += doc_pages[d][-1] if doc_pages[d] else 0
+            t.bounds = np.array(bnds, dtype=np.uint64)
+            t.page_doc = np.array(pdoc, dtype=np.int64)
+            t.page_ids = pids
+            t.doc_names = names
+            tables.append(t)
+        return cls(index, mesh, corpus, tables)
+
+    # ---- query compilation ---------------------------------------------------
+    def term_id(self, term: str) -> int:
+        return self._tmap.get(term, -1)
+
+    def posting_count(self, term: str) -> int:
+        tid = self.term_id(term)
+        return int(self._counts[tid]) if tid >= 0 else 0
+
+    def _compile(self, queries) -> Tuple[np.ndarray, np.ndarray, int, list]:
+        """Group queries [(codes, r), ...] -> padded [B, W, V] ids + rs.
+        Rows with an unknown group compile to all -1 at slot 0 (matches
+        nothing). Returns (terms, rs, cap, known_mask)."""
+        w = v = 1
+        need = 1
+        rows_all = []
+        for q in queries:
+            rows, rvals = [], []
+            ok = True
+            for codes, r in q:
+                if isinstance(codes, str):
+                    codes = (codes,)
+                ids = [self.term_id(c) for c in codes]
+                ids = [i for i in ids if i >= 0]
+                if not ids:
+                    ok = False
+                    break
+                for c in codes:
+                    need = max(need, self.posting_count(c))
+                rows.append(ids)
+                rvals.append(r)
+            if not ok:
+                rows_all.append(None)
+                continue
+            rows_all.append((rows, rvals))
+            w = max(w, len(rows))
+            v = max(v, max(len(i) for i in rows))
+        b = len(queries)
+        if v == 1:
+            terms = np.full((b, w), -1, dtype=np.int32)
+        else:
+            terms = np.full((b, w, v), -1, dtype=np.int32)
+        rs = np.ones((b, w), dtype=np.int32)
+        for i, rr in enumerate(rows_all):
+            if rr is None:
+                continue
+            rows, rvals = rr
+            for j, (ids, r) in enumerate(zip(rows, rvals)):
+                if v == 1:
+                    terms[i, j] = ids[0]
+                else:
+                    terms[i, j, : len(ids)] = ids
+                rs[i, j] = r
+        return terms, rs, _bucket(need), [r is not None for r in rows_all]
+
+    # ---- serving ---------------------------------------------------------------
+    def search_batch(self, queries, topk: int = 64, hit_cap: int = 1024,
+                     materialize: bool = True) -> List[SearchResult]:
+        """Evaluate group queries over the mesh and materialize full
+        SearchResults with exact host parity.
+
+        queries: per query a list of (codes, R) groups, the same form the
+        batcher's compile_request emits. Truncated queries (any shard
+        over the topk/hit_cap budget) re-serve via the parent host
+        engine's expression path.
+        """
+        terms, rs, cap, known = self._compile(queries)
+        out = sh.sharded_query_full(
+            self.mesh, self._off, self._sc, self._bounds, self._page_doc,
+            self._is_header, jnp.asarray(terms), jnp.asarray(rs),
+            cap=cap, topk=topk, hit_cap=hit_cap,
+        )
+        import jax
+
+        (pages, ranks, counts, n_pages, docs, doc_ranks, hits,
+         n_hits) = jax.device_get(out)
+        S = pages.shape[0]
+        results: List[SearchResult] = []
+        for b, q in enumerate(queries):
+            if not known[b]:
+                results.append(SearchResult())  # matches nothing
+                continue
+            if (n_pages[:, b] > topk).any() or (n_hits[:, b] > hit_cap).any():
+                results.append(None)  # caller re-serves host-side
+                continue
+            combined = SearchResult()
+            for s in range(S):
+                hv = hits[s, b]
+                hv = hv[hv < INT32_MAX].astype(np.uint64)
+                if hv.size == 0:
+                    continue
+                part = prepare_search_result(hv, self.shard_tables[s], [])
+                combined.found_docs.extend(part.found_docs)
+            # host parity for rank TIES: the host engine's stable sort
+            # preserves global coordinate (= doc ordinal) order; shards
+            # deliver docs shard-major, so restore the ordinal order first
+            ordinal = self._doc_ordinal
+            combined.found_docs.sort(key=lambda d: ordinal.get(d.name, 0))
+            if materialize:
+                self.index._materialize_docs(combined)
+                combined.found_docs.sort(key=lambda d: d.rank)
+            results.append(combined)
+        return results

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -127,6 +127,53 @@ def sharded_query(mesh, term_offsets, coords, bounds, page_doc,
     return fn(term_offsets, coords, bounds, page_doc, page_base, terms, rs)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "cap", "topk", "hit_cap")
+)
+def sharded_query_full(mesh, term_offsets, coords, bounds, page_doc,
+                       is_header, terms, rs, cap: int, topk: int,
+                       hit_cap: int):
+    """Full-result twin of sharded_query: every shard evaluates the
+    replicated (variant-aware) query batch with query_step_full, and the
+    per-shard LocateFull fields are all_gathered so every host process
+    sees [S, B, ...] — hit streams stay in SHARD-LOCAL coordinates, which
+    is exactly what per-shard materialization needs (in-page positions
+    are shard-invariant because documents never span shards).
+
+    terms: int32[B, W] or int32[B, W, V]; rs: int32[B, W].
+    Returns the LocateFull fields as a tuple of [S, B, ...] arrays.
+    """
+    from docodo_tpu.ops.device_index import query_step_full
+
+    def local_query(off, co, bo, pd, hd, tq, rq):
+        off, co, bo, pd, hd = off[0], co[0], bo[0], pd[0], hd[0]
+        fn = functools.partial(
+            query_step_full, cap=cap, topk=topk, hit_cap=hit_cap
+        )
+        lf = jax.vmap(fn, in_axes=(None, None, None, None, None, 0, 0))(
+            off, co, bo, pd, hd, tq, rq
+        )
+        return tuple(jax.lax.all_gather(x, "d") for x in lf)
+
+    t_spec = P(*([None] * terms.ndim))
+    fn = shard_map(
+        local_query, mesh=mesh,
+        in_specs=(
+            P("d", None), P("d", None), P("d", None), P("d", None),
+            P("d", None), t_spec, P(None, None),
+        ),
+        # LocateFull field order: pages/ranks/counts [S,B,k], n_pages
+        # [S,B], docs/doc_ranks [S,B,k], hits [S,B,hit_cap], n_hits [S,B]
+        out_specs=(
+            P(None, None, None), P(None, None, None), P(None, None, None),
+            P(None, None), P(None, None, None), P(None, None, None),
+            P(None, None, None), P(None, None),
+        ),
+        check_vma=False,  # replicated outputs, as in sharded_query
+    )
+    return fn(term_offsets, coords, bounds, page_doc, is_header, terms, rs)
+
+
 # ---------------------------------------------------------------------------
 # host-side shard assembly
 # ---------------------------------------------------------------------------
@@ -186,6 +233,9 @@ class ShardedCorpus:
     page_base: np.ndarray  # int32[S] global page row offset
     terms: List[str]
     n_tokens: np.ndarray   # int32[S]
+    # document assignment: doc_assign[s] = original doc indices on shard
+    # s, in shard-local order (None for legacy callers)
+    doc_assign: Optional[List[List[int]]] = None
 
 
 def stage_shards(
@@ -249,25 +299,68 @@ def stage_shards(
     return ShardedCorpus(
         term_ids=term_ids, coords=coords, bounds=bounds,
         page_doc=page_doc, page_base=page_base,
-        terms=list(term_to_id), n_tokens=n_tokens,
+        terms=list(term_to_id), n_tokens=n_tokens, doc_assign=assign,
     )
+
+
+def assign_docs_contiguous(sizes, extents, num_shards: int):
+    """Contiguous balanced document partition: shard s owns a RANGE of
+    consecutive documents. Within a shard the packed coordinate space
+    preserves the global doc adjacency, so the reference's cross-document
+    proximity windows (coordinates are corpus-global, ref Build.cs:529-531)
+    match exactly everywhere except the S-1 shard boundaries."""
+    total = sum(sizes)
+    target = max(1, total // num_shards + 1)
+    assign = [[] for _ in range(num_shards)]
+    s = 0
+    load = 0
+    coord_load = 0
+    for i, size in enumerate(sizes):
+        ext = int(extents[i])
+        if ext > INT32_COORD_LIMIT:
+            raise ShardCoordinateOverflow(
+                f"document {i} spans {ext} chars > 2^31-1; split the "
+                f"document (e.g. smaller pages) before staging"
+            )
+        remaining_docs = len(sizes) - i
+        if assign[s] and s < num_shards - 1 and (
+            load + size > target or coord_load + ext > INT32_COORD_LIMIT
+            or remaining_docs <= num_shards - 1 - s
+        ):
+            s += 1
+            load = coord_load = 0
+        if coord_load + ext > INT32_COORD_LIMIT:
+            raise ShardCoordinateOverflow(
+                f"document {i} ({ext} chars) fits no shard: increase "
+                f"num_shards (corpus needs > {num_shards} shards)"
+            )
+        assign[s].append(i)
+        load += size
+        coord_load += ext
+    return assign
 
 
 def stage_shards_arrays(
     doc_tids: Sequence[np.ndarray], doc_coords: Sequence[np.ndarray],
     doc_pages: Sequence[Sequence[int]], num_shards: int,
     terms: Sequence[str] = (),
+    assign: Optional[List[List[int]]] = None,
 ) -> ShardedCorpus:
     """Array-native shard staging (no per-token Python objects): same
     assignment policy as stage_shards but documents stay as numpy
-    (term_id, coord) arrays end to end — required at GB scale."""
+    (term_id, coord) arrays end to end — required at GB scale.
+
+    `assign` overrides the greedy least-loaded placement with a
+    precomputed per-shard doc-index list (e.g. assign_docs_contiguous
+    for serving parity)."""
     extents = [
         (doc_pages[i][-1] if doc_pages[i] else 0)
         for i in range(len(doc_tids))
     ]
-    assign = _assign_docs(
-        [t.size for t in doc_tids], extents, num_shards
-    )
+    if assign is None:
+        assign = _assign_docs(
+            [t.size for t in doc_tids], extents, num_shards
+        )
 
     nloc = max((sum(doc_tids[i].size for i in a) for a in assign), default=1) or 1
     ploc = max((sum(len(doc_pages[i]) for i in a) for a in assign), default=1) or 1
@@ -299,7 +392,7 @@ def stage_shards_arrays(
     return ShardedCorpus(
         term_ids=term_ids, coords=coords, bounds=bounds,
         page_doc=page_doc, page_base=page_base,
-        terms=list(terms), n_tokens=n_tokens,
+        terms=list(terms), n_tokens=n_tokens, doc_assign=assign,
     )
 
 

@@ -1,0 +1,136 @@
+"""Mesh-sharded full-result serving: ShardedDeviceIndex results must
+equal the host engine's (docs, pages, positions, doc order) on an
+8-virtual-device mesh — documents never span shards, so per-shard
+materialization composes exactly."""
+
+import numpy as np
+import pytest
+
+import docodo_tpu
+from docodo_tpu.parallel import sharding as sh
+from docodo_tpu.parallel.serving import ShardedDeviceIndex
+from docodo_tpu.query.batcher import compile_request
+from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
+
+_BODIES = [
+    "the pickwick club met at noon and the club adjourned for dinner",
+    "mr pickwick spoke to the club about travels and adventures abroad",
+    "travels through kent were recounted by the club members at length",
+    "noon came and went while pickwick pondered the proposed club rules",
+    "the lady smiled at the club members who wandered through the town",
+    "dinner was served at noon and the members of the club were pleased",
+    "kent roads carried the club carriage through villages and fields",
+    "adventures abroad were rare but the club pondered them at dinner",
+    "a quiet dinner for the club closed the adventures of the evening",
+    "pickwick and the club wandered through kent before dinner at noon",
+]
+# pad each doc past the default proximity window (255+len chars) with
+# doc-UNIQUE filler so no query word pair spans a document boundary —
+# the host engine's corpus-global windows would otherwise produce
+# cross-document groups the sharded layout can only reproduce within a
+# shard (see parallel/serving.py boundary contract)
+TEXTS = [
+    b + " " + " ".join(f"filler{i}x{j}" for j in range(60))
+    for i, b in enumerate(_BODIES)
+]
+
+
+@pytest.fixture(scope="module")
+def ind(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("shsrv")
+    ind = docodo_tpu.Index(path=str(tmp), in_memory=True)
+    # one build thread: global doc order (and thus cross-document
+    # proximity groups) is thread-scheduling-dependent otherwise — the
+    # reference's own deterministic tests pin this too (VocabTest:237)
+    ind.max_degree_of_parallelism = 1
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile(f"d{i}", t, "") for i, t in enumerate(TEXTS)
+    ]))
+    ind.create()
+    yield ind
+    ind.dispose()
+
+
+@pytest.fixture(scope="module")
+def sdi(ind):
+    mesh = sh.make_mesh(8)
+    return ShardedDeviceIndex.from_index(ind, mesh)
+
+
+def _doc_view(res):
+    return [
+        (d.name, [(p.id, list(p.pos)) for p in d.pages], round(d.rank, 5))
+        for d in res.found_docs
+    ]
+
+
+REQS = [
+    "club",
+    "pickwick club",
+    '"pickwick club"',
+    "dinner noon",
+    "adventures abroad",
+    "club kent",
+    "wandered through",
+    '"the club"',
+]
+
+
+def test_sharded_serving_matches_host(ind, sdi):
+    compiled = [compile_request(ind, r) for r in REQS]
+    assert all(c is not None for c in compiled)
+    results = sdi.search_batch(compiled, topk=32, hit_cap=256)
+    for req, res in zip(REQS, results):
+        assert res is not None, f"unexpected truncation for {req}"
+        host = ind.search(req)
+        assert _doc_view(res) == _doc_view(host), req
+
+
+def test_sharded_serving_unknown_word_matches_nothing(ind, sdi):
+    compiled = [compile_request(ind, "club zzzzqqq")]
+    # unknown word annihilates the query via the empty-group sentinel
+    [res] = sdi.search_batch(compiled, topk=8, hit_cap=64)
+    assert res is not None and res.found_docs == []
+
+
+def test_sharded_serving_truncation_flags(ind, sdi):
+    # 'club' appears in every doc; a tiny budget must flag truncation
+    compiled = [compile_request(ind, "club")]
+    [res] = sdi.search_batch(compiled, topk=1, hit_cap=2)
+    assert res is None  # caller re-serves host-side
+
+
+def test_sharded_staging_covers_all_docs(ind, sdi):
+    names = sorted(
+        n for t in sdi.shard_tables for n in t.doc_names
+    )
+    assert names == sorted(ind.pages.doc_names)
+    total_pages = sum(len(t.page_ids) for t in sdi.shard_tables)
+    assert total_pages == len(ind.pages.page_ids)
+
+
+def test_cross_document_groups_match_within_shard(tmp_path):
+    """The reference's proximity windows span document boundaries
+    (corpus-global coordinates). Contiguous shard assignment reproduces
+    those cross-document groups whenever both docs land on one shard."""
+    docs = [
+        "members gathered and talked about dinner",   # ends with 'dinner'
+        "pickwick arrived late to the gathering",     # starts with 'pickwick'
+        "kent was quiet that particular evening",
+        "travels resumed when the morning came",
+    ]
+    ind = docodo_tpu.Index(path=str(tmp_path), in_memory=True)
+    ind.max_degree_of_parallelism = 1
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile(f"c{i}", t, "") for i, t in enumerate(docs)
+    ]))
+    ind.create()
+    mesh = sh.make_mesh(2)
+    sdi = ShardedDeviceIndex.from_index(ind, mesh)
+    assert sdi.corpus.doc_assign == [[0, 1], [2, 3]]
+    req = "dinner pickwick"  # group spans the d0/d1 boundary (same shard)
+    host = ind.search(req)
+    assert host.found_docs, "host must produce the cross-document group"
+    [res] = sdi.search_batch([compile_request(ind, req)], topk=8,
+                             hit_cap=64)
+    assert _doc_view(res) == _doc_view(host)
