@@ -247,9 +247,19 @@ class BatchExecutor:
     def __init__(self, index, device_index: Optional[DeviceIndex] = None,
                  max_batch: int = 512, max_wait_ms: float = 2.0,
                  topk: int = 64, hit_cap: int = 1024,
-                 materialize: bool = True):
+                 materialize: bool = True, mesh=None):
+        """With `mesh`, serve from a document-sharded mesh index
+        (parallel/serving.ShardedDeviceIndex) instead of a single-chip
+        DeviceIndex — corpora larger than one device's HBM."""
         self.index = index
-        self.di = device_index or DeviceIndex.from_index(index)
+        self.sdi = None
+        if mesh is not None:
+            from docodo_tpu.parallel.serving import ShardedDeviceIndex
+
+            self.sdi = ShardedDeviceIndex.from_index(index, mesh)
+            self.di = None
+        else:
+            self.di = device_index or DeviceIndex.from_index(index)
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self.topk = topk
@@ -342,6 +352,8 @@ class BatchExecutor:
     CAP_LADDER = (128, 1024, 16384, 1 << 17)
 
     def _execute(self, batch: List[_Pending]) -> None:
+        if self.sdi is not None:
+            return self._execute_sharded(batch)
         t0 = time.perf_counter()
         out = self.di.search_batch_full(
             [p.compiled for p in batch], topk=self.topk,
@@ -382,3 +394,23 @@ class BatchExecutor:
             p.result = res
             p.event.set()
         self.stats["material_s"] += time.perf_counter() - t1
+
+    def _execute_sharded(self, batch: List[_Pending]) -> None:
+        """Mesh-sharded execution: ShardedDeviceIndex returns complete
+        SearchResults (per-shard materialization included); truncated
+        queries come back None and re-serve on the caller's thread."""
+        t0 = time.perf_counter()
+        results = self.sdi.search_batch(
+            [p.compiled for p in batch], topk=self.topk,
+            hit_cap=self.hit_cap, materialize=self.materialize,
+        )
+        self.stats["batches"] += 1
+        self.stats["device_s"] += time.perf_counter() - t0
+        for p, res in zip(batch, results):
+            if res is None:
+                self.stats["truncated_fallbacks"] += 1
+            else:
+                self.stats["device_queries"] += 1
+                res.words = p.words
+                p.result = res
+            p.event.set()

@@ -45,7 +45,7 @@ class DocodoServer:
     def __init__(self, index, port: int = 9001, host: str = "0.0.0.0",
                  device_batching: bool = False,
                  max_threads: Optional[int] = None,
-                 materialize: bool = True):
+                 materialize: bool = True, mesh=None):
         self.index = index
         if max_threads is None:
             # host path: 4 x CPU (ref server.cs:16). Device batching:
@@ -63,8 +63,11 @@ class DocodoServer:
             from docodo_tpu.query.batcher import BatchExecutor
 
             # materialize=False serves rank/position results without the
-            # per-doc snippet text IO (clients that only need hit lists)
-            self.batcher = BatchExecutor(index, materialize=materialize)
+            # per-doc snippet text IO (clients that only need hit lists);
+            # mesh serves from a document-sharded multi-device index
+            self.batcher = BatchExecutor(
+                index, materialize=materialize, mesh=mesh
+            )
         outer = self
 
         class Handler(BaseHTTPRequestHandler):

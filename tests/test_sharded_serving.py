@@ -134,3 +134,25 @@ def test_cross_document_groups_match_within_shard(tmp_path):
     [res] = sdi.search_batch([compile_request(ind, req)], topk=8,
                              hit_cap=64)
     assert _doc_view(res) == _doc_view(host)
+
+
+def test_batcher_serves_from_mesh(ind):
+    """BatchExecutor(mesh=...) serves device batches from the sharded
+    index with host-parity results and the truncation contract."""
+    from docodo_tpu.query.batcher import BatchExecutor
+
+    ex = BatchExecutor(ind, max_wait_ms=1.0, mesh=sh.make_mesh(8),
+                       topk=32, hit_cap=256)
+    try:
+        for req in ["club", '"pickwick club"', "dinner noon"]:
+            dev = ex.search(req)
+            host = ind.search(req)
+            assert _doc_view(dev) == _doc_view(host), req
+            assert [(w.word, w.n_found) for w in dev.words] == \
+                [(w.word, w.n_found) for w in host.words], req
+        assert ex.stats["device_queries"] >= 3
+        # wildcard still falls back to the host engine
+        res = ex.search("clu?")
+        assert res.success and ex.stats["host_queries"] >= 1
+    finally:
+        ex.close()
