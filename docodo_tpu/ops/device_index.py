@@ -46,6 +46,13 @@ from docodo_tpu.ops.seqops import (
 
 INT32_MAX = int(INF32)
 
+# compare-all/sort-merge crossover for the FULL-RESULT path: it stacks
+# more merge/compact stages per query (variant ORs, hit compaction), so
+# the lax.sort merge pays off far earlier than on the page-level path
+# (measured on TPU v5e: caps 1024/2048 W2V2 run 2.1-2.8x faster at 512
+# than at the page-level path's 4096 crossover, identical checksums)
+FULL_CA_MAX = 512
+
 
 def _fold_select(skip, acc, keep_acc, n_acc, vals, keep):
     """Select between the previous fold state (padded up to the new
@@ -104,7 +111,8 @@ def gather_term(coords, term_offsets, term, cap: int):
     return vals, ln
 
 
-def eval_and_query(coords, term_offsets, terms, rs, cap: int):
+def eval_and_query(coords, term_offsets, terms, rs, cap: int,
+                   ca_max: int = None):
     """Left-fold proximity-AND over a query's terms (padded with -1).
 
     Mirrors the reference expression fold A*B*C (ref Search.cs:501 via
@@ -126,7 +134,9 @@ def eval_and_query(coords, term_offsets, terms, rs, cap: int):
             acc, n_acc = _compact(acc, keep_acc, out_cap=acc.shape[0])
             keep_acc = jnp.arange(acc.shape[0], dtype=jnp.int32) < n_acc
         b, nb = gather_term(coords, term_offsets, terms[q], cap)
-        vals, keep, r_out = and_masked(acc, n_acc, r_acc, b, nb, rs[q])
+        vals, keep, r_out = and_masked(
+            acc, n_acc, r_acc, b, nb, rs[q], ca_max
+        )
         skip = terms[q] < 0
         acc, keep_acc, n_acc = _fold_select(
             skip, acc, keep_acc, n_acc, vals, keep
@@ -135,7 +145,8 @@ def eval_and_query(coords, term_offsets, terms, rs, cap: int):
     return acc, keep_acc, r_acc
 
 
-def gather_word_variants(coords, term_offsets, variants, cap: int):
+def gather_word_variants(coords, term_offsets, variants, cap: int,
+                         ca_max: int = None):
     """OR-combine a word's term-id variants (voc group code + raw form +
     stem code, ref Search.cs:226-247) into one dense posting operand.
 
@@ -153,7 +164,7 @@ def gather_word_variants(coords, term_offsets, variants, cap: int):
             keep_acc = jnp.arange(acc.shape[0], dtype=jnp.int32) < n_acc
         b, nb = gather_term(coords, term_offsets, variants[q], cap)
         vals, keep, _ = or_masked(
-            acc, n_acc, jnp.int32(1), b, nb, jnp.int32(1)
+            acc, n_acc, jnp.int32(1), b, nb, jnp.int32(1), ca_max
         )
         acc, keep_acc, n_acc = _fold_select(
             variants[q] < 0, acc, keep_acc, n_acc, vals, keep
@@ -162,18 +173,25 @@ def gather_word_variants(coords, term_offsets, variants, cap: int):
     return acc, n_acc
 
 
-def eval_and_query_variants(coords, term_offsets, terms, rs, cap: int):
+def eval_and_query_variants(coords, term_offsets, terms, rs, cap: int,
+                            ca_max: int = None):
     """AND fold where each word is an OR of term variants.
 
     terms: int32[W, V] (-1 padded both ways); rs: int32[W].
     """
     w = terms.shape[0]
-    acc, n_acc = gather_word_variants(coords, term_offsets, terms[0], cap)
+    acc, n_acc = gather_word_variants(
+        coords, term_offsets, terms[0], cap, ca_max
+    )
     keep_acc = jnp.arange(acc.shape[0], dtype=jnp.int32) < n_acc
     r_acc = rs[0]
     for q in range(1, w):
-        b, nb = gather_word_variants(coords, term_offsets, terms[q], cap)
-        vals, keep, r_out = and_masked(acc, n_acc, r_acc, b, nb, rs[q])
+        b, nb = gather_word_variants(
+            coords, term_offsets, terms[q], cap, ca_max
+        )
+        vals, keep, r_out = and_masked(
+            acc, n_acc, r_acc, b, nb, rs[q], ca_max
+        )
         skip = terms[q, 0] < 0
         acc, keep_acc, n_acc = _fold_select(
             skip, acc, keep_acc, n_acc, vals, keep
@@ -303,7 +321,7 @@ def locate_full(vals, keep, bounds, page_doc, is_header, topk: int,
     # top_page never match; [P, topk] compare is tiny (topk <= 128)
     in_top = keep & jnp.any(page[:, None] == top_page[None, :], axis=-1)
     n_hits = jnp.sum(in_top.astype(jnp.int32))
-    hits = compact_mask(vals, in_top, hit_cap)
+    hits = compact_mask(vals, in_top, hit_cap, ca_max=FULL_CA_MAX)
 
     # doc grouping among the top-k pages: [topk, topk] compares only
     docs = jnp.where(valid_top, page_doc[jnp.maximum(top_page, 0)], -1)
@@ -347,17 +365,20 @@ def query_step(term_offsets, coords, bounds, page_doc, terms, rs,
     return locate_topk_masked(vals, keep, bounds, topk)
 
 
-def eval_query_masked(coords, term_offsets, terms, rs, cap: int):
+def eval_query_masked(coords, term_offsets, terms, rs, cap: int,
+                      ca_max: int = None):
     """Evaluate one query to a masked coordinate stream, dispatching on
     the terms layout: int32[W] = plain AND fold; int32[W, V] = AND fold
     of per-word variant ORs (the reference's multi-code words and
     `a|b` alternations, ref Search.cs:226-247, 351)."""
     if terms.ndim == 1 or terms.shape[1] == 1:
         t = terms if terms.ndim == 1 else terms[:, 0]
-        vals, keep, _ = eval_and_query(coords, term_offsets, t, rs, cap)
+        vals, keep, _ = eval_and_query(
+            coords, term_offsets, t, rs, cap, ca_max
+        )
     else:
         vals, keep, _ = eval_and_query_variants(
-            coords, term_offsets, terms, rs, cap
+            coords, term_offsets, terms, rs, cap, ca_max
         )
     return vals, keep
 
@@ -367,7 +388,9 @@ def query_step_full(term_offsets, coords, bounds, page_doc, is_header,
                     hit_cap: int) -> LocateFull:
     """One query end-to-end with full result extraction: top-k pages,
     hit coordinate stream, device doc ranks. Variant-aware."""
-    vals, keep = eval_query_masked(coords, term_offsets, terms, rs, cap)
+    vals, keep = eval_query_masked(
+        coords, term_offsets, terms, rs, cap, ca_max=FULL_CA_MAX
+    )
     return locate_full(vals, keep, bounds, page_doc, is_header, topk,
                        hit_cap)
 
@@ -392,14 +415,20 @@ def batched_query_full(term_offsets, coords, bounds, page_doc, is_header,
 @functools.partial(jax.jit, static_argnames=("caps", "topk", "hit_cap"))
 def multi_bucket_query_full(term_offsets, coords, bounds, page_doc,
                             is_header, terms_list, rs_list, caps,
-                            topk: int, hit_cap: int):
+                            topk: int, hit_cap):
     """Full-result twin of multi_bucket_query_step: every shape bucket
     (variant-aware, [Bi, Wi] or [Bi, Wi, Vi] terms) evaluates in ONE
-    device program; each bucket yields a batched LocateFull."""
+    device program; each bucket yields a batched LocateFull.
+
+    hit_cap: one int, or a per-bucket tuple — small-result buckets read
+    back small hit buffers (the hits stream dominates device->host
+    bytes)."""
+    if isinstance(hit_cap, int):
+        hit_cap = (hit_cap,) * len(caps)
     outs = []
-    for tq, rq, cap in zip(terms_list, rs_list, caps):
+    for tq, rq, cap, hb in zip(terms_list, rs_list, caps, hit_cap):
         fn = functools.partial(
-            query_step_full, cap=cap, topk=topk, hit_cap=hit_cap
+            query_step_full, cap=cap, topk=topk, hit_cap=hb
         )
         outs.append(
             jax.vmap(fn, in_axes=(None, None, None, None, None, 0, 0))(
@@ -733,28 +762,41 @@ class DeviceIndex:
     def compile_group_query(self, query):
         """Normalize one group query [(codes, r), ...] (codes a str or a
         sequence of variant code strings) into (id rows, rs, w, v, cap
-        need). Returns None when some group resolves to NO known terms —
-        the query then matches nothing (host parity: an empty PostingSeq
-        annihilates the AND, and unknown OR branches contribute nothing).
+        need, min_need). Returns None when some group resolves to NO
+        known terms — the query then matches nothing (host parity: an
+        empty PostingSeq annihilates the AND, and unknown OR branches
+        contribute nothing).
+
+        min_need is the smallest group's posting volume (variant counts
+        summed) — an a-priori scale for the RESULT size used to tier the
+        hit-stream readback buffer (the result is not strictly bounded
+        by it, so overflow is still detected via n_hits).
         """
         rows, rvals = [], []
         need = 1
+        min_need = None
         for codes, r in query:
             if isinstance(codes, str):
                 codes = (codes,)
             ids = []
+            group_vol = 0
             for c in codes:
                 tid = self.term_id(c)
                 if tid >= 0:
                     ids.append(tid)
-                    need = max(need, self.posting_count(c))
+                    cnt = self.posting_count(c)
+                    need = max(need, cnt)
+                    group_vol += cnt
             if not ids:
                 return None
+            min_need = group_vol if min_need is None else min(
+                min_need, group_vol
+            )
             rows.append(ids)
             rvals.append(r)
         w = max(len(rows), 1)
         v = max((len(ids) for ids in rows), default=1)
-        return rows, rvals, w, v, need
+        return rows, rvals, w, v, need, min_need or 1
 
     def search_batch_full(
         self, queries, topk: int = 64, hit_cap: int = 512,
@@ -794,6 +836,22 @@ class DeviceIndex:
                         return c
             return _bucket(need)
 
+        # hit-stream readback tiers: the hits buffer dominates the
+        # device->host bytes (measured: the full-result TPU bench is
+        # READBACK-bound over a tunnel), so queries whose smallest
+        # operand bounds the expected result small read back a small
+        # buffer; overflow still flags via n_hits and re-serves
+        hit_tiers = sorted({
+            min(hit_cap, t) for t in (128, 512, hit_cap)
+        })
+
+        def hit_tier(min_need: int) -> int:
+            want = 4 * min_need + 16
+            for t in hit_tiers:
+                if want <= t:
+                    return t
+            return hit_cap
+
         compiled = []
         buckets = {}
         for i, q in enumerate(queries):
@@ -801,12 +859,16 @@ class DeviceIndex:
             compiled.append(cg)
             if cg is None:
                 continue
-            rows, rvals, w, v, need = cg
+            rows, rvals, w, v, need, min_need = cg
             vb = _bucket(v, lo=1)
-            buckets.setdefault((round_cap(need), w, vb), []).append(i)
+            buckets.setdefault(
+                (round_cap(need), w, vb, hit_tier(min_need)), []
+            ).append(i)
 
-        terms_list, rs_list, caps_list, idx_list = [], [], [], []
-        for (qcap, w, vb), idxs in sorted(buckets.items()):
+        terms_list, rs_list, caps_list, hcaps_list, idx_list = (
+            [], [], [], [], []
+        )
+        for (qcap, w, vb, hb), idxs in sorted(buckets.items()):
             brows = _bucket4(len(idxs)) if not fused else _bucket(
                 len(idxs), lo=8
             )
@@ -816,7 +878,7 @@ class DeviceIndex:
                 terms = np.full((brows, w, vb), -1, dtype=np.int32)
             rs = np.ones((brows, w), dtype=np.int32)
             for row, i in enumerate(idxs):
-                rows_i, rvals_i, _, _, _ = compiled[i]
+                rows_i, rvals_i = compiled[i][0], compiled[i][1]
                 for j, (ids, r) in enumerate(zip(rows_i, rvals_i)):
                     if vb == 1:
                         terms[row, j] = ids[0]
@@ -826,6 +888,7 @@ class DeviceIndex:
             terms_list.append(jnp.asarray(terms))
             rs_list.append(jnp.asarray(rs))
             caps_list.append(qcap)
+            hcaps_list.append(hb)
             idx_list.append(idxs)
 
         if not idx_list:
@@ -834,7 +897,7 @@ class DeviceIndex:
             outs = multi_bucket_query_full(
                 self.term_offsets, self.coords, self.bounds, self.page_doc,
                 self.header_mask(), tuple(terms_list), tuple(rs_list),
-                tuple(caps_list), topk, hit_cap,
+                tuple(caps_list), topk, tuple(hcaps_list),
             )
         else:
             # per-bucket cached jits: serving batch compositions churn,
@@ -844,16 +907,18 @@ class DeviceIndex:
                 batched_query_full(
                     self.term_offsets, self.coords, self.bounds,
                     self.page_doc, self.header_mask(), tq, rq,
-                    cap=qcap, topk=topk, hit_cap=hit_cap,
+                    cap=qcap, topk=topk, hit_cap=hb,
                 )
-                for tq, rq, qcap in zip(terms_list, rs_list, caps_list)
+                for tq, rq, qcap, hb in zip(
+                    terms_list, rs_list, caps_list, hcaps_list
+                )
             ]
         # ONE coalesced transfer for the whole result pytree: per-array
         # np.asarray readbacks are separate device->host round trips, and
         # remote-tunnel devices stall intermittently under many small
         # readbacks (see CLAUDE.md)
         outs = jax.device_get(outs)
-        for idxs, o in zip(idx_list, outs):
+        for idxs, hb, o in zip(idx_list, hcaps_list, outs):
             n = len(idxs)
             out["pages"][idxs] = o.pages[:n]
             out["ranks"][idxs] = o.ranks[:n]
@@ -861,6 +926,10 @@ class DeviceIndex:
             out["docs"][idxs] = o.docs[:n]
             out["doc_ranks"][idxs] = o.doc_ranks[:n]
             out["n_pages"][idxs] = o.n_pages[:n]
-            out["n_hits"][idxs] = o.n_hits[:n]
-            out["hits"][idxs] = o.hits[:n]
+            # a query overflowing its TIER (but within the global budget)
+            # must flag truncation: n_hits > hits columns delivered
+            out["n_hits"][idxs] = np.where(
+                o.n_hits[:n] > hb, np.int32(hit_cap + 1), o.n_hits[:n]
+            ) if hb < hit_cap else o.n_hits[:n]
+            out["hits"][idxs, :hb] = o.hits[:n]
         return out

@@ -63,7 +63,8 @@ def _use_compare_all() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _rank_in_sorted(queries, sorted_vals, strict: bool):
+def _rank_in_sorted(queries, sorted_vals, strict: bool,
+                    ca_max: int = None):
     """#{j: sorted_vals[j] < queries[i]} (strict) or <= (not strict).
 
     For small/mid arrays on TPU this is a CHUNKED COMPARE-ALL (broadcast
@@ -73,7 +74,7 @@ def _rank_in_sorted(queries, sorted_vals, strict: bool):
     binary-search path (see _use_compare_all).
     """
     m = sorted_vals.shape[-1]
-    if m <= _compare_all_max() and _use_compare_all():
+    if m <= (ca_max or _compare_all_max()) and _use_compare_all():
         acc = jnp.zeros(queries.shape, jnp.int32)
         for j0 in range(0, m, _COMPARE_CHUNK):
             block = sorted_vals[j0: j0 + _COMPARE_CHUNK]
@@ -111,7 +112,7 @@ def _place_by_rank(rank, src, tag, n: int):
     )
 
 
-def compact_mask(vals, mask, out_cap: int):
+def compact_mask(vals, mask, out_cap: int, ca_max: int = None):
     """Stable compaction of an ASCENDING masked stream into the first
     `out_cap` slots (INF32-padded): out[k] = k-th masked value.
 
@@ -122,7 +123,7 @@ def compact_mask(vals, mask, out_cap: int):
     ascending order makes masking + sorting a stable partition.
     """
     p = vals.shape[0]
-    if p <= 2 * _compare_all_max() and _use_compare_all():
+    if p <= 2 * (ca_max or _compare_all_max()) and _use_compare_all():
         rank = jnp.where(
             mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, out_cap
         )
@@ -142,7 +143,7 @@ def combine_r(r1, r2):
     return jnp.where((r1 < 0) & (r2 < 0), -abs_r, abs_r)
 
 
-def _merge_sorted_tagged(a, na, b, nb):
+def _merge_sorted_tagged(a, na, b, nb, ca_max: int = None):
     """Merge two padded ascending lists; returns (vals, isa, isb, ghost,
     valid) with cross-operand duplicates merged onto their first element
     and the second marked ghost.
@@ -159,7 +160,7 @@ def _merge_sorted_tagged(a, na, b, nb):
     ib = jnp.arange(p2, dtype=jnp.int32) < nb
     av = jnp.where(ia, a, INF32)
     bv = jnp.where(ib, b, INF32)
-    if n <= 2 * _compare_all_max() and _use_compare_all():
+    if n <= 2 * (ca_max or _compare_all_max()) and _use_compare_all():
         # place both operands at their merged ranks by chunked one-hot
         # reduction — fully gather-free (rb mirrors ra with <= ties)
         ra = jnp.arange(p1, dtype=jnp.int32) + _rank_in_sorted(
@@ -230,7 +231,7 @@ def _compact(vals, keep, out_cap=None):
     return out, n
 
 
-def and_masked(a, na, ra, b, nb, rb):
+def and_masked(a, na, ra, b, nb, rb, ca_max: int = None):
     """Proximity-AND core without compaction.
 
     Returns (vals int32[P1+P2] ascending incl. dropped slots, keep mask,
@@ -240,7 +241,9 @@ def and_masked(a, na, ra, b, nb, rb):
     """
     r = combine_r(ra, rb)
     abs_r = jnp.abs(r)
-    vals, isa, isb, ghost, valid = _merge_sorted_tagged(a, na, b, nb)
+    vals, isa, isb, ghost, valid = _merge_sorted_tagged(
+        a, na, b, nb, ca_max
+    )
     n = vals.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
@@ -302,10 +305,12 @@ def device_and(a, na, ra, b, nb, rb, out_cap=None):
     return out, cnt, r
 
 
-def or_masked(a, na, ra, b, nb, rb):
+def or_masked(a, na, ra, b, nb, rb, ca_max: int = None):
     """OR-merge core without compaction: (vals ascending, keep, r)."""
     r = combine_r(ra, rb)
-    vals, isa, isb, ghost, valid = _merge_sorted_tagged(a, na, b, nb)
+    vals, isa, isb, ghost, valid = _merge_sorted_tagged(
+        a, na, b, nb, ca_max
+    )
     keep = valid & ~ghost
     return vals, keep, r
 
