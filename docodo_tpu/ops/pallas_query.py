@@ -53,6 +53,11 @@ def q_for_cap(cap: int) -> int:
     while q < 64 and onehot_bytes(q * 2) <= 8 * 1024 * 1024 + 1:
         q <<= 1
     return q
+
+
+# cap 128 stays the routing limit: cap 256 fits VMEM at Q=8 but measured
+# NEUTRAL on the 10k bench (343.6k vs 346.8k QPS) — the shrunken grid
+# (8 queries/program) trades launch overhead for no compute win
 MAX_PALLAS_CAP = 128
 
 
