@@ -4,6 +4,8 @@ Same surface as the reference console app (ref /Program.cs:31-320):
 
   flags   -p:<port>  server  -cv:<lang>  -i:<path>
           -source:<type>,<path>[,<extra>]  -stops:<file>  -dict:<dir>
+          -mem (resident index)  -batch (device-batched serving)
+          -mesh:<N> (serve from an N-device document-sharded mesh)
   keys    I index · S search · O info/histogram · V build vocabs · E exit
 
 Sources: doc (mixed pdf/txt folder), files (txt folder), web (crawler),
@@ -262,7 +264,11 @@ def main(argv=None) -> int:
     for a in args:
         if a.startswith("-i:"):
             basepath = a[3:]
-    ind = Index(basepath, in_memory=False, vocs=vocs)
+    # -mem: fully-resident index (required for device-batched / mesh
+    # serving; the default lazy mode reads postings per lookup like the
+    # reference's !InMemory stubs, ref Index.cs:346-348)
+    in_memory = "-mem" in args
+    ind = Index(basepath, in_memory=in_memory, vocs=vocs)
 
     for a in args:
         if a.startswith("-source:"):
@@ -282,7 +288,23 @@ def main(argv=None) -> int:
     if "server" in args:
         from docodo_tpu.server import DocodoServer
 
-        server = DocodoServer(ind, port)
+        # -batch enables micro-batched device serving; -mesh:<N> serves
+        # from a document-sharded mesh over the first N jax devices
+        # (requires an in-memory index, so -i: indexes load lazily and
+        # stay host-served unless -mem is also given)
+        device_batching = any(
+            a == "-batch" or a.startswith("-mesh:") for a in args
+        )
+        mesh = None
+        for a in args:
+            if a.startswith("-mesh:"):
+                from docodo_tpu.parallel.sharding import make_mesh
+
+                mesh = make_mesh(int(a[6:]))
+        server = DocodoServer(
+            ind, port, device_batching=device_batching and ind.in_memory,
+            mesh=mesh if ind.in_memory else None,
+        )
         server.start(background=True)
 
     try:

@@ -98,6 +98,9 @@ class Index:
         self.sources: List = []
         self.can_search = False
         self.status = "Idle"
+        # bumped whenever new index arrays install (load / rebuild):
+        # device-serving wrappers re-stage when it changes
+        self.generation = 0
         self._search_lock = threading.RLock()
         self._cancel = threading.Event()
         self._coder: Optional[WordCoder] = None
@@ -178,6 +181,7 @@ class Index:
             self.arr = storage.read_index(index_file, in_memory=self.in_memory)
             with open(pages_file, "rb") as f:
                 self.pages = PageTable.load(f)
+            self.generation += 1
             self.can_search = True
             return True
         except Exception as e:  # parity: log-and-continue (ref Index.cs:374-377)
@@ -349,6 +353,7 @@ class Index:
                         terms, offsets, coords, max_coord
                     )
                     self.pages = table
+                    self.generation += 1
                     self.can_search = True
                 else:
                     self.load()

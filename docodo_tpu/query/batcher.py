@@ -252,14 +252,12 @@ class BatchExecutor:
         (parallel/serving.ShardedDeviceIndex) instead of a single-chip
         DeviceIndex — corpora larger than one device's HBM."""
         self.index = index
+        self.mesh = mesh
         self.sdi = None
-        if mesh is not None:
-            from docodo_tpu.parallel.serving import ShardedDeviceIndex
-
-            self.sdi = ShardedDeviceIndex.from_index(index, mesh)
-            self.di = None
-        else:
-            self.di = device_index or DeviceIndex.from_index(index)
+        self.di = device_index if mesh is None else None
+        self._gen = None
+        self._stage_lock = threading.Lock()
+        self._winfo: dict = {}
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self.topk = topk
@@ -273,9 +271,34 @@ class BatchExecutor:
             "batches": 0, "device_queries": 0, "host_queries": 0,
             "truncated_fallbacks": 0, "device_s": 0.0, "material_s": 0.0,
         }
-        self._winfo: dict = {}
+        if device_index is not None:
+            self._gen = index.generation
+        elif index.can_search:
+            self._stage()
 
     # ---- public ----------------------------------------------------------
+    def _stage(self) -> bool:
+        """(Re)stage the index onto the device(s); lazy so the executor
+        can be constructed before the first build, and re-runs when the
+        index GENERATION changes (rebuild swaps the arrays in place,
+        ref Index.cs:493-513)."""
+        with self._stage_lock:
+            if not self.index.can_search:
+                return False
+            if self._gen == self.index.generation:
+                return True
+            if self.mesh is not None:
+                from docodo_tpu.parallel.serving import ShardedDeviceIndex
+
+                self.sdi = ShardedDeviceIndex.from_index(
+                    self.index, self.mesh
+                )
+            else:
+                self.di = DeviceIndex.from_index(self.index)
+            self._winfo.clear()
+            self._gen = self.index.generation
+            return True
+
     def _n_found(self, word: str) -> int:
         """Resolved posting count of one request word (WordThunk.d()'s
         info.n_found): the union of the chosen variant keys' postings.
@@ -299,6 +322,9 @@ class BatchExecutor:
         return n
 
     def search(self, req: str, timeout: float = 120.0) -> SearchResult:
+        if self._gen != self.index.generation and not self._stage():
+            self.stats["host_queries"] += 1
+            return self.index.search(req)  # no index yet: host semantics
         words: list = []
         compiled = compile_request(
             self.index, req, words_out=words, n_found=self._n_found

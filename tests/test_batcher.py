@@ -180,3 +180,31 @@ def test_batch_executor_fills_words_info(ind):
             assert dw == hw, (req, dw, hw)
     finally:
         ex.close()
+
+
+def test_batcher_restages_after_rebuild(tmp_path):
+    """A BatchExecutor built before any index exists serves host-side,
+    then stages on first build, then RE-stages when the index rebuilds
+    (generation bump) — the CLI's `server -batch` flow."""
+    ind = docodo_tpu.Index(path=str(tmp_path), in_memory=True)
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile("a", "alpha words appear here today", "")
+    ]))
+    ex = BatchExecutor(ind, max_wait_ms=1.0)
+    try:
+        assert ex.search("alpha").found_docs == []  # no index yet
+        ind.create()
+        res = ex.search("alpha words")
+        assert [d.name for d in res.found_docs] == ["docs:a"]
+        # rebuild with different content: the executor must re-stage
+        ind.sources = []
+        ind.add_data_source(ListDataSource("docs", [
+            IndexPagedTextFile("b", "omega tokens appear here instead", "")
+        ]))
+        ind.status = "Idle"
+        ind.create()
+        res = ex.search("omega tokens")
+        assert [d.name for d in res.found_docs] == ["docs:b"]
+        assert ex.search("alpha").found_docs == []
+    finally:
+        ex.close()
