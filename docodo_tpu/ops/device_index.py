@@ -462,15 +462,17 @@ def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
     """Route one (cap, W<=2) bucket through the fused Pallas kernels
     (ops/pallas_query): gather the posting blocks, evaluate the whole
     bucket as ONE kernel launch. Single-word buckets take the merge-free
-    locate-only kernel; pairs take the full AND kernel."""
+    locate-only kernel; pairs take the hybrid sort-merge kernel (one
+    vmapped lax.sort feeds a scan-only Pallas locate)."""
     from docodo_tpu.ops.pallas_query import (
-        pallas_batched_and_locate,
         pallas_batched_single_locate,
+        pallas_sorted_and_locate,
         q_for_cap,
+        q_for_sorted_cap,
     )
 
     single = tq.shape[1] == 1
-    pq = min(64, q_for_cap(cap) * 2) if single else q_for_cap(cap)
+    pq = min(64, q_for_cap(cap) * 2) if single else q_for_sorted_cap(cap)
     bsz = tq.shape[0]
     pad = (-bsz) % pq
     if pad:
@@ -489,7 +491,7 @@ def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
         )
         return pg[:bsz], rk[:bsz], ct[:bsz]
     b, nb = gather(tq[:, 1])
-    pg, rk, ct = pallas_batched_and_locate(
+    pg, rk, ct = pallas_sorted_and_locate(
         a, na, rq[:, 0], b, nb, rq[:, 1], bounds, cap=cap, topk=topk,
         interpret=interpret,
     )
@@ -505,14 +507,19 @@ def multi_bucket_query_step(term_offsets, coords, bounds, page_doc,
     caps the matching static posting caps. Returns a tuple of
     (pages, ranks, counts) triples, one per bucket.
 
-    With use_pallas, buckets with cap <= MAX_PALLAS_CAP and <= 2 words
-    run as single fused Pallas kernel launches (collapsing the XLA
-    path's deep chains of small scan kernels); the rest stay on XLA."""
-    from docodo_tpu.ops.pallas_query import MAX_PALLAS_CAP
+    With use_pallas, W=1 buckets up to MAX_PALLAS_CAP take the
+    merge-free locate kernel and W=2 buckets up to MAX_SORTED_PALLAS_CAP
+    take the hybrid sort-merge kernel (collapsing the XLA path's deep
+    chains of small scan kernels); the rest stay on XLA."""
+    from docodo_tpu.ops.pallas_query import (
+        MAX_PALLAS_CAP,
+        MAX_SORTED_PALLAS_CAP,
+    )
 
     outs = []
     for tq, rq, cap in zip(terms_list, rs_list, caps):
-        if use_pallas and cap <= MAX_PALLAS_CAP and tq.shape[1] <= 2:
+        limit = MAX_PALLAS_CAP if tq.shape[1] == 1 else MAX_SORTED_PALLAS_CAP
+        if use_pallas and cap <= limit and tq.shape[1] <= 2:
             outs.append(_pallas_bucket(
                 term_offsets, coords, bounds, tq, rq, cap, topk
             ))

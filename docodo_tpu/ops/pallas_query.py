@@ -307,6 +307,151 @@ def _locate_rank_topk(vals, keep, lane, n, bounds_ref, pages_ref,
         remaining = jnp.where(lane == pick, 0.0, remaining)
 
 
+def _sorted_and_locate_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
+                              bounds_ref, pages_ref, ranks_ref, counts_ref,
+                              *, cap: int, topk: int):
+    """AND locate over a PRE-MERGED tagged stream: the [Q, 2cap] merge
+    arrives already sorted (one vmapped lax.sort outside the kernel —
+    the TPU's native sort replaces the O(cap^2) in-kernel compare-all
+    merge and its VMEM-bounding one-hots), so this kernel is pure
+    log-depth scans: dup/ghost folding, gap segmentation, the ordered
+    cut, per-segment containment, then the shared locate/rank/top-k
+    tail. tag: 0 = a-operand, 1 = b, 2 = padding."""
+    n = 2 * cap
+    q = vals_ref.shape[0]
+    lane = _iota((q, n), 1)
+
+    r1 = ra_ref[:, 0][:, None]
+    r2 = rb_ref[:, 0][:, None]
+    abs_r = jnp.maximum(jnp.abs(r1), jnp.abs(r2))
+    ordered = jnp.logical_and(r1 < 0, r2 < 0)
+
+    vals = vals_ref[...]
+    tag = tag_ref[...]
+    valid = vals < INF32
+    isa = jnp.logical_and(tag == 0, valid)
+    isb = jnp.logical_and(tag == 1, valid)
+
+    # cross-operand duplicates merge onto the first; second is ghost
+    prev_vals = _shift_right_fill(vals, np.int32(-1))
+    nxt_vals = _roll(vals, -1)
+    nxt_vals = jnp.where(lane == n - 1, INF32, nxt_vals)
+    dup_prev = jnp.logical_and(vals == prev_vals, valid)
+    dup_next = jnp.logical_and(vals == nxt_vals, valid)
+    isa_next = _roll(isa.astype(jnp.int32), -1) > 0
+    isb_next = _roll(isb.astype(jnp.int32), -1) > 0
+    isa2 = jnp.logical_and(
+        jnp.logical_or(isa, jnp.logical_and(dup_next, isa_next)), ~dup_prev
+    )
+    isb2 = jnp.logical_and(
+        jnp.logical_or(isb, jnp.logical_and(dup_next, isb_next)), ~dup_prev
+    )
+    ghost = dup_prev
+
+    # gap segmentation (ref IndexSequence.cs:218-284 group semantics)
+    gap_prev = vals - jnp.where(lane == 0, 0, prev_vals)
+    gap_cut = jnp.logical_and(abs_r != 0, gap_prev > abs_r)
+    seg_start = jnp.logical_or(lane == 0, jnp.logical_and(gap_cut, valid))
+
+    start_idx = _cummax(jnp.where(seg_start, lane, -1))
+    cum_a = _cumsum(isa2.astype(jnp.int32))
+    before = cum_a - isa2.astype(jnp.int32)
+    before_at_start = _cummax(jnp.where(seg_start, before, -1))
+    ordered_cut = jnp.logical_and(
+        jnp.logical_and(isa2, (before - before_at_start) == 0),
+        lane != start_idx,
+    )
+    seg_start = jnp.logical_or(
+        seg_start, jnp.logical_and(ordered, ordered_cut)
+    )
+
+    bigi = jnp.int32(np.iinfo(np.int32).max)
+    terminal = _roll(seg_start.astype(jnp.int32), -1) > 0
+    terminal = jnp.logical_or(terminal, lane == n - 1)
+    cum_b = _cumsum(isb2.astype(jnp.int32))
+    prev_cum_a = _shift_right_fill(cum_a, np.int32(0))
+    prev_cum_b = _shift_right_fill(cum_b, np.int32(0))
+    before_start_a = _cummax(jnp.where(seg_start, prev_cum_a, -1))
+    before_start_b = _cummax(jnp.where(seg_start, prev_cum_b, -1))
+    end_a = _rev_cummin(jnp.where(terminal, cum_a, bigi), bigi)
+    end_b = _rev_cummin(jnp.where(terminal, cum_b, bigi), bigi)
+    has_a = (end_a - before_start_a) > 0
+    has_b = (end_b - before_start_b) > 0
+    keep = jnp.logical_and(
+        jnp.logical_and(has_a, has_b), jnp.logical_and(valid, ~ghost)
+    )
+
+    _locate_rank_topk(
+        vals, keep, lane, n, bounds_ref, pages_ref, ranks_ref, counts_ref,
+        topk=topk,
+    )
+
+
+def q_for_sorted_cap(cap: int) -> int:
+    """Queries per program for the sorted-stream kernel. Empirical
+    Mosaic scoped-vmem cost: ~1 KB per (query, lane) unit (the scan
+    pipeline keeps ~tens of [Q, 2cap] temporaries live on the stack;
+    measured: Q64 x 2cap256 needed 16.14 MB) — keep Q*2cap <= 8192."""
+    q = 8
+    while q < 64 and (q * 2) * 2 * cap <= 8192:
+        q <<= 1
+    return q
+
+
+MAX_SORTED_PALLAS_CAP = 512  # Q floors at 8; larger caps blow scoped vmem
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "topk", "interpret"))
+def pallas_sorted_and_locate(a, na, ra, b, nb, rb, bounds,
+                             cap: int, topk: int, interpret: bool = False):
+    """Hybrid AND: ONE vmapped lax.sort merges the tagged operand
+    concatenation (TPU-native sort), then the Pallas kernel runs the
+    scan-only segmentation/locate/rank/top-k. Numerically identical to
+    pallas_batched_and_locate / the XLA path."""
+    bsz = a.shape[0]
+    q = min(q_for_sorted_cap(cap), bsz)
+    assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
+    av = jnp.where(lane_c < na[:, None], a, INF32)
+    bv = jnp.where(lane_c < nb[:, None], b, INF32)
+    tag = jnp.concatenate([
+        jnp.where(lane_c < na[:, None], 0, 2),
+        jnp.where(lane_c < nb[:, None], 1, 2),
+    ], axis=1).astype(jnp.int32)
+    vals, tag = jax.vmap(
+        lambda v, t: jax.lax.sort((v, t), num_keys=2)
+    )(jnp.concatenate([av, bv], axis=1), tag)
+    ra2 = ra.reshape(bsz, 1)
+    rb2 = rb.reshape(bsz, 1)
+    bounds2 = bounds.reshape(1, -1)
+    kernel = functools.partial(
+        _sorted_and_locate_kernel, cap=cap, topk=topk
+    )
+    grid = (bsz // q,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, 2 * cap), lambda i: (i, 0)),
+            pl.BlockSpec((q, 2 * cap), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, topk), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
+        ],
+        interpret=interpret,
+    )(vals, tag, ra2, rb2, bounds2)
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "topk", "interpret"))
 def pallas_batched_and_locate(a, na, ra, b, nb, rb, bounds,
                               cap: int, topk: int, interpret: bool = False):

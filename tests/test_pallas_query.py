@@ -123,3 +123,56 @@ def test_pallas_single_word_kernel(rng):
         np.testing.assert_array_equal(pg[i], np.asarray(p2), err_msg=f"q{i}")
         np.testing.assert_allclose(rk[i], np.asarray(r2), atol=1e-4)
         np.testing.assert_array_equal(ct[i], np.asarray(c2))
+
+
+@pytest.mark.parametrize("cap", [64, 128, 512])
+def test_sorted_kernel_matches_xla_path(rng, cap):
+    """The hybrid (lax.sort merge + scan-only Pallas locate) kernel must
+    equal the XLA path bit for bit — including caps the in-kernel-merge
+    kernel cannot reach."""
+    bsz = 16
+    a, na, ra, b, nb, rb = _random_batch(rng, bsz, cap, ordered_rows=8)
+    bounds = np.arange(1, 24, dtype=np.int32) * 60
+    pg, rk, ct = pq.pallas_sorted_and_locate(
+        jnp.asarray(a), jnp.asarray(na), jnp.asarray(ra),
+        jnp.asarray(b), jnp.asarray(nb), jnp.asarray(rb),
+        jnp.asarray(bounds), cap=cap, topk=8, interpret=True,
+    )
+    pg, rk, ct = np.asarray(pg), np.asarray(rk), np.asarray(ct)
+    for i in range(bsz):
+        vals, keep, _ = and_masked(
+            jnp.asarray(a[i]), na[i], ra[i], jnp.asarray(b[i]), nb[i], rb[i]
+        )
+        p2, r2, c2 = locate_topk_masked(vals, keep, jnp.asarray(bounds), 8)
+        np.testing.assert_array_equal(pg[i], np.asarray(p2), err_msg=f"q{i}")
+        np.testing.assert_allclose(rk[i], np.asarray(r2), atol=1e-4)
+        np.testing.assert_array_equal(ct[i], np.asarray(c2))
+
+
+def test_sorted_kernel_cross_operand_duplicates(rng):
+    """Shared coordinates across operands must fold to one kept slot
+    (ghost rule) identically to the XLA path."""
+    cap = 64
+    base = np.cumsum(rng.integers(1, 12, size=40))
+    a_list = base[rng.random(40) < 0.8]
+    b_list = base[rng.random(40) < 0.8]
+    pa, la = pad_to(a_list, cap)
+    pb, lb = pad_to(b_list, cap)
+    bounds = np.arange(1, 24, dtype=np.int32) * 30
+    for r1, r2 in ((25, 20), (-25, -20)):
+        pg, rk, ct = pq.pallas_sorted_and_locate(
+            jnp.asarray(pa)[None], jnp.asarray([la]),
+            jnp.asarray([r1], np.int32),
+            jnp.asarray(pb)[None], jnp.asarray([lb]),
+            jnp.asarray([r2], np.int32),
+            jnp.asarray(bounds), cap=cap, topk=8, interpret=True,
+        )
+        vals, keep, _ = and_masked(
+            jnp.asarray(pa), la, np.int32(r1), jnp.asarray(pb), lb,
+            np.int32(r2),
+        )
+        p2, r2_, c2 = locate_topk_masked(vals, keep, jnp.asarray(bounds), 8)
+        np.testing.assert_array_equal(np.asarray(pg)[0], np.asarray(p2))
+        np.testing.assert_allclose(np.asarray(rk)[0], np.asarray(r2_),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(ct)[0], np.asarray(c2))
