@@ -170,9 +170,17 @@ def read_search_request(ind: Index, getch=None, write=None,
                     buf.extend(sugg[0])
             elif ch == "\x03":
                 raise KeyboardInterrupt
-            elif ch == "\x1b":  # swallow a simple escape sequence
+            elif ch == "\x1b":  # swallow a full escape sequence: CSI
+                # parameters run until a final byte in 0x40-0x7e, so
+                # multi-byte sequences (Delete \x1b[3~, PgUp, F-keys)
+                # must not leak their tail into the query buffer
                 nxt = getch()
                 if nxt == "[":
+                    while True:
+                        c2 = getch()
+                        if c2 == "" or "\x40" <= c2 <= "\x7e":
+                            break
+                elif nxt == "O":  # SS3 (F1-F4): one final byte
                     getch()
             elif ch.isprintable():
                 buf.append(ch)

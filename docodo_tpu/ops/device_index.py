@@ -847,10 +847,14 @@ class DeviceIndex:
         # device->host bytes (measured: the full-result TPU bench is
         # READBACK-bound over a tunnel), so queries whose smallest
         # operand bounds the expected result small read back a small
-        # buffer; overflow still flags via n_hits and re-serves
+        # buffer; overflow still flags via n_hits and re-serves.
+        # FUSED path only: in per-bucket serving mode extra tiers
+        # multiply the bucket count — each bucket is its own dispatch
+        # and compile shape, which costs more than the bytes save
+        # (measured: serving QPS halved with tiers on)
         hit_tiers = sorted({
             min(hit_cap, t) for t in (128, 512, hit_cap)
-        })
+        }) if fused else [hit_cap]
 
         def hit_tier(min_need: int) -> int:
             want = 4 * min_need + 16

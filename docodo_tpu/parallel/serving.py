@@ -35,9 +35,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from docodo_tpu.core.pagetable import PageTable
-from docodo_tpu.ops.device_index import INT32_MAX, _bucket
+from docodo_tpu.ops.device_index import INT32_MAX, _bucket, _bucket4
 from docodo_tpu.parallel import sharding as sh
-from docodo_tpu.query.search import SearchResult, prepare_search_result
+from docodo_tpu.query.search import (
+    SearchResult,
+    finalize_doc_ranks,
+    prepare_search_result,
+)
 
 
 class ShardedDeviceIndex:
@@ -138,7 +142,13 @@ class ShardedDeviceIndex:
             doc_tids, doc_coords, doc_pages, num_shards=num_shards,
             terms=list(arr.terms), assign=assign,
         )
-        # per-shard page tables in shard-local coordinates
+        # per-shard page tables in shard-local coordinates. Page rows
+        # per doc come from ONE stable argsort + searchsorted split (a
+        # per-doc flatnonzero scan would be O(n_docs * n_pages))
+        order_p = np.argsort(page_doc, kind="stable")
+        psplit = np.searchsorted(
+            page_doc[order_p], np.arange(n_docs + 1), side="left"
+        )
         tables: List[PageTable] = []
         for s in range(num_shards):
             t = PageTable()
@@ -146,7 +156,7 @@ class ShardedDeviceIndex:
             base = 0
             for nd, d in enumerate(corpus.doc_assign[s]):
                 names.append(pt.doc_names[d])
-                for p in np.flatnonzero(page_doc == d):
+                for p in order_p[psplit[d]: psplit[d + 1]]:
                     bnds.append(base + int(bounds[p] - doc_base[d]))
                     pdoc.append(nd)
                     pids.append(pt.page_ids[p])
@@ -166,10 +176,20 @@ class ShardedDeviceIndex:
         tid = self.term_id(term)
         return int(self._counts[tid]) if tid >= 0 else 0
 
+    # same coarse posting-cap ladder as serving (query/batcher.py):
+    # batch compositions churn per request wave, and every distinct
+    # (B, W, V, cap) tuple is a fresh XLA compile — minutes over a
+    # tunnelled device — so every shape dimension pads to a ladder
+    CAP_LADDER = (128, 1024, 16384, 1 << 17)
+
     def _compile(self, queries) -> Tuple[np.ndarray, np.ndarray, int, list]:
         """Group queries [(codes, r), ...] -> padded [B, W, V] ids + rs.
         Rows with an unknown group compile to all -1 at slot 0 (matches
-        nothing). Returns (terms, rs, cap, known_mask)."""
+        nothing). Returns (terms, rs, cap, known_mask).
+
+        Shape-bucketed on every axis: B rows pad on the x4 ladder, W/V
+        to powers of two, the posting cap to CAP_LADDER — compositions
+        recur and hit the jit cache."""
         w = v = 1
         need = 1
         rows_all = []
@@ -194,7 +214,9 @@ class ShardedDeviceIndex:
             rows_all.append((rows, rvals))
             w = max(w, len(rows))
             v = max(v, max(len(i) for i in rows))
-        b = len(queries)
+        b = _bucket4(len(queries))
+        w = _bucket(w, lo=1)
+        v = _bucket(v, lo=1)
         if v == 1:
             terms = np.full((b, w), -1, dtype=np.int32)
         else:
@@ -210,7 +232,13 @@ class ShardedDeviceIndex:
                 else:
                     terms[i, j, : len(ids)] = ids
                 rs[i, j] = r
-        return terms, rs, _bucket(need), [r is not None for r in rows_all]
+        for c in self.CAP_LADDER:
+            if need <= c:
+                cap = c
+                break
+        else:
+            cap = _bucket(need)
+        return terms, rs, cap, [r is not None for r in rows_all]
 
     # ---- serving ---------------------------------------------------------------
     def search_batch(self, queries, topk: int = 64, hit_cap: int = 1024,
@@ -258,5 +286,7 @@ class ShardedDeviceIndex:
             if materialize:
                 self.index._materialize_docs(combined)
                 combined.found_docs.sort(key=lambda d: d.rank)
+            else:  # rank-only half, identical to the single-chip brief
+                finalize_doc_ranks(combined)
             results.append(combined)
         return results

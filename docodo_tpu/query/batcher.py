@@ -27,7 +27,6 @@ per-word resolved posting counts, cached per index generation.
 
 from __future__ import annotations
 
-import math
 import queue
 import re
 import threading
@@ -37,12 +36,14 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from docodo_tpu.constants import DOC_RANK_MULTIPLY
-
 from docodo_tpu.ops.device_index import INT32_MAX, DeviceIndex
 from docodo_tpu.query import parser as qparser
 from docodo_tpu.query.parser import WordThunk
-from docodo_tpu.query.search import SearchResult, prepare_search_result
+from docodo_tpu.query.search import (
+    SearchResult,
+    finalize_doc_ranks,
+    prepare_search_result,
+)
 
 _DEFAULT_DIST = 255
 _UNSUPPORTED = re.compile(r"[?_{}~]|-filter:")
@@ -409,13 +410,9 @@ class BatchExecutor:
             res = prepare_search_result(coords, self.index.pages, [])
             if self.materialize:
                 self.index._materialize_docs(res)
+                res.found_docs.sort(key=lambda d: d.rank)
             else:  # rank-only half of _materialize_docs (no snippet IO)
-                for doc in res.found_docs:
-                    total = doc.rank
-                    doc.rank = 1 + math.log(total) if total > 0 else 1.0
-                    if doc.pages and doc.pages[0].id == "0":
-                        doc.rank *= DOC_RANK_MULTIPLY
-            res.found_docs.sort(key=lambda d: d.rank)
+                finalize_doc_ranks(res)
             res.words = p.words
             p.result = res
             p.event.set()

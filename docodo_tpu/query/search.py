@@ -158,6 +158,23 @@ def prepare_search_result(coords: np.ndarray, page_table, doc_filter) -> SearchR
     return result
 
 
+def finalize_doc_ranks(result: SearchResult) -> SearchResult:
+    """Rank-only half of doc materialization (no snippet IO): doc rank =
+    1 + ln(sum of page ranks), x10 when the header page "0" leads, docs
+    ascending by rank (ref Search.cs:552-557, 599 incl. the ascending-
+    sort quirk). Used by brief serving modes on every device path so
+    ranks/order match the host engine regardless of materialization."""
+    from docodo_tpu.constants import DOC_RANK_MULTIPLY
+
+    for doc in result.found_docs:
+        total = doc.rank
+        doc.rank = 1 + math.log(total) if total > 0 else 1.0
+        if doc.pages and doc.pages[0].id == "0":
+            doc.rank *= DOC_RANK_MULTIPLY
+    result.found_docs.sort(key=lambda d: d.rank)
+    return result
+
+
 def combine_search_results(res1: SearchResult, res2: SearchResult) -> SearchResult:
     """Keep only docs present in both results (ref Search.cs:423-428)."""
     names = {d.name for d in res2.found_docs}

@@ -434,6 +434,8 @@ class _Encryption:
                     ik, _as_bytes(enc.get("UE", b"")), iv=b"\0" * 16,
                     unpad=False,
                 )
+            if len(key) < 32:  # truncated /UE//OE: AES(b"") would raise
+                return None    # out of stream() — treat as undecryptable
             return cls(key[:32], v, aes=True)
         # V <= 4: RC4 / AES-128 file key (Algorithm 2)
         pw = (password + _PAD)[:32]
@@ -446,6 +448,18 @@ class _Encryption:
             for _ in range(50):
                 key = hashlib.md5(key[:n]).digest()
         key = key[:n]
+        # Algorithm 4/5: validate the (empty-password) key against /U —
+        # otherwise a genuinely password-protected document "decrypts"
+        # to garbage and gets indexed instead of being skipped
+        if r == 2:
+            if _rc4(key, _PAD) != u[:32]:
+                return None  # password required
+        else:
+            x = _rc4(key, hashlib.md5(_PAD + id0).digest())
+            for i in range(1, 20):
+                x = _rc4(bytes(b ^ i for b in key), x)
+            if x[:16] != u[:16]:
+                return None  # password required
         aes = False
         if v == 4:
             cf = enc.get("CF", {})
@@ -537,6 +551,8 @@ def _parse_tounicode(data: bytes) -> _FontMap:
             pos += mm.end()
             if body[pos: pos + 1] == b"[":
                 end = body.find(b"]", pos)
+                if end < 0:  # truncated array: find() returning -1 would
+                    break    # reset the scan to 0 and loop forever
                 dsts = _CMAP_HEX.findall(body[pos:end])
                 for k, d in enumerate(dsts):
                     cmap[lo + k] = uni(d)

@@ -156,3 +156,17 @@ def test_batcher_serves_from_mesh(ind):
         assert res.success and ex.stats["host_queries"] >= 1
     finally:
         ex.close()
+
+
+def test_sharded_brief_ranks_match_host_order(ind, sdi):
+    """materialize=False must still produce host doc ranks/order
+    (1 + ln(sum page ranks), ascending) — regression: the sharded brief
+    path once returned raw page-rank sums in ordinal order."""
+    compiled = [compile_request(ind, "club dinner")]
+    [res] = sdi.search_batch(compiled, topk=32, hit_cap=256,
+                             materialize=False)
+    host = ind.search("club dinner")
+    assert [d.name for d in res.found_docs] == \
+        [d.name for d in host.found_docs]
+    assert [round(d.rank, 5) for d in res.found_docs] == \
+        [round(d.rank, 5) for d in host.found_docs]

@@ -225,6 +225,12 @@ def _encrypt_pdf_rc4(pages, user_pw=b""):
         k = key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
         return hashlib.md5(k).digest()[:16]
 
+    # Algorithm 5 (R>=3): the /U entry the extractor validates against
+    x = px._rc4(key, hashlib.md5(px._PAD + id0).digest())
+    for i in range(1, 20):
+        x = px._rc4(bytes(b ^ i for b in key), x)
+    u_entry = x + bytes(16)
+
     objs = []
     kids = ", ".join(f"{3 + 2 * i} 0 R" for i in range(len(pages)))
     objs.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
@@ -245,7 +251,7 @@ def _encrypt_pdf_rc4(pages, user_pw=b""):
         )
     objs.append(
         b"9 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P -4 /O <"
-        + o_entry.hex().encode() + b"> /U <" + bytes(32).hex().encode()
+        + o_entry.hex().encode() + b"> /U <" + u_entry.hex().encode()
         + b"> >>\nendobj\n"
     )
     return (
@@ -284,6 +290,11 @@ def _encrypt_pdf_aes128(text):
     for _ in range(50):
         key = hashlib.md5(key[:16]).digest()
     key = key[:16]
+    # Algorithm 5 /U for the extractor's key validation
+    x = px._rc4(key, hashlib.md5(px._PAD + id0).digest())
+    for i in range(1, 20):
+        x = px._rc4(bytes(b ^ i for b in key), x)
+    u_entry = x + bytes(16)
     content = b"BT (" + text + b") Tj ET"
     ok = hashlib.md5(
         key + struct.pack("<I", 4)[:3] + struct.pack("<I", 0)[:2] + b"sAlT"
@@ -302,7 +313,7 @@ def _encrypt_pdf_aes128(text):
         + b"9 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 /P -4"
         b" /CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF /StrF /StdCF"
         b" /O <" + o_entry.hex().encode() + b"> /U <"
-        + bytes(32).hex().encode() + b"> >>\nendobj\n"
+        + u_entry.hex().encode() + b"> >>\nendobj\n"
         + b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R /ID [<"
         + id0.hex().encode() + b">] >>\n%%EOF\n"
     )
@@ -611,3 +622,27 @@ def test_malformed_pdfs_yield_empty_text():
            b"\xff\xfe\xfd\xfc\xfb\xfa\xf9\xf8\nendstream\nendobj\n"
            b"trailer\n<< /Root 1 0 R >>\n%%EOF")
     assert extract_pdf_text(bad) == ""
+
+
+def test_pdf_password_protected_yields_empty_text():
+    """A document whose /U does not validate with the empty password is
+    password-required: the extractor must skip it cleanly (empty text),
+    not index RC4 garbage."""
+    data = _encrypt_pdf_rc4(["locked body"])
+    # corrupt /U so the Algorithm-5 check fails (as if a user pw was set)
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]{64})>", data)
+    bad = data[: m.start(1)] + b"ff" * 32 + data[m.end(1):]
+    assert extract_pdf_text(bad) == ""
+
+
+def test_pdf_truncated_bfrange_array_terminates():
+    """A bfrange destination array missing its ']' must not hang the
+    CMap parser (regression: find() returning -1 reset the scan)."""
+    from docodo_tpu.sources.pdftext import _parse_tounicode
+
+    data = (b"begincodespacerange <00> <FF> endcodespacerange\n"
+            b"beginbfrange <01> <03> [ <0041> <0042> endbfrange\n")
+    fm = _parse_tounicode(data)  # must return, not spin
+    assert fm.nbytes == 1
