@@ -165,10 +165,9 @@ def main() -> None:
     # Reps are chained through a ranks-checksum scalar so ONE final tiny
     # readback bounds the wall time of all executions even where
     # block_until_ready is unreliable (remote-tunnel device).
-    # Default ON for TPU since round 2: the scan-based kernel rewrite +
-    # per-cap Q blocks + the merge-free single-word kernel beat the XLA
-    # path on this bench (133.2k vs 131.5k QPS); DOCODO_PALLAS=0/1
-    # overrides.
+    # Pallas default ON for TPU: the hybrid lax.sort+scan-kernel W2 path
+    # + merge-free W1 kernel measure 379k vs 339k QPS for pure XLA on
+    # this bench (round 2); DOCODO_PALLAS=0/1 overrides.
     env_pallas = os.environ.get("DOCODO_PALLAS")
     if env_pallas is not None:
         use_pallas = env_pallas == "1"

@@ -745,10 +745,10 @@ class DeviceIndex:
         if use_pallas is None:
             import os
 
-            # default ON for TPU: the fused kernels (per-cap Q blocks +
-            # merge-free W=1 path) measure faster than the XLA path on
-            # the 10k mixed bench (133.2k vs 131.5k QPS, TPU v5e);
-            # DOCODO_PALLAS=0/1 overrides
+            # default ON for TPU: the hybrid sort+scan W2 kernel and
+            # merge-free W=1 kernel beat the XLA path on the 10k mixed
+            # bench (379k vs 339k QPS, TPU v5e); DOCODO_PALLAS=0/1
+            # overrides
             env = os.environ.get("DOCODO_PALLAS")
             if env is not None:
                 use_pallas = env == "1"
