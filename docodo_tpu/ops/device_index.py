@@ -628,6 +628,13 @@ class DeviceIndex:
         arr = ind.arr
         if arr.coords is None:
             raise ValueError("device upload requires an in-memory index")
+        if arr.max_coord > INT32_MAX:
+            raise ValueError(
+                f"corpus spans {arr.max_coord} chars > 2^31-1: a single "
+                f"device shard's int32 coordinate space is full — serve "
+                f"it document-sharded over a mesh instead "
+                f"(parallel.serving.ShardedDeviceIndex)"
+            )
         pt = ind.pages
         offsets_np = np.asarray(arr.offsets, dtype=np.int64)
         page_doc_np = np.asarray(pt.page_doc, dtype=np.int32)

@@ -479,3 +479,20 @@ def test_stage_shards_arrays_equals_tuples():
     np.testing.assert_array_equal(a.bounds, b.bounds)
     np.testing.assert_array_equal(a.page_doc, b.page_doc)
     np.testing.assert_array_equal(a.page_base, b.page_base)
+
+
+def test_from_index_rejects_int32_coordinate_overflow():
+    """A corpus beyond 2^31-1 chars cannot fit one device shard's int32
+    coordinate space: from_index must raise (pointing at the sharded
+    path) instead of silently wrapping coordinates."""
+    import docodo_tpu
+    from docodo_tpu.ops.device_index import DeviceIndex
+
+    class _FakeArr:
+        coords = np.zeros(1, dtype=np.uint64)
+        max_coord = (1 << 31) + 5
+
+    ind = docodo_tpu.Index(path=None, in_memory=True)
+    ind.arr = _FakeArr()
+    with pytest.raises(ValueError, match="2\\^31-1"):
+        DeviceIndex.from_index(ind)
