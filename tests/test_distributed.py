@@ -120,3 +120,27 @@ def test_distributed_build_query_equals_single_device():
             assert got <= want[q] and len(got) == 16
         else:
             assert got == want[q], q
+
+
+def test_real_multiprocess_dryrun():
+    """REAL 2-process jax.distributed run (Gloo over loopback): process-
+    local staging -> make_array_from_process_local_data -> 2-D sharded
+    build + ICI-first top-k combine; both processes must compute the
+    identical replicated result. ~30-60 s (spawns fresh interpreters)."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "multihost_dryrun.py",
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["DOCODO_MH_PORT"] = "19891"
+    res = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True,
+        timeout=240, env=env,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "multihost dryrun OK" in res.stdout
