@@ -1,0 +1,117 @@
+"""Property fuzz: device-served results equal the host engine on random
+corpora and random request strings — single-chip batcher and sharded
+mesh both. DOCODO_FUZZ_ROUNDS raises the round count for long runs."""
+
+import os
+import random
+
+import pytest
+
+import docodo_tpu
+from docodo_tpu.parallel import sharding as sh
+from docodo_tpu.parallel.serving import ShardedDeviceIndex
+from docodo_tpu.query.batcher import BatchExecutor, compile_request
+from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
+
+ROUNDS = int(os.environ.get("DOCODO_FUZZ_ROUNDS", "3"))
+
+VOCAB = (
+    "alpha beta gamma delta epsilon zeta kappa lambda sigma omega "
+    "running walking jumped talked quiet quickly slowly house houses "
+    "mouse mice banana apple apples grape тихий громкий дом дома "
+    "pickwick club dinner"
+).split()
+
+
+def _corpus(rng, n_docs):
+    docs = []
+    for d in range(n_docs):
+        n = rng.randrange(5, 120)
+        words = [rng.choice(VOCAB) for _ in range(n)]
+        docs.append(" ".join(words))
+    return docs
+
+
+def _requests(rng, n):
+    reqs = []
+    for _ in range(n):
+        kind = rng.randrange(5)
+        w = lambda: rng.choice(VOCAB)
+        if kind == 0:
+            reqs.append(w())
+        elif kind == 1:
+            reqs.append(f"{w()} {w()}")
+        elif kind == 2:
+            reqs.append(f'"{w()} {w()}"')
+        elif kind == 3:
+            reqs.append(f"{w()} | {w()}")
+        else:
+            reqs.append(f"{w()} {w()} {w()}")
+    return reqs
+
+
+def _view(res):
+    return [
+        (d.name, round(d.rank, 4),
+         [(p.id, list(p.pos)) for p in d.pages])
+        for d in res.found_docs
+    ]
+
+
+@pytest.mark.parametrize("round_i", range(ROUNDS))
+def test_fuzz_device_vs_host(tmp_path, round_i):
+    rng = random.Random(1000 + round_i)
+    docs = _corpus(rng, rng.randrange(2, 9))
+    ind = docodo_tpu.Index(
+        path=str(tmp_path / f"r{round_i}"), in_memory=True
+    )
+    ind.max_degree_of_parallelism = 1
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile(f"d{i}", t, "") for i, t in enumerate(docs)
+    ]))
+    ind.create()
+    reqs = _requests(rng, 24)
+
+    # single-chip batcher (full materialization)
+    ex = BatchExecutor(ind, max_wait_ms=1.0, topk=64, hit_cap=1024)
+    try:
+        for req in reqs:
+            dev = ex.search(req)
+            host = ind.search(req)
+            assert _view(dev) == _view(host), (round_i, req)
+    finally:
+        ex.close()
+
+    # sharded mesh (documents in contiguous ranges; proximity windows
+    # spanning SHARD boundaries legitimately diverge, so restrict the
+    # comparison to queries whose hits stay clear of the boundaries)
+    sdi = ShardedDeviceIndex.from_index(ind, sh.make_mesh(2))
+    boundary_docs = {a[-1] for a in sdi.corpus.doc_assign if a} | {
+        a[0] for a in sdi.corpus.doc_assign if a
+    }
+    compiled = [compile_request(ind, r) for r in reqs]
+    results = sdi.search_batch(
+        [c for c in compiled if c is not None], topk=64, hit_cap=1024
+    )
+    it = iter(results)
+    for req, c in zip(reqs, compiled):
+        if c is None:
+            continue
+        res = next(it)
+        host = ind.search(req)
+        if res is None:  # truncated: host re-serve contract
+            continue
+        host_docs = {d.name for d in host.found_docs}
+        touches_boundary = any(
+            int(n.split(":d", 1)[1]) in boundary_docs for n in host_docs
+        ) or any(
+            int(d.name.split(":d", 1)[1]) in boundary_docs
+            for d in res.found_docs
+        )
+        if touches_boundary:
+            # still a safety net: sharded docs must be a subset of host
+            assert {d.name for d in res.found_docs} <= host_docs | {
+                f"docs:d{i}" for i in boundary_docs
+            }, (round_i, req)
+            continue
+        assert _view(res) == _view(host), (round_i, req)
