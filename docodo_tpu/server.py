@@ -124,14 +124,16 @@ class DocodoServer:
                         "application/json; charset=utf-8",
                     )
                 elif parts.path == "/status":
+                    st = {
+                        "status": outer.index.status,
+                        "words": outer.index.count,
+                        "maxCoord": outer.index.max_coord,
+                        "canSearch": outer.index.can_search,
+                    }
+                    if outer.batcher is not None:
+                        st["batcher"] = dict(outer.batcher.stats)
                     self._send(
-                        200,
-                        json.dumps({
-                            "status": outer.index.status,
-                            "words": outer.index.count,
-                            "maxCoord": outer.index.max_coord,
-                            "canSearch": outer.index.can_search,
-                        }).encode(),
+                        200, json.dumps(st).encode(),
                         "application/json; charset=utf-8",
                     )
                 else:

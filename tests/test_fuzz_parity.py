@@ -58,6 +58,18 @@ def _view(res):
     ]
 
 
+@pytest.fixture(autouse=True)
+def _bound_compile_cache():
+    """Every fuzz round compiles fresh shapes; after ~30 accumulated
+    rounds the XLA CPU compiler segfaulted in one long process (round
+    31 passes in isolation — upstream cache-pressure issue, not a
+    parity failure). Clearing per round keeps long hunts stable."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.mark.parametrize("round_i", range(ROUNDS))
 def test_fuzz_device_vs_host(tmp_path, round_i):
     rng = random.Random(1000 + round_i)
