@@ -40,8 +40,10 @@ from docodo_tpu.ops.seqops import (
     _compact,
     _rank_in_sorted,
     and_masked,
+    and_variants_sorted,
     compact_mask,
     or_masked,
+    or_variants_sorted,
 )
 
 INT32_MAX = int(INF32)
@@ -376,10 +378,26 @@ def eval_query_masked(coords, term_offsets, terms, rs, cap: int,
         vals, keep, _ = eval_and_query(
             coords, term_offsets, t, rs, cap, ca_max
         )
-    else:
-        vals, keep, _ = eval_and_query_variants(
-            coords, term_offsets, terms, rs, cap, ca_max
-        )
+        return vals, keep
+    gather_v = jax.vmap(
+        lambda t: gather_term(coords, term_offsets, t, cap)
+    )
+    if terms.shape[0] == 1:
+        # one word, V variants: the union IS the result (empty AND fold)
+        sa, na = gather_v(terms[0])
+        return or_variants_sorted(sa, na)
+    if terms.shape[0] == 2:
+        # two variant-OR words: ONE tagged sort + run-dedupe + shared
+        # segmentation replaces per-word OR + compaction + pairwise AND
+        # (three merge-class stages -> one; measured 2x on the variant
+        # buckets that dominate morphological workloads)
+        sa, na = gather_v(terms[0])
+        sb, nb = gather_v(terms[1])
+        vals, keep, _ = and_variants_sorted(sa, na, rs[0], sb, nb, rs[1])
+        return vals, keep
+    vals, keep, _ = eval_and_query_variants(
+        coords, term_offsets, terms, rs, cap, ca_max
+    )
     return vals, keep
 
 

@@ -231,19 +231,11 @@ def _compact(vals, keep, out_cap=None):
     return out, n
 
 
-def and_masked(a, na, ra, b, nb, rb, ca_max: int = None):
-    """Proximity-AND core without compaction.
-
-    Returns (vals int32[P1+P2] ascending incl. dropped slots, keep mask,
-    r). `vals` is the full merged stream; downstream consumers either
-    compact (device_and) or run the masked locate/rank pipeline directly
-    (locate_topk_masked) — skipping the compaction sort entirely.
-    """
-    r = combine_r(ra, rb)
+def _segment_and(vals, isa, isb, ghost, valid, r):
+    """Group segmentation + both-operands containment over a MERGED
+    tagged stream (the algorithmic half of and_masked, shared by the
+    pairwise merge path and the flat tagged-sort variant path)."""
     abs_r = jnp.abs(r)
-    vals, isa, isb, ghost, valid = _merge_sorted_tagged(
-        a, na, b, nb, ca_max
-    )
     n = vals.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
@@ -292,6 +284,93 @@ def and_masked(a, na, ra, b, nb, rb, ca_max: int = None):
     seg_has_b = end_b - before_start_b > 0
     keep = seg_has_a & seg_has_b & valid & ~ghost
     return vals, keep, r
+
+
+def and_masked(a, na, ra, b, nb, rb, ca_max: int = None):
+    """Proximity-AND core without compaction.
+
+    Returns (vals int32[P1+P2] ascending incl. dropped slots, keep mask,
+    r). `vals` is the full merged stream; downstream consumers either
+    compact (device_and) or run the masked locate/rank pipeline directly
+    (locate_topk_masked) — skipping the compaction sort entirely.
+    """
+    r = combine_r(ra, rb)
+    vals, isa, isb, ghost, valid = _merge_sorted_tagged(
+        a, na, b, nb, ca_max
+    )
+    return _segment_and(vals, isa, isb, ghost, valid, r)
+
+
+def and_variants_sorted(streams_a, na, ra, streams_b, nb, rb):
+    """Proximity-AND of two VARIANT-OR operands in one shot: instead of
+    per-word OR-merge + compaction + pairwise AND (three merge-class
+    stages), ONE lax.sort of every variant stream tagged by word, then a
+    run-dedupe that folds all same-coordinate entries (across variants
+    AND across words) onto one representative carrying the union of
+    word tags — exactly the host fold's semantics, where each word's
+    variant OR dedupes first and the AND then ghosts cross-word pairs.
+
+    streams_a: int32[Va, cap] INF-padded variant postings of word A
+    na:        int32[Va] lengths (a padded variant row has length 0)
+    streams_b / nb: same for word B;  ra/rb: per-word windows.
+    Returns (vals [cap*(Va+Vb)] ascending, keep, r).
+    """
+    va, cap = streams_a.shape
+    vb = streams_b.shape[0]
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    av = jnp.where(lane[None, :] < na[:, None], streams_a, INF32)
+    bv = jnp.where(lane[None, :] < nb[:, None], streams_b, INF32)
+    vals_cat = jnp.concatenate([av.reshape(-1), bv.reshape(-1)])
+    tag = jnp.concatenate([
+        jnp.zeros(va * cap, jnp.int32), jnp.ones(vb * cap, jnp.int32)
+    ])
+    # ties sort word A (tag 0) first, mirroring the pairwise tie rule
+    vals, tag = jax.lax.sort((vals_cat, tag), num_keys=2)
+    valid = vals < INF32
+    is0 = (tag == 0) & valid
+    is1 = (tag == 1) & valid
+
+    # run-dedupe: a COORDINATE may appear in several variants of one
+    # word and in both words; the first slot of each equal-value run
+    # becomes the representative, tagged with every word present in
+    # the run (prefix-difference over run boundaries — no gathers)
+    prev = jnp.concatenate([jnp.full(1, -1, vals.dtype), vals[:-1]])
+    run_start = valid & (vals != prev)
+    bigi = jnp.int32(np.iinfo(np.int32).max)
+    terminal = jnp.concatenate([run_start[1:] | ~valid[1:],
+                                jnp.ones(1, dtype=bool)])
+    cum0 = jnp.cumsum(is0.astype(jnp.int32))
+    cum1 = jnp.cumsum(is1.astype(jnp.int32))
+    prev0 = jnp.concatenate([jnp.zeros(1, jnp.int32), cum0[:-1]])
+    prev1 = jnp.concatenate([jnp.zeros(1, jnp.int32), cum1[:-1]])
+    before0 = jax.lax.cummax(jnp.where(run_start, prev0, -1))
+    before1 = jax.lax.cummax(jnp.where(run_start, prev1, -1))
+    end0 = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.where(terminal, cum0, bigi)
+    )))
+    end1 = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.where(terminal, cum1, bigi)
+    )))
+    isa = run_start & (end0 - before0 > 0)
+    isb = run_start & (end1 - before1 > 0)
+    ghost = valid & ~run_start
+    r = combine_r(ra, rb)
+    return _segment_and(vals, isa, isb, ghost, valid, r)
+
+
+def or_variants_sorted(streams, ns):
+    """Union of V variant posting streams of ONE word: one lax.sort of
+    the concatenation, keep the first slot of each equal-value run
+    (variants share coordinates whenever a token carries several codes).
+    Returns (vals [V*cap] ascending, keep)."""
+    v, cap = streams.shape
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    sv = jnp.where(lane[None, :] < ns[:, None], streams, INF32)
+    vals = jax.lax.sort(sv.reshape(-1))
+    valid = vals < INF32
+    prev = jnp.concatenate([jnp.full(1, -1, vals.dtype), vals[:-1]])
+    keep = valid & (vals != prev)
+    return vals, keep
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))

@@ -2,6 +2,7 @@
 strictly-ascending inputs, the device path's contract)."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from docodo_tpu.core.postings import group_and, or_merge
@@ -175,3 +176,39 @@ def test_sort_merge_branch_matches_large_caps(rng, monkeypatch):
     finally:
         monkeypatch.delenv("DOCODO_COMPARE_ALL", raising=False)
         jax.clear_caches()
+
+
+def test_and_variants_sorted_multiway_duplicates(rng):
+    """A coordinate present in SEVERAL variants of one word and in the
+    other word must fold to ONE representative carrying both word tags
+    (the host fold dedupes per word first, then pair-folds) — exercised
+    against the host oracle composition or_merge + group_and."""
+    from docodo_tpu.core.postings import group_and, or_merge
+
+    for ordered in (False, True):
+        for _ in range(10):
+            base = np.cumsum(rng.integers(1, 9, size=60)).astype(np.int64)
+            va = [base[rng.random(60) < p] for p in (0.7, 0.5)]
+            vb = [base[rng.random(60) < p] for p in (0.6, 0.4)]
+            r1, r2 = int(rng.integers(5, 30)), int(rng.integers(5, 30))
+            if ordered:
+                r1, r2 = -r1, -r2
+            cap = 64
+            sa = np.stack([seqops.pad_to(x, cap)[0] for x in va])
+            na = np.array([min(x.size, cap) for x in va], np.int32)
+            sb = np.stack([seqops.pad_to(x, cap)[0] for x in vb])
+            nb = np.array([min(x.size, cap) for x in vb], np.int32)
+            vals, keep, r = seqops.and_variants_sorted(
+                jnp.asarray(sa), jnp.asarray(na), np.int32(r1),
+                jnp.asarray(sb), jnp.asarray(nb), np.int32(r2),
+            )
+            got = np.asarray(vals)[np.asarray(keep)]
+            # host oracle: per-word variant OR (dedupe), then group AND
+            A, _ = or_merge(va[0].astype(np.uint64), va[1].astype(np.uint64),
+                            abs(r1), abs(r1))
+            B, _ = or_merge(vb[0].astype(np.uint64), vb[1].astype(np.uint64),
+                            abs(r2), abs(r2))
+            want, _ = group_and(A, B, r1, r2)
+            np.testing.assert_array_equal(
+                np.sort(got), want.astype(np.int64), err_msg=str(ordered)
+            )
