@@ -127,3 +127,56 @@ def test_fuzz_device_vs_host(tmp_path, round_i):
             }, (round_i, req)
             continue
         assert _view(res) == _view(host), (round_i, req)
+
+
+def _make_fuzz_voc():
+    """Morphological groups over the fuzz vocabulary: multiple forms
+    share one 24-bit group id, so queries compile to '#' voc codes and
+    exercise the device variant paths."""
+    from docodo_tpu.lang.vocab import Vocab
+
+    voc = Vocab()
+    voc.name = "en"
+    groups = [
+        ["house", "houses"],
+        ["mouse", "mice"],
+        ["apple", "apples"],
+        ["quick", "quickly"],
+        ["slow", "slowly"],
+        ["run", "running"],
+        ["walk", "walking"],
+    ]
+    for g, words in enumerate(groups, start=1):
+        for w in words:
+            voc.add(w, g)
+    voc.range = ("a", "z")
+    return voc
+
+
+@pytest.mark.parametrize("round_i", range(max(2, ROUNDS // 2)))
+def test_fuzz_morphological_device_vs_host(tmp_path, round_i):
+    """Same property fuzz with a vocabulary loaded: words resolve to
+    '#' group codes (multi-variant device evaluation, ref
+    Search.cs:226-247) and device-served results must still equal the
+    host engine's."""
+    rng = random.Random(7000 + round_i)
+    docs = _corpus(rng, rng.randrange(2, 7))
+    ind = docodo_tpu.Index(
+        path=str(tmp_path / f"v{round_i}"), in_memory=True,
+        vocs=[_make_fuzz_voc()],
+    )
+    ind.max_degree_of_parallelism = 1
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile(f"d{i}", t, "") for i, t in enumerate(docs)
+    ]))
+    ind.create()
+    reqs = _requests(rng, 20)
+    ex = BatchExecutor(ind, max_wait_ms=1.0, topk=64, hit_cap=1024)
+    try:
+        for req in reqs:
+            dev = ex.search(req)
+            host = ind.search(req)
+            assert _view(dev) == _view(host), (round_i, req)
+        assert ex.stats["device_queries"] > 0
+    finally:
+        ex.close()
