@@ -180,3 +180,27 @@ def test_fuzz_morphological_device_vs_host(tmp_path, round_i):
         assert ex.stats["device_queries"] > 0
     finally:
         ex.close()
+
+
+@pytest.mark.parametrize("round_i", range(max(2, ROUNDS // 2)))
+def test_fuzz_lazy_mode_matches_in_memory(tmp_path, round_i):
+    """The lazy (on-disk stub) index must serve identical results to the
+    in-memory index built from the same corpus (ref Index.cs:346-348
+    lazy stubs vs full load)."""
+    rng = random.Random(5000 + round_i)
+    docs = _corpus(rng, rng.randrange(2, 7))
+    path = str(tmp_path / f"l{round_i}")
+    ind = docodo_tpu.Index(path=path, in_memory=True)
+    ind.max_degree_of_parallelism = 1
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile(f"d{i}", t, "") for i, t in enumerate(docs)
+    ]))
+    ind.create()
+    lazy = docodo_tpu.Index(path=path, in_memory=False)
+    assert lazy.can_search
+    for req in _requests(rng, 16):
+        a = ind.search(req)
+        b = lazy.search(req)
+        assert _view(a) == _view(b), (round_i, req)
+    lazy.dispose()
+    ind.dispose()
