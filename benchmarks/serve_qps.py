@@ -34,6 +34,9 @@ def main() -> int:
     ap.add_argument("--platform", default=os.environ.get("DOCODO_BENCH_PLATFORM"))
     ap.add_argument("--host-pass", action="store_true",
                     help="also measure the unbatched host path")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="overlap batch dispatch with readback (for "
+                         "locally-attached devices; tunnels stall)")
     ap.add_argument("--brief", action="store_true",
                     help="serve rank/position results without snippet "
                          "text IO (isolates engine+HTTP from host "
@@ -81,6 +84,9 @@ def main() -> int:
             reqs.append(f'"{rng.choice(words)} {rng.choice(words)}"')
         else:
             reqs.append(f"{rng.choice(words)} {rng.choice(words)}")
+
+    if args.pipeline:
+        os.environ["DOCODO_PIPELINE"] = "1"
 
     def run_pass(device_batching: bool):
         srv = DocodoServer(ind, port=0, device_batching=device_batching,

@@ -834,7 +834,7 @@ class DeviceIndex:
         self, queries, topk: int = 64, hit_cap: int = 512,
         cap: Optional[int] = None,
         cap_ladder: Optional[Sequence[int]] = None,
-        fused: bool = True,
+        fused: bool = True, deferred: bool = False,
     ):
         """Full-result batch evaluation with per-word variant ORs.
 
@@ -928,7 +928,7 @@ class DeviceIndex:
             idx_list.append(idxs)
 
         if not idx_list:
-            return out
+            return (lambda: out) if deferred else out
         if fused:
             outs = multi_bucket_query_full(
                 self.term_offsets, self.coords, self.bounds, self.page_doc,
@@ -949,23 +949,29 @@ class DeviceIndex:
                     terms_list, rs_list, caps_list, hcaps_list
                 )
             ]
-        # ONE coalesced transfer for the whole result pytree: per-array
-        # np.asarray readbacks are separate device->host round trips, and
-        # remote-tunnel devices stall intermittently under many small
-        # readbacks (see CLAUDE.md)
-        outs = jax.device_get(outs)
-        for idxs, hb, o in zip(idx_list, hcaps_list, outs):
-            n = len(idxs)
-            out["pages"][idxs] = o.pages[:n]
-            out["ranks"][idxs] = o.ranks[:n]
-            out["counts"][idxs] = o.counts[:n]
-            out["docs"][idxs] = o.docs[:n]
-            out["doc_ranks"][idxs] = o.doc_ranks[:n]
-            out["n_pages"][idxs] = o.n_pages[:n]
-            # a query overflowing its TIER (but within the global budget)
-            # must flag truncation: n_hits > hits columns delivered
-            out["n_hits"][idxs] = np.where(
-                o.n_hits[:n] > hb, np.int32(hit_cap + 1), o.n_hits[:n]
-            ) if hb < hit_cap else o.n_hits[:n]
-            out["hits"][idxs, :hb] = o.hits[:n]
-        return out
+        def finish():
+            # ONE coalesced transfer for the whole result pytree:
+            # per-array np.asarray readbacks are separate device->host
+            # round trips, and remote-tunnel devices stall intermittently
+            # under many small readbacks (see CLAUDE.md)
+            outs_h = jax.device_get(outs)
+            for idxs, hb, o in zip(idx_list, hcaps_list, outs_h):
+                n = len(idxs)
+                out["pages"][idxs] = o.pages[:n]
+                out["ranks"][idxs] = o.ranks[:n]
+                out["counts"][idxs] = o.counts[:n]
+                out["docs"][idxs] = o.docs[:n]
+                out["doc_ranks"][idxs] = o.doc_ranks[:n]
+                out["n_pages"][idxs] = o.n_pages[:n]
+                # a query overflowing its TIER (within the global budget)
+                # must flag truncation: n_hits > hits columns delivered
+                out["n_hits"][idxs] = np.where(
+                    o.n_hits[:n] > hb, np.int32(hit_cap + 1), o.n_hits[:n]
+                ) if hb < hit_cap else o.n_hits[:n]
+                out["hits"][idxs, :hb] = o.hits[:n]
+            return out
+
+        # deferred: the device work is DISPATCHED (async) — the caller
+        # collects the next batch while this one's readback is in flight
+        # and calls finish() from a completion thread
+        return finish if deferred else finish()

@@ -248,10 +248,18 @@ class BatchExecutor:
     def __init__(self, index, device_index: Optional[DeviceIndex] = None,
                  max_batch: int = 512, max_wait_ms: float = 2.0,
                  topk: int = 64, hit_cap: int = 1024,
-                 materialize: bool = True, mesh=None):
+                 materialize: bool = True, mesh=None,
+                 pipeline: Optional[bool] = None):
         """With `mesh`, serve from a document-sharded mesh index
         (parallel/serving.ShardedDeviceIndex) instead of a single-chip
-        DeviceIndex — corpora larger than one device's HBM."""
+        DeviceIndex — corpora larger than one device's HBM.
+
+        `pipeline` overlaps batch i+1's collection+dispatch with batch
+        i's readback+materialization (a completion thread does the
+        device_get): hides the per-batch RTT on locally-attached
+        devices. Default OFF — this environment's TPU tunnel stalls
+        under readbacks concurrent with dispatches (see CLAUDE.md);
+        DOCODO_PIPELINE=1 overrides."""
         self.index = index
         self.mesh = mesh
         self.sdi = None
@@ -264,10 +272,22 @@ class BatchExecutor:
         self.topk = topk
         self.hit_cap = hit_cap
         self.materialize = materialize
+        if pipeline is None:
+            import os
+
+            pipeline = os.environ.get("DOCODO_PIPELINE") == "1"
+        self.pipeline = bool(pipeline) and mesh is None
         self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._done_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+        self._completion = None
+        if self.pipeline:
+            self._completion = threading.Thread(
+                target=self._completion_loop, daemon=True
+            )
+            self._completion.start()
         self.stats = {
             "batches": 0, "device_queries": 0, "host_queries": 0,
             "truncated_fallbacks": 0, "device_s": 0.0, "material_s": 0.0,
@@ -346,6 +366,9 @@ class BatchExecutor:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5)
+        if self._completion is not None:
+            self._done_q.put(None)
+            self._completion.join(timeout=5)
 
     # ---- batching loop ---------------------------------------------------
     def _run(self) -> None:
@@ -365,14 +388,50 @@ class BatchExecutor:
                 except queue.Empty:
                     break
             try:
-                self._execute(batch)
+                if self.pipeline:
+                    self._dispatch_pipelined(batch)
+                else:
+                    self._execute(batch)
             except Exception as e:  # noqa: BLE001 — fail the whole batch over
-                for p in batch:
-                    if p.result is None:
-                        p.result = SearchResult()
-                        p.result.success = False
-                        p.result.error = str(e)
-                    p.event.set()
+                self._fail(batch, e)
+
+    @staticmethod
+    def _fail(batch: List[_Pending], e: BaseException) -> None:
+        for p in batch:
+            if p.result is None:
+                p.result = SearchResult()
+                p.result.success = False
+                p.result.error = str(e)
+            p.event.set()
+
+    def _dispatch_pipelined(self, batch: List[_Pending]) -> None:
+        """Dispatch the device program and hand the pending readback to
+        the completion thread; bounded queue depth 2 applies
+        backpressure (one batch in flight + one queued)."""
+        if self.sdi is not None:
+            return self._execute_sharded(batch)
+        t0 = time.perf_counter()
+        finish = self.di.search_batch_full(
+            [p.compiled for p in batch], topk=self.topk,
+            hit_cap=self.hit_cap, cap_ladder=self.CAP_LADDER,
+            fused=False, deferred=True,
+        )
+        self.stats["batches"] += 1
+        self.stats["device_s"] += time.perf_counter() - t0
+        self._done_q.put((batch, finish))
+
+    def _completion_loop(self) -> None:
+        while True:
+            item = self._done_q.get()
+            if item is None:
+                return
+            batch, finish = item
+            try:
+                out = finish()
+                t1 = time.perf_counter()
+                self._deliver(batch, out, t1)
+            except Exception as e:  # noqa: BLE001
+                self._fail(batch, e)
 
     # serving trades padding waste for a BOUNDED compile-shape count:
     # query batches churn, so tight caps would compile endlessly
@@ -394,6 +453,10 @@ class BatchExecutor:
         self.stats["batches"] += 1
         t1 = time.perf_counter()
         self.stats["device_s"] += t1 - t0
+        self._deliver(batch, out, t1)
+
+    def _deliver(self, batch: List[_Pending], out, t1: float) -> None:
+        """Materialize one executed batch's rows and release waiters."""
         for row, p in enumerate(batch):
             n_pages = int(out["n_pages"][row])
             n_hits = int(out["n_hits"][row])

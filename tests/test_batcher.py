@@ -208,3 +208,23 @@ def test_batcher_restages_after_rebuild(tmp_path):
         assert ex.search("alpha").found_docs == []
     finally:
         ex.close()
+
+
+def test_batcher_pipelined_mode(ind):
+    """pipeline=True: dispatch and readback run on separate threads with
+    a bounded completion queue — results must be identical to the host
+    engine under concurrency."""
+    import concurrent.futures as cf
+
+    ex = BatchExecutor(ind, max_wait_ms=1.0, pipeline=True)
+    try:
+        reqs = ["club", '"pickwick club"', "dinner tavern", "noon"] * 8
+        with cf.ThreadPoolExecutor(8) as pool:
+            dev = list(pool.map(ex.search, reqs))
+        for req, d in zip(reqs, dev):
+            host = ind.search(req)
+            assert {x.name for x in d.found_docs} == \
+                {x.name for x in host.found_docs}, req
+        assert ex.stats["device_queries"] >= len(reqs) - 4
+    finally:
+        ex.close()
