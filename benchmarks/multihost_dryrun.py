@@ -23,7 +23,19 @@ sys.path.insert(0, REPO)
 
 N_PROC = 2
 LOCAL_DEVICES = 2
-PORT = int(os.environ.get("DOCODO_MH_PORT", "19876"))
+
+
+def _pick_port() -> int:
+    # a free TCP port for the coordinator: fixed ports collide across
+    # concurrent runs / leftover workers
+    env = os.environ.get("DOCODO_MH_PORT")
+    if env:
+        return int(env)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
 
 TEXTS = [
     "the pickwick club met at noon and the club adjourned for dinner",
@@ -37,7 +49,7 @@ TEXTS = [
 ]
 
 
-def worker(pid: int) -> int:
+def worker(pid: int, port: int) -> int:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
@@ -50,7 +62,7 @@ def worker(pid: int) -> int:
 
     from docodo_tpu.parallel import distributed as dd
 
-    dd.init_distributed(f"127.0.0.1:{PORT}", num_processes=N_PROC,
+    dd.init_distributed(f"127.0.0.1:{port}", num_processes=N_PROC,
                         process_id=pid)
     assert jax.process_count() == N_PROC
     assert len(jax.local_devices()) == LOCAL_DEVICES
@@ -146,10 +158,13 @@ def worker(pid: int) -> int:
 
 def main() -> int:
     if "--proc" in sys.argv:
-        return worker(int(sys.argv[sys.argv.index("--proc") + 1]))
+        return worker(int(sys.argv[sys.argv.index("--proc") + 1]),
+                      int(sys.argv[sys.argv.index("--port") + 1]))
+    port = _pick_port()
     procs = [
         subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--proc", str(i)],
+            [sys.executable, os.path.abspath(__file__), "--proc", str(i),
+             "--port", str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=REPO,
         )
@@ -158,7 +173,12 @@ def main() -> int:
     outs = []
     ok = True
     for p in procs:
-        out, _ = p.communicate(timeout=240)
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()  # a hung worker must not outlive the run
+            out, _ = p.communicate()
+            ok = False
         outs.append(out)
         ok &= p.returncode == 0
     sums = set()

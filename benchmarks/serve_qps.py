@@ -85,12 +85,10 @@ def main() -> int:
         else:
             reqs.append(f"{rng.choice(words)} {rng.choice(words)}")
 
-    if args.pipeline:
-        os.environ["DOCODO_PIPELINE"] = "1"
-
     def run_pass(device_batching: bool):
         srv = DocodoServer(ind, port=0, device_batching=device_batching,
-                           materialize=not args.brief)
+                           materialize=not args.brief,
+                           pipeline=args.pipeline or None)
         srv.start(background=True)
         lat = []
 

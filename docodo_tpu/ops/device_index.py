@@ -393,7 +393,10 @@ def eval_query_masked(coords, term_offsets, terms, rs, cap: int,
         # buckets that dominate morphological workloads)
         sa, na = gather_v(terms[0])
         sb, nb = gather_v(terms[1])
-        vals, keep, _ = and_variants_sorted(sa, na, rs[0], sb, nb, rs[1])
+        vals, keep, _ = and_variants_sorted(
+            sa, na, rs[0], sb, nb, rs[1],
+            b_pad=terms[1, 0] < 0,  # W-padded slot folds as identity
+        )
         return vals, keep
     vals, keep, _ = eval_and_query_variants(
         coords, term_offsets, terms, rs, cap, ca_max
@@ -646,9 +649,11 @@ class DeviceIndex:
         arr = ind.arr
         if arr.coords is None:
             raise ValueError("device upload requires an in-memory index")
-        if arr.max_coord > INT32_MAX:
+        # >=: INF32 == 2^31-1 is the padding sentinel, and page bounds
+        # (exclusive ends >= max_coord) overflow even earlier
+        if arr.max_coord >= INT32_MAX:
             raise ValueError(
-                f"corpus spans {arr.max_coord} chars > 2^31-1: a single "
+                f"corpus spans {arr.max_coord} chars >= 2^31-1: a single "
                 f"device shard's int32 coordinate space is full — serve "
                 f"it document-sharded over a mesh instead "
                 f"(parallel.serving.ShardedDeviceIndex)"

@@ -231,6 +231,24 @@ def _compact(vals, keep, out_cap=None):
     return out, n
 
 
+def _span_contains(marks, starts, terminals):
+    """For every slot, whether its enclosing [start..terminal] span
+    contains a marked slot. Spans are CONTIGUOUS and the prefix sum
+    NON-DECREASING, so "prefix before the span" is a running max of the
+    shifted prefix at starts and "prefix at the span end" a reverse
+    running min over terminals — no gathers, no scatters, no segment
+    ops. Shared by the gap-segment containment test and the run-dedupe
+    tag union."""
+    bigi = jnp.int32(np.iinfo(np.int32).max)
+    cum = jnp.cumsum(marks.astype(jnp.int32))
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), cum[:-1]])
+    before = jax.lax.cummax(jnp.where(starts, prev, -1))
+    end = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(terminals, cum, bigi))
+    ))
+    return end - before > 0
+
+
 def _segment_and(vals, isa, isb, ghost, valid, r):
     """Group segmentation + both-operands containment over a MERGED
     tagged stream (the algorithmic half of and_masked, shared by the
@@ -260,28 +278,11 @@ def _segment_and(vals, isa, isb, ghost, valid, r):
 
     seg_start2 = jnp.where(r < 0, with_ordered_cuts(), seg_start)
 
-    # segments are CONTIGUOUS runs and prefix sums NON-DECREASING:
-    # "prefix at segment end" = reverse running min over terminals,
-    # "prefix before segment start" = running max of the shifted prefix
-    # at starts — no gathers, no scatters, no segment ops
-    bigi = jnp.int32(np.iinfo(np.int32).max)
     terminal = jnp.concatenate(
         [seg_start2[1:], jnp.ones(1, dtype=bool)]
     )
-    cum_a = jnp.cumsum(isa.astype(jnp.int32))
-    cum_b = jnp.cumsum(isb.astype(jnp.int32))
-    prev_cum_a = jnp.concatenate([jnp.zeros(1, jnp.int32), cum_a[:-1]])
-    prev_cum_b = jnp.concatenate([jnp.zeros(1, jnp.int32), cum_b[:-1]])
-    before_start_a = jax.lax.cummax(jnp.where(seg_start2, prev_cum_a, -1))
-    before_start_b = jax.lax.cummax(jnp.where(seg_start2, prev_cum_b, -1))
-    end_a = jnp.flip(jax.lax.cummin(
-        jnp.flip(jnp.where(terminal, cum_a, bigi))
-    ))
-    end_b = jnp.flip(jax.lax.cummin(
-        jnp.flip(jnp.where(terminal, cum_b, bigi))
-    ))
-    seg_has_a = end_a - before_start_a > 0
-    seg_has_b = end_b - before_start_b > 0
+    seg_has_a = _span_contains(isa, seg_start2, terminal)
+    seg_has_b = _span_contains(isb, seg_start2, terminal)
     keep = seg_has_a & seg_has_b & valid & ~ghost
     return vals, keep, r
 
@@ -301,7 +302,8 @@ def and_masked(a, na, ra, b, nb, rb, ca_max: int = None):
     return _segment_and(vals, isa, isb, ghost, valid, r)
 
 
-def and_variants_sorted(streams_a, na, ra, streams_b, nb, rb):
+def and_variants_sorted(streams_a, na, ra, streams_b, nb, rb,
+                        b_pad=False):
     """Proximity-AND of two VARIANT-OR operands in one shot: instead of
     per-word OR-merge + compaction + pairwise AND (three merge-class
     stages), ONE lax.sort of every variant stream tagged by word, then a
@@ -313,6 +315,10 @@ def and_variants_sorted(streams_a, na, ra, streams_b, nb, rb):
     streams_a: int32[Va, cap] INF-padded variant postings of word A
     na:        int32[Va] lengths (a padded variant row has length 0)
     streams_b / nb: same for word B;  ra/rb: per-word windows.
+    b_pad: traced bool — word B's slot is QUERY PADDING (all ids -1), in
+    which case the AND is the identity and the result is word A's union
+    (the padded word's streams are empty, so the deduped union stream IS
+    word A). Mirrors eval_and_query_variants' skip semantics.
     Returns (vals [cap*(Va+Vb)] ascending, keep, r).
     """
     va, cap = streams_a.shape
@@ -336,26 +342,17 @@ def and_variants_sorted(streams_a, na, ra, streams_b, nb, rb):
     # the run (prefix-difference over run boundaries — no gathers)
     prev = jnp.concatenate([jnp.full(1, -1, vals.dtype), vals[:-1]])
     run_start = valid & (vals != prev)
-    bigi = jnp.int32(np.iinfo(np.int32).max)
     terminal = jnp.concatenate([run_start[1:] | ~valid[1:],
                                 jnp.ones(1, dtype=bool)])
-    cum0 = jnp.cumsum(is0.astype(jnp.int32))
-    cum1 = jnp.cumsum(is1.astype(jnp.int32))
-    prev0 = jnp.concatenate([jnp.zeros(1, jnp.int32), cum0[:-1]])
-    prev1 = jnp.concatenate([jnp.zeros(1, jnp.int32), cum1[:-1]])
-    before0 = jax.lax.cummax(jnp.where(run_start, prev0, -1))
-    before1 = jax.lax.cummax(jnp.where(run_start, prev1, -1))
-    end0 = jnp.flip(jax.lax.cummin(jnp.flip(
-        jnp.where(terminal, cum0, bigi)
-    )))
-    end1 = jnp.flip(jax.lax.cummin(jnp.flip(
-        jnp.where(terminal, cum1, bigi)
-    )))
-    isa = run_start & (end0 - before0 > 0)
-    isb = run_start & (end1 - before1 > 0)
+    isa = run_start & _span_contains(is0, run_start, terminal)
+    isb = run_start & _span_contains(is1, run_start, terminal)
     ghost = valid & ~run_start
     r = combine_r(ra, rb)
-    return _segment_and(vals, isa, isb, ghost, valid, r)
+    vals_o, keep_o, r_o = _segment_and(vals, isa, isb, ghost, valid, r)
+    # padded word B: identity fold — keep word A's deduped union
+    keep_o = jnp.where(jnp.asarray(b_pad), run_start & valid, keep_o)
+    r_o = jnp.where(jnp.asarray(b_pad), ra, r_o)
+    return vals_o, keep_o, r_o
 
 
 def or_variants_sorted(streams, ns):

@@ -367,7 +367,10 @@ class BatchExecutor:
         self._stop.set()
         self._thread.join(timeout=5)
         if self._completion is not None:
-            self._done_q.put(None)
+            try:  # bounded: a wedged readback must not hang close()
+                self._done_q.put(None, timeout=5)
+            except queue.Full:
+                pass
             self._completion.join(timeout=5)
 
     # ---- batching loop ---------------------------------------------------
@@ -418,7 +421,13 @@ class BatchExecutor:
         )
         self.stats["batches"] += 1
         self.stats["device_s"] += time.perf_counter() - t0
-        self._done_q.put((batch, finish))
+        while not self._stop.is_set():
+            try:
+                self._done_q.put((batch, finish), timeout=0.5)
+                return
+            except queue.Full:
+                continue
+        self._fail(batch, RuntimeError("executor stopping"))
 
     def _completion_loop(self) -> None:
         while True:
@@ -427,8 +436,10 @@ class BatchExecutor:
                 return
             batch, finish = item
             try:
-                out = finish()
+                t0 = time.perf_counter()
+                out = finish()  # the device_get: the batch's readback
                 t1 = time.perf_counter()
+                self.stats["device_s"] += t1 - t0
                 self._deliver(batch, out, t1)
             except Exception as e:  # noqa: BLE001
                 self._fail(batch, e)

@@ -45,7 +45,8 @@ class DocodoServer:
     def __init__(self, index, port: int = 9001, host: str = "0.0.0.0",
                  device_batching: bool = False,
                  max_threads: Optional[int] = None,
-                 materialize: bool = True, mesh=None):
+                 materialize: bool = True, mesh=None,
+                 pipeline=None):
         self.index = index
         if max_threads is None:
             # host path: 4 x CPU (ref server.cs:16). Device batching:
@@ -66,7 +67,8 @@ class DocodoServer:
             # per-doc snippet text IO (clients that only need hit lists);
             # mesh serves from a document-sharded multi-device index
             self.batcher = BatchExecutor(
-                index, materialize=materialize, mesh=mesh
+                index, materialize=materialize, mesh=mesh,
+                pipeline=pipeline,
             )
         outer = self
 

@@ -137,7 +137,6 @@ def test_real_multiprocess_dryrun():
     )
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    env["DOCODO_MH_PORT"] = "19891"
     res = subprocess.run(
         [sys.executable, script], capture_output=True, text=True,
         timeout=240, env=env,

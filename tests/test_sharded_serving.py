@@ -170,3 +170,19 @@ def test_sharded_brief_ranks_match_host_order(ind, sdi):
         [d.name for d in host.found_docs]
     assert [round(d.rank, 5) for d in res.found_docs] == \
         [round(d.rank, 5) for d in host.found_docs]
+
+
+def test_mixed_batch_one_word_queries_not_annihilated(ind, sdi):
+    """Regression: a batch mixing a 1-word query with multi-word/
+    multi-variant ones pads terms to [B, W, V]; the padded word slot
+    must fold as IDENTITY, not annihilate (the flat tagged-sort path
+    once returned [] for every 1-word query in such batches)."""
+    reqs = ["noon", "dinner | travels", "pickwick club", '"the club"']
+    compiled = [compile_request(ind, r) for r in reqs]
+    assert all(c is not None for c in compiled)
+    results = sdi.search_batch(compiled, topk=32, hit_cap=256)
+    for req, res in zip(reqs, results):
+        host = ind.search(req)
+        assert res is not None, req
+        assert _doc_view(res) == _doc_view(host), req
+        assert res.found_docs or not host.found_docs, req
