@@ -288,44 +288,36 @@ class LocateFull(NamedTuple):
     """Full per-query device result (ref Search.cs:365-420, 552-557).
 
     pages/ranks/counts are rank-ordered top-k; `hits` is the ascending
-    coordinate stream restricted to those pages (INF-padded), so the host
-    can materialize exact per-page `ResultDocPage.pos` (ref Search.cs:381)
-    by running the normal prepare_search_result pipeline over it.
-    n_pages/n_hits are the UNtruncated totals: n_pages > topk or
-    n_hits > hit_cap tells the caller the result was rank-truncated.
-    """
+    kept coordinate stream (INF-padded), so the host can materialize
+    exact per-page `ResultDocPage.pos` (ref Search.cs:381) by running
+    the normal prepare_search_result pipeline over it. Whenever a result
+    is actually SERVED (n_pages <= topk), every result page is a top-k
+    page, so the kept stream IS exactly the hits of the top-k pages;
+    rank-truncated results (n_pages > topk or n_hits > hit_cap) always
+    re-serve host-side, so their hit buffers are never consumed.
+    n_pages/n_hits are the UNtruncated totals used for that check.
+    docs/doc_ranks are None when the caller asked with_docs=False (full
+    materialization recomputes them host-side — reading them back would
+    be wasted bytes)."""
 
     pages: jax.Array      # int32[topk] page idx, -1 padded
     ranks: jax.Array      # f32[topk]
     counts: jax.Array     # int32[topk]
     n_pages: jax.Array    # int32[] total pages with hits
-    docs: jax.Array       # int32[topk] doc ordinal per top page, -1 pad
-    doc_ranks: jax.Array  # f32[topk] doc rank at each doc's first slot
-    hits: jax.Array       # int32[hit_cap] coords in top pages, INF pad
-    n_hits: jax.Array     # int32[] total hits in top pages
+    docs: Optional[jax.Array]       # int32[topk] doc ordinal per top page
+    doc_ranks: Optional[jax.Array]  # f32[topk] doc rank at first slots
+    hits: jax.Array       # int32[hit_cap] kept coords, INF pad
+    n_hits: jax.Array     # int32[] total kept hits
 
 
-def locate_full(vals, keep, bounds, page_doc, is_header, topk: int,
-                hit_cap: int) -> LocateFull:
-    """locate_topk_masked plus hit-stream extraction and device-side doc
-    ranking (doc rank = 1 + ln(sum page ranks), x10 when the doc's header
-    page "0" is among the hits — ref Search.cs:552-557)."""
-    page, first, slot_rank, slot_count = _locate_core(vals, keep, bounds)
-    n_pages = jnp.sum(first.astype(jnp.int32))
-    top_rank, top_slot = jax.lax.top_k(slot_rank, topk)
+def doc_group_topk(top_page, top_rank, page_doc, is_header):
+    """Device doc grouping/ranking over a top-k page row: doc ordinal
+    per slot, and doc rank = 1 + ln(sum of the doc's top-k page ranks),
+    x10 when the doc's header page "0" is among them, emitted at each
+    doc's FIRST top-k slot (ref Search.cs:552-557). [topk, topk]
+    compares only — tiny."""
+    topk = top_page.shape[0]
     valid_top = top_rank > 0
-    top_page = jnp.where(valid_top, page[top_slot], -1)
-    top_count = jnp.where(
-        valid_top, slot_count[top_slot].astype(jnp.int32), 0
-    )
-
-    # hits in top-k pages: page ids are non-negative, so -1 pads in
-    # top_page never match; [P, topk] compare is tiny (topk <= 128)
-    in_top = keep & jnp.any(page[:, None] == top_page[None, :], axis=-1)
-    n_hits = jnp.sum(in_top.astype(jnp.int32))
-    hits = compact_mask(vals, in_top, hit_cap, ca_max=FULL_CA_MAX)
-
-    # doc grouping among the top-k pages: [topk, topk] compares only
     docs = jnp.where(valid_top, page_doc[jnp.maximum(top_page, 0)], -1)
     same = (
         (docs[:, None] == docs[None, :])
@@ -342,7 +334,33 @@ def locate_full(vals, keep, bounds, page_doc, is_header, topk: int,
     doc_has_header = jnp.any(same & top_is_header[None, :], axis=1)
     doc_rank = 1.0 + jnp.log(jnp.maximum(doc_sum, 1e-30))
     doc_rank = jnp.where(doc_has_header, doc_rank * 10.0, doc_rank)
-    doc_ranks = jnp.where(first_of_doc, doc_rank, 0.0)
+    return docs, jnp.where(first_of_doc, doc_rank, 0.0)
+
+
+def locate_full(vals, keep, bounds, page_doc, is_header, topk: int,
+                hit_cap: int, with_docs: bool = True) -> LocateFull:
+    """locate_topk_masked plus hit-stream compaction and (with_docs)
+    device-side doc ranking (ref Search.cs:552-557)."""
+    page, first, slot_rank, slot_count = _locate_core(vals, keep, bounds)
+    n_pages = jnp.sum(first.astype(jnp.int32))
+    top_rank, top_slot = jax.lax.top_k(slot_rank, topk)
+    valid_top = top_rank > 0
+    top_page = jnp.where(valid_top, page[top_slot], -1)
+    top_count = jnp.where(
+        valid_top, slot_count[top_slot].astype(jnp.int32), 0
+    )
+
+    # hits: the kept stream compacted. For every SERVED result this
+    # equals "hits restricted to the top-k pages" (n_pages <= topk means
+    # all pages are top pages); truncated results re-serve host-side
+    n_hits = jnp.sum(keep.astype(jnp.int32))
+    hits = compact_mask(vals, keep, hit_cap, ca_max=FULL_CA_MAX)
+
+    docs = doc_ranks = None
+    if with_docs:
+        docs, doc_ranks = doc_group_topk(
+            top_page, top_rank, page_doc, is_header
+        )
     return LocateFull(
         pages=top_page, ranks=top_rank, counts=top_count, n_pages=n_pages,
         docs=docs, doc_ranks=doc_ranks, hits=hits, n_hits=n_hits,
@@ -406,37 +424,63 @@ def eval_query_masked(coords, term_offsets, terms, rs, cap: int,
 
 def query_step_full(term_offsets, coords, bounds, page_doc, is_header,
                     terms, rs, cap: int, topk: int,
-                    hit_cap: int) -> LocateFull:
+                    hit_cap: int, with_docs: bool = True) -> LocateFull:
     """One query end-to-end with full result extraction: top-k pages,
     hit coordinate stream, device doc ranks. Variant-aware."""
     vals, keep = eval_query_masked(
         coords, term_offsets, terms, rs, cap, ca_max=FULL_CA_MAX
     )
     return locate_full(vals, keep, bounds, page_doc, is_header, topk,
-                       hit_cap)
+                       hit_cap, with_docs=with_docs)
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "topk", "hit_cap"))
+def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
+                 tq, rq, cap: int, topk: int, hit_cap: int,
+                 with_docs: bool, use_pallas: bool):
+    """One full-result bucket, routed to the hybrid Pallas kernels when
+    the shape qualifies (W<=2, V=1, cap within the kernel budget), else
+    the vmapped XLA program."""
+    if use_pallas:
+        out = _pallas_bucket_full(
+            term_offsets, coords, bounds, page_doc, is_header, tq, rq,
+            cap=cap, topk=topk, hit_cap=hit_cap, with_docs=with_docs,
+        )
+        if out is not None:
+            return out
+    fn = functools.partial(
+        query_step_full, cap=cap, topk=topk, hit_cap=hit_cap,
+        with_docs=with_docs,
+    )
+    return jax.vmap(fn, in_axes=(None, None, None, None, None, 0, 0))(
+        term_offsets, coords, bounds, page_doc, is_header, tq, rq
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cap", "topk", "hit_cap", "with_docs", "use_pallas"))
 def batched_query_full(term_offsets, coords, bounds, page_doc, is_header,
-                       terms, rs, cap: int, topk: int, hit_cap: int):
+                       terms, rs, cap: int, topk: int, hit_cap: int,
+                       with_docs: bool = True, use_pallas: bool = False):
     """One bucket of full-result queries ([B, W] or [B, W, V] terms) as
     its own cached jit — serving uses this instead of the fused
     multi-bucket program because batch COMPOSITIONS churn per request
     wave: a fused program recompiles per composition tuple (minutes over
     a remote-tunnel device), while per-bucket shapes recur and hit this
     cache."""
-    fn = functools.partial(
-        query_step_full, cap=cap, topk=topk, hit_cap=hit_cap
-    )
-    return jax.vmap(fn, in_axes=(None, None, None, None, None, 0, 0))(
-        term_offsets, coords, bounds, page_doc, is_header, terms, rs
+    return _bucket_full(
+        term_offsets, coords, bounds, page_doc, is_header, terms, rs,
+        cap=cap, topk=topk, hit_cap=hit_cap, with_docs=with_docs,
+        use_pallas=use_pallas,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("caps", "topk", "hit_cap"))
+@functools.partial(jax.jit, static_argnames=(
+    "caps", "topk", "hit_cap", "with_docs", "use_pallas"))
 def multi_bucket_query_full(term_offsets, coords, bounds, page_doc,
                             is_header, terms_list, rs_list, caps,
-                            topk: int, hit_cap):
+                            topk: int, hit_cap,
+                            with_docs: bool = True,
+                            use_pallas: bool = False):
     """Full-result twin of multi_bucket_query_step: every shape bucket
     (variant-aware, [Bi, Wi] or [Bi, Wi, Vi] terms) evaluates in ONE
     device program; each bucket yields a batched LocateFull.
@@ -448,21 +492,21 @@ def multi_bucket_query_full(term_offsets, coords, bounds, page_doc,
         hit_cap = (hit_cap,) * len(caps)
     outs = []
     for tq, rq, cap, hb in zip(terms_list, rs_list, caps, hit_cap):
-        fn = functools.partial(
-            query_step_full, cap=cap, topk=topk, hit_cap=hb
-        )
-        outs.append(
-            jax.vmap(fn, in_axes=(None, None, None, None, None, 0, 0))(
-                term_offsets, coords, bounds, page_doc, is_header, tq, rq
-            )
-        )
+        outs.append(_bucket_full(
+            term_offsets, coords, bounds, page_doc, is_header, tq, rq,
+            cap=cap, topk=topk, hit_cap=hb, with_docs=with_docs,
+            use_pallas=use_pallas,
+        ))
     return tuple(outs)
 
 
-@functools.partial(jax.jit, static_argnames=("caps", "topk", "hit_cap"))
+@functools.partial(jax.jit, static_argnames=(
+    "caps", "topk", "hit_cap", "with_docs", "use_pallas"))
 def multi_bucket_query_full_chained(term_offsets, coords, bounds, page_doc,
                                     is_header, terms_list, rs_list, chain,
-                                    caps, topk: int, hit_cap: int):
+                                    caps, topk: int, hit_cap,
+                                    with_docs: bool = True,
+                                    use_pallas: bool = False):
     """multi_bucket_query_full with the dependency-chain scalar trick of
     multi_bucket_query_step_chained (one final readback bounds the wall
     time of a rep sequence on async/tunnelled dispatch layers)."""
@@ -471,6 +515,7 @@ def multi_bucket_query_full_chained(term_offsets, coords, bounds, page_doc,
     outs = multi_bucket_query_full(
         term_offsets, coords, bounds, page_doc, is_header,
         terms_list, rs_list, caps, topk, hit_cap,
+        with_docs=with_docs, use_pallas=use_pallas,
     )
     s = jnp.float32(0)
     for o in outs:
@@ -517,6 +562,71 @@ def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
         interpret=interpret,
     )
     return pg[:bsz], rk[:bsz], ct[:bsz]
+
+
+def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
+                        tq, rq, *, cap: int, topk: int, hit_cap: int,
+                        with_docs: bool):
+    """Full-result Pallas routing for one bucket: W<=2, V=1 shapes
+    within the kernel cap budget evaluate through the hybrid kernels
+    (pallas_query.pallas_single_locate_full / pallas_sorted_and_locate_
+    full); other shapes return None and stay on the XLA program. Doc
+    grouping (tiny [topk, topk] work) runs as vmapped XLA either way."""
+    from docodo_tpu.ops.pallas_query import (
+        MAX_PALLAS_CAP,
+        MAX_SORTED_PALLAS_CAP,
+        pallas_single_locate_full,
+        pallas_sorted_and_locate_full,
+        q_for_cap,
+        q_for_sorted_cap,
+    )
+
+    if tq.ndim == 3:
+        if tq.shape[2] != 1:
+            return None  # variant ORs: XLA path (general tagged streams)
+        tq = tq[:, :, 0]
+    w = tq.shape[1]
+    if w > 2:
+        return None
+    single = w == 1
+    limit = MAX_PALLAS_CAP if single else MAX_SORTED_PALLAS_CAP
+    if cap > limit:
+        return None
+    pq = min(64, q_for_cap(cap) * 2) if single else q_for_sorted_cap(cap)
+    bsz = tq.shape[0]
+    pad = (-bsz) % pq
+    if pad:
+        tq = jnp.concatenate(
+            [tq, jnp.full((pad, tq.shape[1]), -1, jnp.int32)]
+        )
+        rq = jnp.concatenate([rq, jnp.ones((pad, rq.shape[1]), jnp.int32)])
+    gather = jax.vmap(
+        lambda t: gather_term(coords, term_offsets, t, cap)
+    )
+    a, na = gather(tq[:, 0])
+    interpret = jax.default_backend() != "tpu"
+    if single:
+        pg, rk, ct, npg, nht, hits = pallas_single_locate_full(
+            a, na, bounds, cap=cap, topk=topk, hit_cap=hit_cap,
+            interpret=interpret,
+        )
+    else:
+        b, nb = gather(tq[:, 1])
+        pg, rk, ct, npg, nht, hits = pallas_sorted_and_locate_full(
+            a, na, rq[:, 0], b, nb, rq[:, 1], bounds, cap=cap, topk=topk,
+            hit_cap=hit_cap, interpret=interpret,
+        )
+    docs = doc_ranks = None
+    if with_docs:
+        docs, doc_ranks = jax.vmap(
+            doc_group_topk, in_axes=(0, 0, None, None)
+        )(pg, rk, page_doc, is_header)
+        docs, doc_ranks = docs[:bsz], doc_ranks[:bsz]
+    return LocateFull(
+        pages=pg[:bsz], ranks=rk[:bsz], counts=ct[:bsz],
+        n_pages=npg[:bsz], docs=docs, doc_ranks=doc_ranks,
+        hits=hits[:bsz], n_hits=nht[:bsz],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("caps", "topk", "use_pallas"))
@@ -840,6 +950,7 @@ class DeviceIndex:
         cap: Optional[int] = None,
         cap_ladder: Optional[Sequence[int]] = None,
         fused: bool = True, deferred: bool = False,
+        want_docs: bool = True, use_pallas: Optional[bool] = None,
     ):
         """Full-result batch evaluation with per-word variant ORs.
 
@@ -847,22 +958,35 @@ class DeviceIndex:
         key or a sequence of OR'd variant keys (the reference's voc-code
         sets and `a|b` alternations, ref Search.cs:226-247).
 
-        Returns a dict of numpy arrays: pages/ranks/counts/docs/doc_ranks
-        [B, topk], n_pages/n_hits [B], hits [B, hit_cap] (ascending
-        coords restricted to the top-k pages, INT32_MAX padded).
+        Returns a dict of numpy arrays: pages/ranks/counts [B, topk],
+        n_pages/n_hits [B], hits [B, hit_cap] (the ascending kept
+        coordinate stream, INT32_MAX padded — exactly the top-k pages'
+        hits whenever the result is served, see LocateFull), and — only
+        with want_docs — docs/doc_ranks [B, topk]. Callers that
+        recompute doc ranks host-side (full materialization) pass
+        want_docs=False and skip those readback bytes.
         n_pages > topk or n_hits > hit_cap flags rank truncation.
         """
+        if use_pallas is None:
+            import os
+
+            env = os.environ.get("DOCODO_PALLAS")
+            if env is not None:
+                use_pallas = env == "1"
+            else:
+                use_pallas = jax.default_backend() == "tpu"
         b = len(queries)
         out = {
             "pages": np.full((b, topk), -1, dtype=np.int32),
             "ranks": np.zeros((b, topk), dtype=np.float32),
             "counts": np.zeros((b, topk), dtype=np.int32),
-            "docs": np.full((b, topk), -1, dtype=np.int32),
-            "doc_ranks": np.zeros((b, topk), dtype=np.float32),
             "n_pages": np.zeros(b, dtype=np.int32),
             "n_hits": np.zeros(b, dtype=np.int32),
             "hits": np.full((b, hit_cap), INT32_MAX, dtype=np.int32),
         }
+        if want_docs:
+            out["docs"] = np.full((b, topk), -1, dtype=np.int32)
+            out["doc_ranks"] = np.zeros((b, topk), dtype=np.float32)
 
         def round_cap(need: int) -> int:
             if cap:
@@ -939,6 +1063,7 @@ class DeviceIndex:
                 self.term_offsets, self.coords, self.bounds, self.page_doc,
                 self.header_mask(), tuple(terms_list), tuple(rs_list),
                 tuple(caps_list), topk, tuple(hcaps_list),
+                with_docs=want_docs, use_pallas=use_pallas,
             )
         else:
             # per-bucket cached jits: serving batch compositions churn,
@@ -949,6 +1074,7 @@ class DeviceIndex:
                     self.term_offsets, self.coords, self.bounds,
                     self.page_doc, self.header_mask(), tq, rq,
                     cap=qcap, topk=topk, hit_cap=hb,
+                    with_docs=want_docs, use_pallas=use_pallas,
                 )
                 for tq, rq, qcap, hb in zip(
                     terms_list, rs_list, caps_list, hcaps_list
@@ -965,8 +1091,9 @@ class DeviceIndex:
                 out["pages"][idxs] = o.pages[:n]
                 out["ranks"][idxs] = o.ranks[:n]
                 out["counts"][idxs] = o.counts[:n]
-                out["docs"][idxs] = o.docs[:n]
-                out["doc_ranks"][idxs] = o.doc_ranks[:n]
+                if want_docs:
+                    out["docs"][idxs] = o.docs[:n]
+                    out["doc_ranks"][idxs] = o.doc_ranks[:n]
                 out["n_pages"][idxs] = o.n_pages[:n]
                 # a query overflowing its TIER (within the global budget)
                 # must flag truncation: n_hits > hits columns delivered

@@ -244,11 +244,31 @@ def _single_word_kernel(a_ref, na_ref, bounds_ref, pages_ref, ranks_ref,
     )
 
 
+def _single_word_full_kernel(a_ref, na_ref, bounds_ref, pages_ref,
+                             ranks_ref, counts_ref, npages_ref,
+                             *, cap: int, topk: int):
+    """FULL-RESULT W=1 kernel: the posting block IS the (already
+    compacted) hit stream, so only n_pages needs the kernel — hits and
+    n_hits come straight from the gathered block and its length."""
+    q = a_ref.shape[0]
+    lane = _iota((q, cap), 1)
+    na = na_ref[:, 0][:, None]
+    keep = lane < na
+    vals = jnp.where(keep, a_ref[...], INF32)
+    _locate_rank_topk(
+        vals, keep, lane, cap, bounds_ref, pages_ref, ranks_ref,
+        counts_ref, topk=topk, npages_ref=npages_ref,
+    )
+
+
 def _locate_rank_topk(vals, keep, lane, n, bounds_ref, pages_ref,
-                      ranks_ref, counts_ref, *, topk: int):
+                      ranks_ref, counts_ref, *, topk: int,
+                      npages_ref=None):
     """Shared result tail: coords+mask -> per-page runs -> rank -> topk.
 
-    page = #bounds <= val (right bisect) by compare-all."""
+    page = #bounds <= val (right bisect) by compare-all. With
+    `npages_ref`, also writes the UNtruncated page-run count (the
+    full-result truncation flag)."""
     nb_pages = bounds_ref.shape[-1]
     cmp = bounds_ref[0, :][None, None, :] <= vals[:, :, None]
     page = jnp.sum(cmp, axis=2).astype(jnp.int32)
@@ -288,6 +308,8 @@ def _locate_rank_topk(vals, keep, lane, n, bounds_ref, pages_ref,
         0.0,
     )
     slot_count = jnp.where(first, run_count, 0.0)
+    if npages_ref is not None:
+        npages_ref[:, 0] = jnp.sum(first.astype(jnp.int32), axis=-1)
 
     # ---- top-k by iterative masked argmax (per row) --------------------
     remaining = slot_rank
@@ -307,27 +329,16 @@ def _locate_rank_topk(vals, keep, lane, n, bounds_ref, pages_ref,
         remaining = jnp.where(lane == pick, 0.0, remaining)
 
 
-def _sorted_and_locate_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
-                              bounds_ref, pages_ref, ranks_ref, counts_ref,
-                              *, cap: int, topk: int):
-    """AND locate over a PRE-MERGED tagged stream: the [Q, 2cap] merge
-    arrives already sorted (one vmapped lax.sort outside the kernel —
-    the TPU's native sort replaces the O(cap^2) in-kernel compare-all
-    merge and its VMEM-bounding one-hots), so this kernel is pure
-    log-depth scans: dup/ghost folding, gap segmentation, the ordered
-    cut, per-segment containment, then the shared locate/rank/top-k
-    tail. tag: 0 = a-operand, 1 = b, 2 = padding."""
-    n = 2 * cap
-    q = vals_ref.shape[0]
-    lane = _iota((q, n), 1)
-
+def _sorted_and_keep(vals, tag, ra_ref, rb_ref, lane, n):
+    """Shared AND body over a PRE-MERGED tagged stream (tag: 0 = a,
+    1 = b, 2 = padding): dup/ghost folding, gap segmentation, the
+    ordered cut, per-segment containment. Pure log-depth scans.
+    Returns the keep mask (ref IndexSequence.cs:218-284)."""
     r1 = ra_ref[:, 0][:, None]
     r2 = rb_ref[:, 0][:, None]
     abs_r = jnp.maximum(jnp.abs(r1), jnp.abs(r2))
     ordered = jnp.logical_and(r1 < 0, r2 < 0)
 
-    vals = vals_ref[...]
-    tag = tag_ref[...]
     valid = vals < INF32
     isa = jnp.logical_and(tag == 0, valid)
     isb = jnp.logical_and(tag == 1, valid)
@@ -377,13 +388,49 @@ def _sorted_and_locate_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
     end_b = _rev_cummin(jnp.where(terminal, cum_b, bigi), bigi)
     has_a = (end_a - before_start_a) > 0
     has_b = (end_b - before_start_b) > 0
-    keep = jnp.logical_and(
+    return jnp.logical_and(
         jnp.logical_and(has_a, has_b), jnp.logical_and(valid, ~ghost)
     )
 
+
+def _sorted_and_locate_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
+                              bounds_ref, pages_ref, ranks_ref, counts_ref,
+                              *, cap: int, topk: int):
+    """AND locate over a PRE-MERGED tagged stream: the [Q, 2cap] merge
+    arrives already sorted (one vmapped lax.sort outside the kernel —
+    the TPU's native sort replaces the O(cap^2) in-kernel compare-all
+    merge and its VMEM-bounding one-hots), so this kernel is pure
+    log-depth scans feeding the shared locate/rank/top-k tail."""
+    n = 2 * cap
+    q = vals_ref.shape[0]
+    lane = _iota((q, n), 1)
+    vals = vals_ref[...]
+    keep = _sorted_and_keep(vals, tag_ref[...], ra_ref, rb_ref, lane, n)
     _locate_rank_topk(
         vals, keep, lane, n, bounds_ref, pages_ref, ranks_ref, counts_ref,
         topk=topk,
+    )
+
+
+def _sorted_and_locate_full_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
+                                   bounds_ref, pages_ref, ranks_ref,
+                                   counts_ref, npages_ref, nhits_ref,
+                                   hits_ref, *, cap: int, topk: int):
+    """FULL-RESULT twin of _sorted_and_locate_kernel: additionally emits
+    the kept hit stream (INF-masked, compacted OUTSIDE by one vmapped
+    lax.sort — ascending order makes mask+sort a stable partition), the
+    untruncated n_pages/n_hits totals (the rank-truncation flags, ref
+    Search.cs:365-420)."""
+    n = 2 * cap
+    q = vals_ref.shape[0]
+    lane = _iota((q, n), 1)
+    vals = vals_ref[...]
+    keep = _sorted_and_keep(vals, tag_ref[...], ra_ref, rb_ref, lane, n)
+    nhits_ref[:, 0] = jnp.sum(keep.astype(jnp.int32), axis=-1)
+    hits_ref[...] = jnp.where(keep, vals, INF32)
+    _locate_rank_topk(
+        vals, keep, lane, n, bounds_ref, pages_ref, ranks_ref, counts_ref,
+        topk=topk, npages_ref=npages_ref,
     )
 
 
@@ -450,6 +497,129 @@ def pallas_sorted_and_locate(a, na, ra, b, nb, rb, bounds,
         ],
         interpret=interpret,
     )(vals, tag, ra2, rb2, bounds2)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cap", "topk", "hit_cap", "interpret"))
+def pallas_sorted_and_locate_full(a, na, ra, b, nb, rb, bounds,
+                                  cap: int, topk: int, hit_cap: int,
+                                  interpret: bool = False):
+    """Hybrid FULL-RESULT AND: one vmapped lax.sort merges the tagged
+    operand concatenation, the Pallas kernel runs the scan-only
+    segmentation/locate/rank/top-k AND emits the kept hit stream +
+    untruncated totals, and one more lax.sort compacts the INF-masked
+    (still ascending) hit stream into the first hit_cap slots.
+
+    Returns (pages, ranks, counts, n_pages, n_hits, hits[B, hit_cap])."""
+    bsz = a.shape[0]
+    q = min(q_for_sorted_cap(cap), bsz)
+    assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
+    n = 2 * cap
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
+    av = jnp.where(lane_c < na[:, None], a, INF32)
+    bv = jnp.where(lane_c < nb[:, None], b, INF32)
+    tag = jnp.concatenate([
+        jnp.where(lane_c < na[:, None], 0, 2),
+        jnp.where(lane_c < nb[:, None], 1, 2),
+    ], axis=1).astype(jnp.int32)
+    vals, tag = jax.vmap(
+        lambda v, t: jax.lax.sort((v, t), num_keys=2)
+    )(jnp.concatenate([av, bv], axis=1), tag)
+    ra2 = ra.reshape(bsz, 1)
+    rb2 = rb.reshape(bsz, 1)
+    bounds2 = bounds.reshape(1, -1)
+    kernel = functools.partial(
+        _sorted_and_locate_full_kernel, cap=cap, topk=topk
+    )
+    grid = (bsz // q,)
+    pages, ranks, counts, n_pages, n_hits, hitvals = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, n), lambda i: (i, 0)),
+            pl.BlockSpec((q, n), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((q, n), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, topk), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(vals, tag, ra2, rb2, bounds2)
+    # compact the (ascending, INF-holed) hit stream: mask+sort is a
+    # stable partition on an ascending stream
+    hits = jax.lax.sort(hitvals)
+    if hit_cap <= n:
+        hits = hits[:, :hit_cap]
+    else:
+        hits = jnp.concatenate([
+            hits, jnp.full((bsz, hit_cap - n), INF32, jnp.int32)
+        ], axis=1)
+    return pages, ranks, counts, n_pages[:, 0], n_hits[:, 0], hits
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cap", "topk", "hit_cap", "interpret"))
+def pallas_single_locate_full(a, na, bounds, cap: int, topk: int,
+                              hit_cap: int, interpret: bool = False):
+    """FULL-RESULT W=1: the gathered posting block IS the compacted hit
+    stream — the kernel only adds the locate/rank/top-k tail + n_pages.
+
+    Returns (pages, ranks, counts, n_pages, n_hits, hits[B, hit_cap])."""
+    bsz = a.shape[0]
+    q = min(64, q_for_cap(cap) * 2, bsz)
+    assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
+    na2 = na.reshape(bsz, 1)
+    bounds2 = bounds.reshape(1, -1)
+    kernel = functools.partial(
+        _single_word_full_kernel, cap=cap, topk=topk
+    )
+    grid = (bsz // q,)
+    pages, ranks, counts, n_pages = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, cap), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, topk), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(a, na2, bounds2)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
+    block = jnp.where(lane_c < na[:, None], a, INF32)
+    if hit_cap <= cap:
+        hits = block[:, :hit_cap]
+    else:
+        hits = jnp.concatenate([
+            block, jnp.full((bsz, hit_cap - cap), INF32, jnp.int32)
+        ], axis=1)
+    return pages, ranks, counts, n_pages[:, 0], na, hits
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "topk", "interpret"))

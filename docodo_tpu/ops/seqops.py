@@ -74,7 +74,7 @@ def _rank_in_sorted(queries, sorted_vals, strict: bool,
     binary-search path (see _use_compare_all).
     """
     m = sorted_vals.shape[-1]
-    if m <= (ca_max or _compare_all_max()) and _use_compare_all():
+    if m <= (ca_max if ca_max is not None else _compare_all_max()) and _use_compare_all():
         acc = jnp.zeros(queries.shape, jnp.int32)
         for j0 in range(0, m, _COMPARE_CHUNK):
             block = sorted_vals[j0: j0 + _COMPARE_CHUNK]
@@ -123,7 +123,7 @@ def compact_mask(vals, mask, out_cap: int, ca_max: int = None):
     ascending order makes masking + sorting a stable partition.
     """
     p = vals.shape[0]
-    if p <= 2 * (ca_max or _compare_all_max()) and _use_compare_all():
+    if p <= 2 * (ca_max if ca_max is not None else _compare_all_max()) and _use_compare_all():
         rank = jnp.where(
             mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, out_cap
         )
@@ -160,7 +160,7 @@ def _merge_sorted_tagged(a, na, b, nb, ca_max: int = None):
     ib = jnp.arange(p2, dtype=jnp.int32) < nb
     av = jnp.where(ia, a, INF32)
     bv = jnp.where(ib, b, INF32)
-    if n <= 2 * (ca_max or _compare_all_max()) and _use_compare_all():
+    if n <= 2 * (ca_max if ca_max is not None else _compare_all_max()) and _use_compare_all():
         # place both operands at their merged ranks by chunked one-hot
         # reduction — fully gather-free (rb mirrors ra with <= ties)
         ra = jnp.arange(p1, dtype=jnp.int32) + _rank_in_sorted(

@@ -183,7 +183,8 @@ def _linearize(index, ast) -> Optional[list]:
 
 
 def compile_request(index, req: str, words_out: Optional[list] = None,
-                    n_found=None) -> Optional[List[Tuple[Tuple[str, ...], int]]]:
+                    n_found=None, reason_out: Optional[list] = None,
+                    ) -> Optional[List[Tuple[Tuple[str, ...], int]]]:
     """Compile a request into device groups [(variant keys, R), ...] in
     left-fold evaluation order.
 
@@ -196,9 +197,18 @@ def compile_request(index, req: str, words_out: Optional[list] = None,
     to it on success — the host path's result.words parity (ref
     Search.cs:599-601); `n_found(word) -> int` supplies the resolved
     posting counts (cached by the executor).
+
+    With `reason_out` (a list), a failure appends one reason tag:
+    "unsupported" (a syntax feature the device path lacks) or "shape"
+    (fold-incompatible operator tree / budget overflow / parse error).
     """
-    if _UNSUPPORTED.search(req):
+    def bail(reason):
+        if reason_out is not None:
+            reason_out.append(reason)
         return None
+
+    if _UNSUPPORTED.search(req):
+        return bail("unsupported")
     thunks: List[WordThunk] = []
     try:
         main_expr, fields_expr = qparser.prepare_search_request(
@@ -207,20 +217,20 @@ def compile_request(index, req: str, words_out: Optional[list] = None,
             stop_words=index.stop_words,
         )
     except Exception:  # noqa: BLE001 — any sanitize hiccup -> host
-        return None
+        return bail("shape")
     if fields_expr.strip() or not main_expr.strip():
-        return None
+        return bail("shape")
     try:
         ast = qparser.parse_expression(main_expr, thunks)
     except qparser.QuerySyntaxError:
-        return None
+        return bail("shape")
     if ast is None:
-        return None
+        return bail("shape")
     groups = _linearize(index, ast)
     if groups is None or len(groups) > _MAX_WORDS:
-        return None
+        return bail("shape")
     if any(len(codes) > _MAX_VARIANTS for codes, _ in groups):
-        return None
+        return bail("shape")
     if words_out is not None:
         for t in thunks:
             if n_found is not None:
@@ -264,6 +274,10 @@ class BatchExecutor:
         self.mesh = mesh
         self.sdi = None
         self.di = device_index if mesh is None else None
+        self._doc_ord = (
+            {n: i for i, n in enumerate(device_index.doc_names)}
+            if device_index is not None else {}
+        )
         self._gen = None
         self._stage_lock = threading.Lock()
         self._winfo: dict = {}
@@ -288,14 +302,27 @@ class BatchExecutor:
                 target=self._completion_loop, daemon=True
             )
             self._completion.start()
+        # stats are bumped from the collector thread, the completion
+        # thread AND caller threads — unlocked += interleaves and
+        # under-counts, and /status could serialize a torn snapshot
+        self._stats_lock = threading.Lock()
         self.stats = {
             "batches": 0, "device_queries": 0, "host_queries": 0,
             "truncated_fallbacks": 0, "device_s": 0.0, "material_s": 0.0,
+            # why queries bypassed the device (verdict: surface the
+            # fallback reason, not just the count)
+            "fallback_unsupported": 0, "fallback_shape": 0,
+            "fallback_no_index": 0,
         }
         if device_index is not None:
             self._gen = index.generation
         elif index.can_search:
             self._stage()
+
+    def _bump(self, **deltas) -> None:
+        with self._stats_lock:
+            for k, d in deltas.items():
+                self.stats[k] += d
 
     # ---- public ----------------------------------------------------------
     def _stage(self) -> bool:
@@ -316,6 +343,9 @@ class BatchExecutor:
                 )
             else:
                 self.di = DeviceIndex.from_index(self.index)
+                self._doc_ord = {
+                    n: i for i, n in enumerate(self.di.doc_names)
+                }
             self._winfo.clear()
             self._gen = self.index.generation
             return True
@@ -344,14 +374,19 @@ class BatchExecutor:
 
     def search(self, req: str, timeout: float = 120.0) -> SearchResult:
         if self._gen != self.index.generation and not self._stage():
-            self.stats["host_queries"] += 1
+            self._bump(host_queries=1, fallback_no_index=1)
             return self.index.search(req)  # no index yet: host semantics
         words: list = []
+        reason: list = []
         compiled = compile_request(
-            self.index, req, words_out=words, n_found=self._n_found
+            self.index, req, words_out=words, n_found=self._n_found,
+            reason_out=reason,
         )
         if compiled is None:
-            self.stats["host_queries"] += 1
+            key = ("fallback_unsupported"
+                   if (reason and reason[0] == "unsupported")
+                   else "fallback_shape")
+            self._bump(host_queries=1, **{key: 1})
             return self.index.search(req)
         p = _Pending(req=req, compiled=compiled, words=words)
         self._q.put(p)
@@ -418,9 +453,11 @@ class BatchExecutor:
             [p.compiled for p in batch], topk=self.topk,
             hit_cap=self.hit_cap, cap_ladder=self.CAP_LADDER,
             fused=False, deferred=True,
+            # full materialization recomputes doc ranks host-side; only
+            # brief mode consumes the device ranks (skip the readback)
+            want_docs=not self.materialize,
         )
-        self.stats["batches"] += 1
-        self.stats["device_s"] += time.perf_counter() - t0
+        self._bump(batches=1, device_s=time.perf_counter() - t0)
         while not self._stop.is_set():
             try:
                 self._done_q.put((batch, finish), timeout=0.5)
@@ -439,7 +476,7 @@ class BatchExecutor:
                 t0 = time.perf_counter()
                 out = finish()  # the device_get: the batch's readback
                 t1 = time.perf_counter()
-                self.stats["device_s"] += t1 - t0
+                self._bump(device_s=t1 - t0)
                 self._deliver(batch, out, t1)
             except Exception as e:  # noqa: BLE001
                 self._fail(batch, e)
@@ -460,10 +497,10 @@ class BatchExecutor:
             # per composition tuple (minutes over a remote-tunnel device);
             # individual bucket shapes recur and hit the jit cache
             fused=False,
+            want_docs=not self.materialize,
         )
-        self.stats["batches"] += 1
         t1 = time.perf_counter()
-        self.stats["device_s"] += t1 - t0
+        self._bump(batches=1, device_s=t1 - t0)
         self._deliver(batch, out, t1)
 
     def _deliver(self, batch: List[_Pending], out, t1: float) -> None:
@@ -475,22 +512,36 @@ class BatchExecutor:
                 # rank-truncated result: the caller's thread re-serves it
                 # host-side (result stays None) so served results never
                 # silently diverge from the host engine
-                self.stats["truncated_fallbacks"] += 1
+                self._bump(truncated_fallbacks=1)
                 p.event.set()
                 continue
-            self.stats["device_queries"] += 1
+            self._bump(device_queries=1)
             hits = out["hits"][row]
             coords = hits[hits < INT32_MAX].astype(np.uint64)
             res = prepare_search_result(coords, self.index.pages, [])
             if self.materialize:
                 self.index._materialize_docs(res)
                 res.found_docs.sort(key=lambda d: d.rank)
-            else:  # rank-only half of _materialize_docs (no snippet IO)
-                finalize_doc_ranks(res)
+            else:
+                # brief mode: doc ranks come straight off the device
+                # (locate_full computes 1+ln(sum page ranks) with the
+                # x10 header boost, ref Search.cs:552-557) — no host
+                # finalize pass. Untruncated results list every doc in
+                # the top-k rows, so the lookup always resolves.
+                dr = {
+                    int(o): float(r) for o, r in zip(
+                        out["docs"][row], out["doc_ranks"][row]
+                    ) if o >= 0 and r > 0
+                }
+                for doc in res.found_docs:
+                    doc.rank = dr.get(
+                        self._doc_ord.get(doc.name, -1), doc.rank
+                    )
+                res.found_docs.sort(key=lambda d: d.rank)
             res.words = p.words
             p.result = res
             p.event.set()
-        self.stats["material_s"] += time.perf_counter() - t1
+        self._bump(material_s=time.perf_counter() - t1)
 
     def _execute_sharded(self, batch: List[_Pending]) -> None:
         """Mesh-sharded execution: ShardedDeviceIndex returns complete
@@ -501,13 +552,12 @@ class BatchExecutor:
             [p.compiled for p in batch], topk=self.topk,
             hit_cap=self.hit_cap, materialize=self.materialize,
         )
-        self.stats["batches"] += 1
-        self.stats["device_s"] += time.perf_counter() - t0
+        self._bump(batches=1, device_s=time.perf_counter() - t0)
         for p, res in zip(batch, results):
             if res is None:
-                self.stats["truncated_fallbacks"] += 1
+                self._bump(truncated_fallbacks=1)
             else:
-                self.stats["device_queries"] += 1
+                self._bump(device_queries=1)
                 res.words = p.words
                 p.result = res
             p.event.set()

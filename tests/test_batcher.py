@@ -228,3 +228,43 @@ def test_batcher_pipelined_mode(ind):
         assert ex.stats["device_queries"] >= len(reqs) - 4
     finally:
         ex.close()
+
+
+def test_brief_mode_device_doc_ranks_order_parity(ind):
+    """Brief serving (materialize=False) orders docs straight from the
+    DEVICE doc ranks (locate_full's 1+ln(sum page ranks) with the x10
+    header boost) — names, order, and rank values must match the host
+    finalize pass (ref Search.cs:552-557, 599)."""
+    ex = BatchExecutor(ind, max_wait_ms=1.0, materialize=False)
+    try:
+        for req in ["club", "dinner tavern", "noon", '"pickwick club"',
+                    "the club"]:
+            dev = ex.search(req)
+            # the host engine's materialized result carries the same doc
+            # rank formula — its order and rank values are the oracle
+            host = ind.search(req)
+            assert dev == host, req  # found_pages incl. positions
+            assert ex.stats["host_queries"] == 0
+            assert [d.name for d in dev.found_docs] == \
+                [d.name for d in host.found_docs], req
+            for d_dev, d_host in zip(dev.found_docs, host.found_docs):
+                assert abs(d_dev.rank - d_host.rank) < 1e-4 * max(
+                    1.0, abs(d_host.rank)), (req, d_dev.name)
+    finally:
+        ex.close()
+
+
+def test_fallback_reason_counters(ind):
+    """stats must say WHY a query bypassed the device."""
+    ex = BatchExecutor(ind, max_wait_ms=1.0)
+    try:
+        ex.search("clu?")            # wildcard -> unsupported
+        ex.search("{Name=x} club")   # field -> unsupported
+        ex.search("xy")              # all-short -> shape
+        assert ex.stats["fallback_unsupported"] >= 2
+        assert ex.stats["fallback_shape"] >= 1
+        assert ex.stats["host_queries"] == \
+            ex.stats["fallback_unsupported"] + ex.stats["fallback_shape"] \
+            + ex.stats["fallback_no_index"]
+    finally:
+        ex.close()

@@ -383,14 +383,16 @@ def test_search_batch_full_hits_and_positions():
 
 def test_search_batch_full_truncation_flags():
     """n_pages / n_hits report UNtruncated totals so callers can detect
-    rank truncation and fall back for exactness."""
-    dix, term_to_id, *_ = _tiny_device_index()
+    rank truncation and fall back for exactness. n_hits is the TOTAL
+    kept-hit count (for served results — n_pages <= topk — this equals
+    the top-k pages' hit count; truncated results always re-serve
+    host-side, so only the flags matter)."""
+    dix, term_to_id, tids, *_ = _tiny_device_index()
     out = dix.search_batch_full([[("club", 200)]], topk=2, hit_cap=2)
     assert out["n_pages"][0] == 4 > 2       # more pages than topk
-    # n_hits counts hits IN the top-k pages; "club" hits its top page
-    # twice plus one more page -> 3 > hit_cap
-    assert out["n_hits"][0] == 3 > 2
-    # the hit buffer still carries the LOWEST hit_cap coords of top pages
+    n_club = int((tids == term_to_id["club"]).sum())
+    assert out["n_hits"][0] == n_club > 2   # total hits overflow hit_cap
+    # the hit buffer still carries the LOWEST hit_cap kept coords
     hits = out["hits"][0]
     assert (hits[:2] < np.iinfo(np.int32).max).all()
 

@@ -176,3 +176,81 @@ def test_sorted_kernel_cross_operand_duplicates(rng):
         np.testing.assert_allclose(np.asarray(rk)[0], np.asarray(r2_),
                                    atol=1e-4)
         np.testing.assert_array_equal(np.asarray(ct)[0], np.asarray(c2))
+
+
+def test_full_result_pallas_matches_xla(rng):
+    """Full-result hybrid kernels (W=1 merge-free + W=2 sorted) must
+    equal the XLA full path on every field: pages/ranks/counts,
+    n_pages/n_hits totals, the compacted hit stream, and the device doc
+    grouping."""
+    from docodo_tpu.ops import device_index as di
+
+    T = 50
+    tids = rng.integers(0, T, 3000).astype(np.int32)
+    coords = np.sort(rng.integers(0, 1 << 18, 3000)).astype(np.int32)
+    st, sc, off = di.build_postings(tids, coords, T)
+    n_pg = 89
+    bounds = jnp.asarray(np.arange(1, n_pg + 1, dtype=np.int32) * 3000)
+    pd = jnp.asarray((np.arange(n_pg) // 10).astype(np.int32))
+    hdr = jnp.asarray(np.arange(n_pg) % 10 == 0)
+    t1 = jnp.asarray(rng.integers(0, T, (5, 1)).astype(np.int32))
+    r1 = jnp.asarray(np.full((5, 1), 260, np.int32))
+    t2 = jnp.asarray(rng.integers(0, T, (11, 2)).astype(np.int32))
+    r2 = np.full((11, 2), 300, np.int32)
+    r2[5:] = -40  # ordered rows too
+    r2 = jnp.asarray(r2)
+    for (tq, rq), hit_cap in [((t1, r1), 128), ((t2, r2), 128),
+                              ((t2, r2), 1024)]:
+        xla = di.batched_query_full(
+            off, sc, bounds, pd, hdr, tq, rq, cap=64, topk=8,
+            hit_cap=hit_cap, use_pallas=False,
+        )
+        pls = di.batched_query_full(
+            off, sc, bounds, pd, hdr, tq, rq, cap=64, topk=8,
+            hit_cap=hit_cap, use_pallas=True,
+        )
+        np.testing.assert_array_equal(np.asarray(xla.pages),
+                                      np.asarray(pls.pages))
+        np.testing.assert_allclose(np.asarray(xla.ranks),
+                                   np.asarray(pls.ranks), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(xla.counts),
+                                      np.asarray(pls.counts))
+        np.testing.assert_array_equal(np.asarray(xla.n_pages),
+                                      np.asarray(pls.n_pages))
+        np.testing.assert_array_equal(np.asarray(xla.n_hits),
+                                      np.asarray(pls.n_hits))
+        np.testing.assert_array_equal(np.asarray(xla.hits),
+                                      np.asarray(pls.hits))
+        np.testing.assert_array_equal(np.asarray(xla.docs),
+                                      np.asarray(pls.docs))
+        np.testing.assert_allclose(np.asarray(xla.doc_ranks),
+                                   np.asarray(pls.doc_ranks), atol=1e-4)
+
+
+def test_full_result_without_docs(rng):
+    """with_docs=False must omit the doc fields (no readback bytes) and
+    leave every other field untouched."""
+    from docodo_tpu.ops import device_index as di
+
+    T = 20
+    tids = rng.integers(0, T, 500).astype(np.int32)
+    coords = np.sort(rng.integers(0, 1 << 14, 500)).astype(np.int32)
+    st, sc, off = di.build_postings(tids, coords, T)
+    bounds = jnp.asarray(np.arange(1, 12, dtype=np.int32) * 1500)
+    pd = jnp.zeros(11, jnp.int32)
+    hdr = jnp.zeros(11, dtype=bool)
+    tq = jnp.asarray(rng.integers(0, T, (8, 2)).astype(np.int32))
+    rq = jnp.asarray(np.full((8, 2), 300, np.int32))
+    full = di.batched_query_full(
+        off, sc, bounds, pd, hdr, tq, rq, cap=64, topk=8, hit_cap=64,
+        with_docs=True, use_pallas=False,
+    )
+    brief = di.batched_query_full(
+        off, sc, bounds, pd, hdr, tq, rq, cap=64, topk=8, hit_cap=64,
+        with_docs=False, use_pallas=False,
+    )
+    assert brief.docs is None and brief.doc_ranks is None
+    np.testing.assert_array_equal(np.asarray(full.hits),
+                                  np.asarray(brief.hits))
+    np.testing.assert_array_equal(np.asarray(full.pages),
+                                  np.asarray(brief.pages))

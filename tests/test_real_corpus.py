@@ -270,6 +270,10 @@ def test_russian_morphology_end_to_end(tmp_path):
             dev = ex.search(req)
             host = ind.search(req)
             assert dev == host, req
+        # a regression truncating EVERY morphological query to the host
+        # must fail: most of the mix has small results and must actually
+        # ride the device
+        assert ex.stats["device_queries"] >= 3, ex.stats
         assert ex.stats["device_queries"] + \
             ex.stats["truncated_fallbacks"] >= 5
     finally:
@@ -317,6 +321,9 @@ def test_morphological_serving_en_voc(tmp_path):
             dev = ex.search(req)
             host = ind.search(req)
             assert dev == host, req
+        # device-served fraction must stay >1/2 — an all-truncated
+        # regression is a serving-path failure, not a tolerable fallback
+        assert ex.stats["device_queries"] >= (len(reqs) + 1) // 2, ex.stats
         assert ex.stats["device_queries"] + \
             ex.stats["truncated_fallbacks"] >= len(reqs)
     finally:
