@@ -1,16 +1,22 @@
-"""Headline benchmark: batched phrase/proximity query throughput on the
-device index built from the Pickwick corpus.
+"""Headline benchmark: batched query throughput on the device index
+built from the Pickwick corpus — measured in FULL-RESULT mode, the path
+serving actually uses (exact hit positions + device doc ranks, ref
+Search.cs:365-420: the reference's only result path carries positions,
+so ours is benchmarked carrying them too). The page-level mode
+(top-k pages/ranks/counts only, rounds 1-2's headline) is also measured
+and logged to stderr for continuity.
 
 Prints ONE JSON line:
-  {"metric": "phrase_query_qps", "value": N, "unit": "qps", "vs_baseline": N}
+  {"metric": "full_query_qps", "value": N, "unit": "qps", "vs_baseline": N}
 
 vs_baseline: the reference (alexarchen/Docodo, C#) publishes no absolute
 numbers and no .NET runtime exists in this image (see BASELINE.md), so
 the baseline is the measured sequential host engine — the NumPy
 implementation of the same query semantics (per-query proximity-AND +
-locate + rank), a faithful stand-in for the reference's single-core
-per-query evaluation loop (ref Docodo.NET/Search.cs:437-617,
-IndexSequence.cs:218-284). vs_baseline = device QPS / host QPS.
+locate + rank + per-page position extraction + doc rank), a faithful
+stand-in for the reference's single-core per-query evaluation loop (ref
+Docodo.NET/Search.cs:437-617, IndexSequence.cs:218-284).
+vs_baseline = device full-result QPS / host full-result QPS.
 
 Run on whatever jax.devices() provides (TPU under the driver; CPU works
 too). Diagnostics go to stderr; stdout carries only the JSON line.
@@ -226,13 +232,107 @@ def main() -> None:
 
     t_host = min(host_chunk() for _ in range(3))
     host_qps = 1.0 / t_host
-    log(f"host sequential baseline (best of 3): {host_qps:.0f} QPS")
+    log(f"host sequential page-level baseline (best of 3): {host_qps:.0f} QPS "
+        f"(page-level vs_baseline {qps / host_qps:.1f})")
+
+    # ---- FULL-RESULT leg: the serving path (positions + doc ranks) -----
+    # same mix re-bucketed by (cap, W, hit tier), evaluated through
+    # multi_bucket_query_full_chained (topk=64, tiered hit buffers)
+    FULL_TOPK = 64
+    HIT_CAP = 1024
+    hit_tiers = (128, 512, HIT_CAP)
+
+    def tier_of(min_need: int) -> int:
+        want = 4 * min_need + 16
+        for t in hit_tiers:
+            if want <= t:
+                return t
+        return HIT_CAP
+
+    fbuckets = {}
+    for i in range(N_QUERIES):
+        w = int((terms[i] >= 0).sum()) or 1
+        need = int(counts[terms[i, :w]].max())
+        min_need = int(counts[terms[i, :w]].min())
+        c = 64
+        while c < need:
+            c <<= 1
+        fbuckets.setdefault((c, w, tier_of(min_need)), []).append(i)
+    fterms, frs, fcaps, fhcaps = [], [], [], []
+    for (qcap, w, hb), idxs in sorted(fbuckets.items()):
+        fterms.append(jnp.asarray(terms[idxs, :w]))
+        frs.append(jnp.asarray(rs[idxs, :w]))
+        fcaps.append(qcap)
+        fhcaps.append(hb)
+    fterms, frs = tuple(fterms), tuple(frs)
+    fcaps, fhcaps = tuple(fcaps), tuple(fhcaps)
+    _is_header = jnp.zeros(n_pages, dtype=bool)
+
+    def fstep(chain):
+        return di.multi_bucket_query_full_chained(
+            off, sc, _bounds, _page_doc, _is_header, fterms, frs, chain,
+            fcaps, FULL_TOPK, fhcaps, use_pallas=use_pallas,
+        )
+
+    fouts, fs = fstep(jnp.float32(0))
+    fwarm = float(fs)
+    log(f"full-result warm checksum: {fwarm:.1f}")
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        fouts, fs = fstep(fs)
+    ffinal = float(fs)
+    t_full = (time.perf_counter() - t0) / REPS
+    assert abs(ffinal - fwarm) < 1e-3 * max(abs(ffinal), 1.0)
+    full_qps = N_QUERIES / t_full
+    log(f"device FULL-RESULT batch: {N_QUERIES} queries in "
+        f"{t_full*1e3:.1f} ms -> {full_qps:.0f} QPS "
+        f"({t_full / N_QUERIES * 1e6:.1f} us/query)")
+
+    # host full-result baseline: page-level loop + position extraction
+    # per top page + doc rank (what the host engine does per query)
+    def host_full_chunk():
+        t0 = time.perf_counter()
+        for i in range(n_base):
+            acc = sc_np[off_np[terms[i, 0]]: off_np[terms[i, 0] + 1]].astype(np.uint64)
+            r_acc = int(rs[i, 0])
+            for j in range(1, W):
+                t = terms[i, j]
+                if t < 0:
+                    continue
+                b = sc_np[off_np[t]: off_np[t + 1]].astype(np.uint64)
+                acc, r_acc = group_and(acc, b, r_acc, int(rs[i, j]))
+            page = np.searchsorted(bounds_np, acc, side="right")
+            if acc.size:
+                first = np.concatenate([[True], page[1:] != page[:-1]])
+                run = np.cumsum(first) - 1
+                gaps = np.diff(acc.astype(np.int64), prepend=0)
+                bonus = np.where(~first, 30 // np.maximum(5, gaps), 0)
+                nb = np.bincount(run)
+                rank = (1 + np.bincount(run, weights=bonus)
+                        + np.log(np.maximum(nb, 1)))
+                k = min(FULL_TOPK, rank.size)
+                top = np.argpartition(-rank, k - 1)[:k]
+                starts = np.flatnonzero(first)
+                ends = np.append(starts[1:], acc.size)
+                base = np.where(
+                    page > 0, bounds_np[np.maximum(page - 1, 0)], 0
+                )
+                for t_ in top:
+                    _ = (acc[starts[t_]:ends[t_]]
+                         - base[starts[t_]]).tolist()
+                1 + np.log(max(rank[top].sum(), 1e-30))
+        return (time.perf_counter() - t0) / n_base
+
+    t_host_full = min(host_full_chunk() for _ in range(3))
+    host_full_qps = 1.0 / t_host_full
+    log(f"host sequential full-result baseline (best of 3): "
+        f"{host_full_qps:.0f} QPS")
 
     print(json.dumps({
-        "metric": "phrase_query_qps",
-        "value": round(qps, 1),
+        "metric": "full_query_qps",
+        "value": round(full_qps, 1),
         "unit": "qps",
-        "vs_baseline": round(qps / host_qps, 2),
+        "vs_baseline": round(full_qps / host_full_qps, 2),
     }))
 
 
