@@ -46,9 +46,18 @@ from docodo_tpu.query.search import (
 )
 
 _DEFAULT_DIST = 255
-_UNSUPPORTED = re.compile(r"[?_{}~]|-filter:")
+# only correction mode (~) and regex doc filters stay host-only; the
+# device path covers wildcards and single-word field queries now
+_UNSUPPORTED = re.compile(r"~|-filter:")
 _MAX_WORDS = 8
-_MAX_VARIANTS = 8
+# wildcard expansions OR up to MAX_LIKE_WORDS (=100) raw-form keys into
+# one variant group (ref Search.cs:158-167); morphological groups stay
+# small, so large V only appears for wildcards, budget-gated below
+_MAX_VARIANTS = 100
+# posting-volume budget for one device row: V-bucket x cap-bucket of the
+# widest group — a wildcard matching a frequent term would otherwise
+# materialize a multi-GB merged stream on device
+_ROW_BUDGET = 1 << 18
 
 
 def _disjunct_words(node) -> Optional[List[WordThunk]]:
@@ -65,26 +74,44 @@ def _disjunct_words(node) -> Optional[List[WordThunk]]:
     return None
 
 
+def _chosen_codes(index, word: str, b_exact: bool) -> Tuple[str, ...]:
+    """The host search_word code-preference rule for ONE form: exact
+    mode takes the raw form only; otherwise voc-group '#' codes win over
+    the raw form (ref Search.cs:226-233)."""
+    codes = list(index.word_coder.codes(word))
+    if not codes:
+        return ()
+    selfcodes = [c for c in codes if re.match(r"\w", c[0])]
+    known = [c for c in codes if c not in selfcodes]
+    chosen = selfcodes[:1] if b_exact else (known or selfcodes[:1])
+    return tuple(chosen)
+
+
 def _word_codes(index, word: str) -> Optional[Tuple[Tuple[str, ...], int]]:
     """One word -> (chosen index keys, R), mirroring the host
     search_word preference rules (ref Search.cs:192-260): ALL-UPPERCASE
     (quoted) words are exact (single raw-form key, negative ordered R);
+    `_` wildcards expand via get_like_words into an OR of up to 100
+    raw-form keys in exact mode (ref Search.cs:158-167, 206-217);
     otherwise voc-group '#' codes win over the raw form."""
     b_exact = word.upper() == word and index.b_keep_forms
     lw = word.lower()
-    codes = list(index.word_coder.codes(lw))
-    if not codes:
-        return None  # stop word / empty: matches nothing
-    selfcodes = [c for c in codes if re.match(r"\w", c[0])]
-    known = [c for c in codes if c not in selfcodes]
-    if b_exact:
-        chosen = selfcodes[:1]
-    else:
-        chosen = known if known else selfcodes[:1]
+    if "_" in lw:
+        if not index.b_keep_forms:
+            return None  # host returns an empty seq: matches nothing
+        variants: List[str] = []
+        for w in index.get_like_words(lw):
+            for c in _chosen_codes(index, w, b_exact=True):
+                if c not in variants:
+                    variants.append(c)
+        if not variants:
+            return None
+        return tuple(variants), -(len(lw) + 4)
+    chosen = _chosen_codes(index, lw, b_exact)
     if not chosen:
         return None
     r = -(len(lw) + 4) if b_exact else _DEFAULT_DIST + len(lw)
-    return tuple(chosen), r
+    return chosen, r
 
 
 _EMPTY_GROUP = ((("\0",), 1),)  # impossible key: matches nothing on device
@@ -182,20 +209,85 @@ def _linearize(index, ast) -> Optional[list]:
     return phrase + rest
 
 
+def _row_budget_ok(index, groups) -> bool:
+    """Device-row size gate: V-bucket x cap-bucket of the widest group
+    must stay within _ROW_BUDGET — wildcard expansions can pull a
+    frequent term into a 100-way variant OR whose merged stream would
+    not fit sanely on device. Only checked when some group exceeds the
+    small-variant regime (<= 8), so normal queries skip the walk."""
+    if all(len(codes) <= 8 for codes, _ in groups):
+        return True
+    need = 1
+    vmax = 1
+    for codes, _ in groups:
+        vb = 1
+        while vb < max(len(codes), 1):
+            vb <<= 1
+        vmax = max(vmax, vb)
+        for c in codes:
+            a = index.arr.get(c)
+            if a is not None:
+                need = max(need, int(a.size))
+    capb = 128
+    while capb < need:
+        capb <<= 1
+    return vmax * capb <= _ROW_BUDGET
+
+
+def _compile_field_part(index, thunks, fields_expr: str):
+    """Compile the fields expression to ONE device row, or None.
+
+    Supported: exactly one {field=value} with a single value word — the
+    overwhelmingly common shape (ref tests' {Name=Dump}). The row is
+    the host search_field evaluation (ref Search.cs:126-155): the
+    `&field` key (R=-1) proximity-AND'd with the value word's codes
+    (inner R: -1 for exact/digit values, else 0 — what search_word
+    returns before the thunk-level R override, which never applies here
+    because the single pair is the whole expression). Multi-word values
+    and multiple fields nest pair-evaluations the linear fold cannot
+    reproduce — those stay on the host.
+    """
+    fthunks = [t for t in thunks if t.field_name]
+    if len(fthunks) != 1:
+        return None
+    if not re.fullmatch(r"\(\w+\.d\(\)\)", fields_expr.strip()):
+        return None
+    ft = fthunks[0]
+    from docodo_tpu.constants import FIELD_NAME_CHAR
+
+    fkey = FIELD_NAME_CHAR + ft.field_name.lower()
+    vw = ft.word.lower()
+    b_exact_inner = vw.upper() == vw and index.b_keep_forms
+    codes = _chosen_codes(index, vw, b_exact_inner)
+    if not codes:
+        # stop-word/uncodable value: host search_word yields an empty
+        # seq, annihilating the field AND
+        return list(_EMPTY_GROUP)
+    return [((fkey,), -1), (codes, -1 if b_exact_inner else 0)]
+
+
 def compile_request(index, req: str, words_out: Optional[list] = None,
                     n_found=None, reason_out: Optional[list] = None,
+                    field_out: Optional[list] = None,
                     ) -> Optional[List[Tuple[Tuple[str, ...], int]]]:
     """Compile a request into device groups [(variant keys, R), ...] in
     left-fold evaluation order.
 
-    Returns None when the request needs the host engine (wildcards,
-    fields, filters, fold-incompatible operator shapes, parse errors).
-    A group may carry several OR'd variant keys (voc-group codes and
-    `a|b` alternations, ref Search.cs:226-247, 351).
+    Returns None when the request needs the host engine (correction
+    mode, regex filters, fold-incompatible operator shapes, parse
+    errors, over-budget wildcard rows). A group may carry several OR'd
+    variant keys (voc-group codes, `a|b` alternations, and wildcard
+    expansions — ref Search.cs:226-247, 351, 158-167).
+
+    With `field_out` (a list), a single {field=value} sub-query compiles
+    to its own device row appended there (evaluated separately and
+    doc-intersected by the caller, ref Search.cs:423-428); the return
+    value is then the MAIN expression's groups — possibly [] for a
+    field-only request. Without `field_out`, field requests return None.
 
     With `words_out` (a list), the per-word WordInfo records are appended
     to it on success — the host path's result.words parity (ref
-    Search.cs:599-601); `n_found(word) -> int` supplies the resolved
+    Search.cs:599-601); `n_found(thunk) -> int` supplies the resolved
     posting counts (cached by the executor).
 
     With `reason_out` (a list), a failure appends one reason tag:
@@ -209,33 +301,57 @@ def compile_request(index, req: str, words_out: Optional[list] = None,
 
     if _UNSUPPORTED.search(req):
         return bail("unsupported")
+    if "{" in req and field_out is None:
+        # a caller without field-row support must not silently drop the
+        # {field=value} filter (sanitation strips unparsed braces)
+        return bail("unsupported")
     thunks: List[WordThunk] = []
     try:
         main_expr, fields_expr = qparser.prepare_search_request(
             req.lower(), thunks,
-            search_word=None, search_field=None,
+            search_word=None,
+            search_field=(index.search_field if field_out is not None
+                          else None),
             stop_words=index.stop_words,
         )
     except Exception:  # noqa: BLE001 — any sanitize hiccup -> host
         return bail("shape")
-    if fields_expr.strip() or not main_expr.strip():
+    field_groups = None
+    if fields_expr.strip():
+        if field_out is None:
+            return bail("unsupported")
+        field_groups = _compile_field_part(index, thunks, fields_expr)
+        if field_groups is None:
+            return bail("shape")
+    if not main_expr.strip() and field_groups is None:
         return bail("shape")
-    try:
-        ast = qparser.parse_expression(main_expr, thunks)
-    except qparser.QuerySyntaxError:
-        return bail("shape")
-    if ast is None:
-        return bail("shape")
-    groups = _linearize(index, ast)
-    if groups is None or len(groups) > _MAX_WORDS:
-        return bail("shape")
-    if any(len(codes) > _MAX_VARIANTS for codes, _ in groups):
-        return bail("shape")
+    groups: list = []
+    if main_expr.strip():
+        try:
+            ast = qparser.parse_expression(main_expr, thunks)
+        except qparser.QuerySyntaxError:
+            return bail("shape")
+        if ast is None:
+            return bail("shape")
+        groups = _linearize(index, ast)
+        if groups is None or len(groups) > _MAX_WORDS:
+            return bail("shape")
+        if any(len(codes) > _MAX_VARIANTS for codes, _ in groups):
+            return bail("shape")
+        if len(groups) > 2 and any(len(c) > 8 for c, _ in groups):
+            # W>=3 folds evaluate variant ORs stage-by-stage (one OR
+            # stage per variant) — a 100-way wildcard there compiles a
+            # 100-stage program; W<=2 takes the flat tagged-sort path
+            return bail("shape")
+        if not _row_budget_ok(index, groups):
+            return bail("shape")
     if words_out is not None:
         for t in thunks:
             if n_found is not None:
-                t.info.n_found = n_found(t.word)
+                t.info.n_found = n_found(t)
             words_out.append(t.info)
+    if field_groups is not None:
+        field_out.append(field_groups)
     if any(not codes for codes, _ in groups):
         # an all-empty AND operand annihilates the query (host parity:
         # empty PostingSeq * anything = empty)
@@ -246,7 +362,8 @@ def compile_request(index, req: str, words_out: Optional[list] = None,
 @dataclass
 class _Pending:
     req: str
-    compiled: list
+    compiled: list                      # main-expression groups ([] = none)
+    field_compiled: Optional[list] = None  # {field=value} row, if any
     words: list = field(default_factory=list)
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[SearchResult] = None
@@ -350,26 +467,31 @@ class BatchExecutor:
             self._gen = self.index.generation
             return True
 
-    def _n_found(self, word: str) -> int:
-        """Resolved posting count of one request word (WordThunk.d()'s
-        info.n_found): the union of the chosen variant keys' postings.
-        Cached per word — counts are query-independent for an index
-        generation, and the executor is rebuilt on index rebuild."""
-        v = self._winfo.get(word)
+    def _n_found(self, t) -> int:
+        """Resolved posting count of one request thunk (WordThunk.d()'s
+        info.n_found): the union of the chosen variant keys' postings —
+        or, for a field thunk, the host search_field result length.
+        Cached per (field, word) — counts are query-independent for an
+        index generation, and the executor restages on rebuild."""
+        key = (t.field_name, t.word)
+        v = self._winfo.get(key)
         if v is not None:
             return v
-        wc = _word_codes(self.index, word)
         n = 0
-        if wc is not None:
-            arrs = [
-                a for a in (self.index.arr.get(c) for c in wc[0])
-                if a is not None and a.size
-            ]
-            if len(arrs) == 1:
-                n = int(arrs[0].size)
-            elif arrs:
-                n = int(np.unique(np.concatenate(arrs)).size)
-        self._winfo[word] = n
+        if t.field_name:
+            n = len(self.index.search_field(t.field_name, t.word))
+        else:
+            wc = _word_codes(self.index, t.word)
+            if wc is not None:
+                arrs = [
+                    a for a in (self.index.arr.get(c) for c in wc[0])
+                    if a is not None and a.size
+                ]
+                if len(arrs) == 1:
+                    n = int(arrs[0].size)
+                elif arrs:
+                    n = int(np.unique(np.concatenate(arrs)).size)
+        self._winfo[key] = n
         return n
 
     def search(self, req: str, timeout: float = 120.0) -> SearchResult:
@@ -378,17 +500,21 @@ class BatchExecutor:
             return self.index.search(req)  # no index yet: host semantics
         words: list = []
         reason: list = []
+        fields: list = []
         compiled = compile_request(
             self.index, req, words_out=words, n_found=self._n_found,
-            reason_out=reason,
+            reason_out=reason, field_out=fields,
         )
-        if compiled is None:
+        if compiled is None or (fields and self.mesh is not None):
+            # (mesh serving doesn't row-split field queries yet)
             key = ("fallback_unsupported"
                    if (reason and reason[0] == "unsupported")
                    else "fallback_shape")
             self._bump(host_queries=1, **{key: 1})
             return self.index.search(req)
-        p = _Pending(req=req, compiled=compiled, words=words)
+        p = _Pending(req=req, compiled=compiled,
+                     field_compiled=fields[0] if fields else None,
+                     words=words)
         self._q.put(p)
         if not p.event.wait(timeout) or p.result is None:
             # device stall, or a rank-truncated result the device can't
@@ -442,6 +568,28 @@ class BatchExecutor:
                 p.result.error = str(e)
             p.event.set()
 
+    @staticmethod
+    def _batch_rows(batch: List[_Pending]):
+        """Flatten pendings into device rows: a main-expression row per
+        query (when present) plus a separate row for its {field=value}
+        part — the host evaluates the two expressions independently and
+        intersects found docs (ref Search.cs:423-428, 470-501)."""
+        rows: list = []
+        mains: List[Optional[int]] = []
+        frows: List[Optional[int]] = []
+        for p in batch:
+            if p.compiled:
+                mains.append(len(rows))
+                rows.append(p.compiled)
+            else:
+                mains.append(None)
+            if p.field_compiled is not None:
+                frows.append(len(rows))
+                rows.append(p.field_compiled)
+            else:
+                frows.append(None)
+        return rows, mains, frows
+
     def _dispatch_pipelined(self, batch: List[_Pending]) -> None:
         """Dispatch the device program and hand the pending readback to
         the completion thread; bounded queue depth 2 applies
@@ -449,8 +597,9 @@ class BatchExecutor:
         if self.sdi is not None:
             return self._execute_sharded(batch)
         t0 = time.perf_counter()
+        rows, mains, frows = self._batch_rows(batch)
         finish = self.di.search_batch_full(
-            [p.compiled for p in batch], topk=self.topk,
+            rows, topk=self.topk,
             hit_cap=self.hit_cap, cap_ladder=self.CAP_LADDER,
             fused=False, deferred=True,
             # full materialization recomputes doc ranks host-side; only
@@ -460,7 +609,7 @@ class BatchExecutor:
         self._bump(batches=1, device_s=time.perf_counter() - t0)
         while not self._stop.is_set():
             try:
-                self._done_q.put((batch, finish), timeout=0.5)
+                self._done_q.put((batch, finish, mains, frows), timeout=0.5)
                 return
             except queue.Full:
                 continue
@@ -471,13 +620,13 @@ class BatchExecutor:
             item = self._done_q.get()
             if item is None:
                 return
-            batch, finish = item
+            batch, finish, mains, frows = item
             try:
                 t0 = time.perf_counter()
                 out = finish()  # the device_get: the batch's readback
                 t1 = time.perf_counter()
                 self._bump(device_s=t1 - t0)
-                self._deliver(batch, out, t1)
+                self._deliver(batch, out, t1, mains, frows)
             except Exception as e:  # noqa: BLE001
                 self._fail(batch, e)
 
@@ -489,8 +638,9 @@ class BatchExecutor:
         if self.sdi is not None:
             return self._execute_sharded(batch)
         t0 = time.perf_counter()
+        rows, mains, frows = self._batch_rows(batch)
         out = self.di.search_batch_full(
-            [p.compiled for p in batch], topk=self.topk,
+            rows, topk=self.topk,
             hit_cap=self.hit_cap, cap_ladder=self.CAP_LADDER,
             # per-bucket cached jits: serving batch COMPOSITIONS churn per
             # request wave, and the fused multi-bucket program recompiles
@@ -501,14 +651,24 @@ class BatchExecutor:
         )
         t1 = time.perf_counter()
         self._bump(batches=1, device_s=t1 - t0)
-        self._deliver(batch, out, t1)
+        self._deliver(batch, out, t1, mains, frows)
 
-    def _deliver(self, batch: List[_Pending], out, t1: float) -> None:
+    def _row_coords(self, out, row: int) -> np.ndarray:
+        hits = out["hits"][row]
+        return hits[hits < INT32_MAX].astype(np.uint64)
+
+    def _deliver(self, batch: List[_Pending], out, t1: float,
+                 mains, frows) -> None:
         """Materialize one executed batch's rows and release waiters."""
-        for row, p in enumerate(batch):
-            n_pages = int(out["n_pages"][row])
-            n_hits = int(out["n_hits"][row])
-            if n_pages > self.topk or n_hits > self.hit_cap:
+        from docodo_tpu.query.search import combine_search_results
+
+        for i, p in enumerate(batch):
+            qrows = [r for r in (mains[i], frows[i]) if r is not None]
+            if any(
+                int(out["n_pages"][r]) > self.topk
+                or int(out["n_hits"][r]) > self.hit_cap
+                for r in qrows
+            ):
                 # rank-truncated result: the caller's thread re-serves it
                 # host-side (result stays None) so served results never
                 # silently diverge from the host engine
@@ -516,9 +676,18 @@ class BatchExecutor:
                 p.event.set()
                 continue
             self._bump(device_queries=1)
-            hits = out["hits"][row]
-            coords = hits[hits < INT32_MAX].astype(np.uint64)
-            res = prepare_search_result(coords, self.index.pages, [])
+            # the primary row: the main expression, or — for a
+            # field-only request — the field row (host parity: res is
+            # resf when the main expression is empty, Search.cs:679-682)
+            row = mains[i] if mains[i] is not None else frows[i]
+            res = prepare_search_result(
+                self._row_coords(out, row), self.index.pages, []
+            )
+            if mains[i] is not None and frows[i] is not None:
+                resf = prepare_search_result(
+                    self._row_coords(out, frows[i]), self.index.pages, []
+                )
+                res = combine_search_results(res, resf)
             if self.materialize:
                 self.index._materialize_docs(res)
                 res.found_docs.sort(key=lambda d: d.rank)

@@ -34,12 +34,17 @@ class QuerySyntaxError(Exception):
 
 @dataclass
 class WordThunk:
-    """A deferred word lookup (ref SearchSequence, Search.cs:280-317)."""
+    """A deferred word lookup (ref SearchSequence, Search.cs:280-317).
+
+    `field` is set on thunks created inside a {field=value} sub-parse —
+    their lookup is search_field(field, word) rather than
+    search_word(word); the device compiler keys on it."""
 
     name: str
     word: str
     func: Callable[[str], PostingSeq]
     dist: int = 0
+    field_name: Optional[str] = None
     _result: Optional[PostingSeq] = None
     info: WordInfo = field(default_factory=WordInfo)
 
@@ -155,6 +160,7 @@ def prepare_search_request(
 
     def field_repl(m):
         fname = m.group(1)
+        start = len(thunks)
         sub_expr, _ = prepare_search_request(
             m.group(2),
             thunks,
@@ -163,6 +169,8 @@ def prepare_search_request(
             stop_words=stop_words,
             keep_short=True,
         )
+        for t in thunks[start:]:
+            t.field_name = fname
         fields_expr_parts.append("(" + sub_expr + ")")
         return ""
 

@@ -35,10 +35,21 @@ def test_compile_request_forms(ind):
     assert all(r > 0 for _, r in c)
     c = compile_request(ind, '"pickwick club"')
     assert all(r < 0 for _, r in c)
-    # unsupported constructs fall back
-    assert compile_request(ind, "pick?ick") is None
-    assert compile_request(ind, "a | b") is None
+    # wildcards now compile to an exact-mode variant OR of raw keys
+    c = compile_request(ind, "pick?ick")
+    assert c is not None and len(c) == 1
+    codes, r = c[0]
+    assert "pickwick" in codes and r == -(len("pick_ick") + 4)
+    # field queries compile only when the caller opts into field rows
     assert compile_request(ind, "{Name=x} word") is None
+    fields = []
+    c = compile_request(ind, "{Name=alpha} club", field_out=fields)
+    assert c is not None and len(fields) == 1
+    fkey_group, value_group = fields[0]
+    assert fkey_group[0][0].startswith("&name") and fkey_group[1] == -1
+    # unsupported constructs still fall back
+    assert compile_request(ind, "a | b") is None
+    assert compile_request(ind, "club -filter:xyz") is None
     assert compile_request(ind, "xy") is None  # all-short -> host
 
 
@@ -52,7 +63,7 @@ def test_batch_executor_matches_host_docs(ind):
                 {d.name for d in host.found_docs}, req
         assert ex.stats["device_queries"] >= 3
         # host fallback path still serves full results
-        res = ex.search("clu?")
+        res = ex.search("club -filter:al.*")
         assert ex.stats["host_queries"] >= 1
         assert res.success
     finally:
@@ -258,9 +269,9 @@ def test_fallback_reason_counters(ind):
     """stats must say WHY a query bypassed the device."""
     ex = BatchExecutor(ind, max_wait_ms=1.0)
     try:
-        ex.search("clu?")            # wildcard -> unsupported
-        ex.search("{Name=x} club")   # field -> unsupported
-        ex.search("xy")              # all-short -> shape
+        ex.search("club -filter:a.*")  # regex filter -> unsupported
+        ex.search("club ~tavren")      # correction -> unsupported
+        ex.search("xy")                # all-short -> shape
         assert ex.stats["fallback_unsupported"] >= 2
         assert ex.stats["fallback_shape"] >= 1
         assert ex.stats["host_queries"] == \
@@ -268,3 +279,54 @@ def test_fallback_reason_counters(ind):
             + ex.stats["fallback_no_index"]
     finally:
         ex.close()
+
+
+def test_wildcard_queries_ride_device(ind):
+    """`?` wildcards expand to variant-OR groups and serve on device
+    with exact host parity (ref Search.cs:158-167, 206-217)."""
+    ex = BatchExecutor(ind, max_wait_ms=1.0)
+    try:
+        for req in ["clu?", "?avern", "d?nner", "club ?avern",
+                    "?zzzzz?"]:
+            dev = ex.search(req)
+            host = ind.search(req)
+            assert dev == host, req
+            assert {d.name for d in dev.found_docs} == \
+                {d.name for d in host.found_docs}, req
+        assert ex.stats["host_queries"] == 0, ex.stats
+        assert ex.stats["device_queries"] >= 5
+    finally:
+        ex.close()
+
+
+def test_field_queries_ride_device(tmp_path):
+    """{field=value} evaluates as its own device row, doc-intersected
+    with the main expression (ref Search.cs:126-155, 423-428)."""
+    import docodo_tpu
+
+    ind = docodo_tpu.Index(path=str(tmp_path / "f"), in_memory=True)
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile("alpha", "the pickwick club met at noon",
+                           "name=alpha\nauthor=dickens"),
+        IndexPagedTextFile("beta", "the club adjourned after dinner",
+                           "name=beta\nauthor=trollope"),
+    ]))
+    ind.create()
+    ex = BatchExecutor(ind, max_wait_ms=1.0)
+    try:
+        for req in ["club {author=dickens}", "{author=dickens}",
+                    "{author=trollope} club", "dinner {name=beta}",
+                    "{author=nobody} club"]:
+            dev = ex.search(req)
+            host = ind.search(req)
+            assert dev == host, req
+            assert [d.name for d in dev.found_docs] == \
+                [d.name for d in host.found_docs], req
+        assert ex.stats["host_queries"] == 0, ex.stats
+        assert ex.stats["device_queries"] >= 5
+        # multi-word values nest pair-evaluations -> host fallback
+        ex.search("{author=charles dickens}")
+        assert ex.stats["fallback_shape"] >= 1
+    finally:
+        ex.close()
+        ind.dispose()

@@ -328,3 +328,62 @@ def test_morphological_serving_en_voc(tmp_path):
             ex.stats["truncated_fallbacks"] >= len(reqs)
     finally:
         ex.close()
+
+
+def test_wildcard_and_field_serving_real_corpus(tmp_path):
+    """Wildcards (`?an?`, ref IndexTest.cs RequestSyntaxTest) and
+    {field=value} queries serve on DEVICE with exact host parity on the
+    real Pickwick corpus; the wildcard hit set equals the regex oracle
+    over the raw text (ref Search.cs:158-167)."""
+    import re
+
+    import docodo_tpu
+    from docodo_tpu.query.batcher import BatchExecutor
+    from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
+
+    path = os.path.join(REF_TEST,
+                        "Dickens Charles. The Pickwick Papers - royallib.ru.txt")
+    raw = open(path, encoding="cp1251", errors="replace").read()[:200_000]
+    ind = docodo_tpu.Index(path=str(tmp_path / "wf"), in_memory=True)
+    ind.stemmers.clear()
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile("pick", raw, "name=pick\nauthor=dickens"),
+    ]))
+    ind.create()
+    ex = BatchExecutor(ind, max_wait_ms=1.0)
+    try:
+        for req in ["pickw?ck", "?ather", "d?nner club",
+                    "{author=dickens} pickwick", "{author=dickens}",
+                    "{author=nobody} pickwick"]:
+            dev = ex.search(req)
+            host = ind.search(req)
+            assert dev == host, req
+            assert [d.name for d in dev.found_docs] == \
+                [d.name for d in host.found_docs], req
+        assert ex.stats["host_queries"] == 0, ex.stats
+        assert ex.stats["device_queries"] >= 6, ex.stats
+
+        # regex oracle: every served `?ather` position is a token
+        # matching \w*ather\w* — and every such token (len 3..32,
+        # bounded by the expansion cap) is served
+        low = raw.lower()
+        res = ex.search("?ather")
+        got = set()
+        pt = ind.pages
+        for p in res.found_pages:
+            pg = pt.page_ids.index(p.id)
+            base = int(pt.bounds[pg - 1]) if pg > 0 else 0
+            got.update(base + x for x in p.pos)
+        # body coordinates start after the header page "0" (the header
+        # fields occupy the doc's first coordinates, ref Build.cs:485-524)
+        assert pt.page_ids[0] == "0"
+        body_base = int(pt.bounds[0])
+        want = {
+            body_base + m.start() for m in re.finditer(r"[^\W\d_]+", low)
+            if re.fullmatch(r"\w*ather\w*", m.group())
+            and 3 <= len(m.group()) <= 32
+        }
+        assert got == want, (len(got), len(want))
+    finally:
+        ex.close()
+        ind.dispose()

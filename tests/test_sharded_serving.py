@@ -151,8 +151,12 @@ def test_batcher_serves_from_mesh(ind):
             assert [(w.word, w.n_found) for w in dev.words] == \
                 [(w.word, w.n_found) for w in host.words], req
         assert ex.stats["device_queries"] >= 3
-        # wildcard still falls back to the host engine
+        # wildcards ride the mesh path too (variant-OR expansion)
         res = ex.search("clu?")
+        host = ind.search("clu?")
+        assert res.success and _doc_view(res) == _doc_view(host)
+        # field queries aren't row-split on the mesh yet -> host engine
+        res = ex.search("{name=x} club")
         assert res.success and ex.stats["host_queries"] >= 1
     finally:
         ex.close()
