@@ -14,6 +14,7 @@ printed to show the streaming properties.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import resource
 import sys
@@ -57,7 +58,29 @@ def main() -> int:
     ap.add_argument("--no-overlap", action="store_true",
                     help="disable the tokenize/device pipeline overlap "
                          "(single-chip path)")
+    ap.add_argument("--json-out", default=None,
+                    help="also write the BENCH-style JSON line to a file "
+                         "(the committed BUILD_r*.json artifact)")
     args = ap.parse_args()
+
+    def emit(mb, total_s, device_s, tok_s):
+        line = json.dumps({
+            "metric": "build_mb_s",
+            "value": round(mb / total_s, 2),
+            "unit": "MB/s",
+            "detail": {
+                "corpus_mb": round(mb, 1),
+                "end_to_end_s": round(total_s, 2),
+                "device_only_mb_s": (
+                    round(mb / device_s, 2) if device_s else None
+                ),
+                "tokenize_mb_s": round(mb / tok_s, 2) if tok_s else None,
+            },
+        })
+        print(line)
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                f.write(line + "\n")
 
     import jax
 
@@ -180,7 +203,8 @@ def main() -> int:
         rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
         print(f"peak host RSS: {rss_mb:.0f} MB", file=sys.stderr)
         print(f"END-TO-END: {mb:.0f} MB in {total:.1f}s = "
-              f"{mb / total:.1f} MB/s")
+              f"{mb / total:.1f} MB/s", file=sys.stderr)
+        emit(mb, total, t_build, t_tok)
         return 0
 
     t0 = time.perf_counter()
@@ -268,7 +292,9 @@ def main() -> int:
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     total = t_tok + t_build + (t_stage if n_shards > 1 else 0.0)
     print(f"peak host RSS: {rss_mb:.0f} MB", file=sys.stderr)
-    print(f"END-TO-END: {mb:.0f} MB in {total:.1f}s = {mb / total:.1f} MB/s")
+    print(f"END-TO-END: {mb:.0f} MB in {total:.1f}s = {mb / total:.1f} MB/s",
+          file=sys.stderr)
+    emit(mb, total, t_build, t_tok)
     return 0
 
 

@@ -89,6 +89,60 @@ def encode(coords: np.ndarray) -> np.ndarray:
     return out
 
 
+def _encode_deltas(deltas: np.ndarray) -> np.ndarray:
+    """Vectorized delta-array -> u16 varint stream (the chunked body of
+    `encode`, shared by the whole-file block encoder)."""
+    if deltas.size == 0:
+        return np.zeros(0, dtype=np.uint16)
+    if deltas.max() <= np.uint64(MASK):
+        return deltas.astype(np.uint16)
+    nchunks = chunks_per_delta(deltas)
+    total = int(nchunks.sum())
+    out = np.zeros(total, dtype=np.uint16)
+    starts = np.cumsum(nchunks) - nchunks
+    word0 = (deltas & np.uint64(MASK)).astype(np.uint16)
+    word0[nchunks > 1] |= OVERFLOW
+    out[starts] = word0
+    max_chunks = int(nchunks.max())
+    for j in range(1, max_chunks):
+        idx = np.flatnonzero(nchunks > j)
+        payload = (deltas[idx] >> np.uint64(j * BITS)) & np.uint64(MASK)
+        word = payload.astype(np.uint16)
+        word[j < nchunks[idx] - 1] |= OVERFLOW
+        out[starts[idx] + j] = word
+    return out
+
+
+def encode_blocks(coords: np.ndarray, offsets: np.ndarray):
+    """Encode MANY posting blocks in one vectorized pass.
+
+    coords: all blocks' ascending coords concatenated; offsets[i]:
+    offsets[i+1] delimit block i. Each block's first delta is its first
+    coordinate (deltas restart per block, matching per-block `encode`).
+
+    Returns (stream u16, word_starts int64[B+1]) — block i's u16 words
+    are stream[word_starts[i]: word_starts[i+1]]. Replaces the per-term
+    write_block loop (one Python call per term) that dominated the
+    facade build's save/merge phases.
+    """
+    coords = np.asarray(coords, dtype=np.uint64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    if coords.size == 0:
+        return (np.zeros(0, dtype=np.uint16),
+                np.zeros(offsets.size, dtype=np.int64))
+    deltas = np.empty_like(coords)
+    deltas[0] = coords[0]
+    np.subtract(coords[1:], coords[:-1], out=deltas[1:])
+    starts = offsets[:-1][offsets[:-1] < offsets[1:]]
+    deltas[starts] = coords[starts]  # per-block reset to absolute
+    if deltas.max() <= np.uint64(MASK):
+        # ubiquitous fast path: 1 chunk per delta, spans = offsets
+        return deltas.astype(np.uint16), offsets.copy()
+    nchunks = chunks_per_delta(deltas)
+    cum = np.concatenate([[0], np.cumsum(nchunks)])
+    return _encode_deltas(deltas), cum[offsets]
+
+
 def decode_deltas(stream: np.ndarray) -> np.ndarray:
     """Decode a u16 varint stream into raw deltas (no prefix sum)."""
     stream = np.asarray(stream, dtype=np.uint16)

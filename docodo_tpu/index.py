@@ -105,6 +105,9 @@ class Index:
         self._cancel = threading.Event()
         self._coder: Optional[WordCoder] = None
         self._coder_key = None
+        # builder-dir -> (terms, offsets, coords) of unspilled saves,
+        # consumed by the identity-merge fast path in _merge_indexes
+        self._task_arrays: Dict[str, tuple] = {}
         if path is not None:
             self.load()
 
@@ -224,6 +227,7 @@ class Index:
         self._cancel = threading.Event()
         try:
             os.makedirs(self.work_path, exist_ok=True)
+            self._task_arrays.clear()
             for d in os.listdir(self.work_path):
                 full = os.path.join(self.work_path, d)
                 if os.path.isdir(full):
@@ -301,6 +305,7 @@ class Index:
                         [os.path.join(full, f) for f in spills],
                         merged + "_",
                         shift_coords=False,
+                        mem_items=self.max_tmp_index_items,
                     )
                     for f in spills:
                         os.remove(os.path.join(full, f))
@@ -336,17 +341,24 @@ class Index:
                     # — the .index on disk is already written; re-reading
                     # it would only re-decode what is in hand
                     records, table, max_coord = merged
-                    terms = [t for t, _ in records]
-                    lens = np.fromiter(
-                        (c.size for _, c in records), np.int64, len(records)
-                    )
-                    offsets = np.concatenate(
-                        [np.zeros(1, np.int64), np.cumsum(lens)]
-                    )
-                    coords = (
-                        np.concatenate([c for _, c in records])
-                        if records else np.zeros(0, dtype=np.uint64)
-                    )
+                    if (isinstance(records, tuple)
+                            and records[0] == "arrays"):
+                        # vectorized merge hands whole arrays over — no
+                        # per-term record slicing/concat at all
+                        _, terms, offsets, coords = records
+                    else:
+                        terms = [t for t, _ in records]
+                        lens = np.fromiter(
+                            (c.size for _, c in records), np.int64,
+                            len(records)
+                        )
+                        offsets = np.concatenate(
+                            [np.zeros(1, np.int64), np.cumsum(lens)]
+                        )
+                        coords = (
+                            np.concatenate([c for _, c in records])
+                            if records else np.zeros(0, dtype=np.uint64)
+                        )
                     if self.arr is not None:
                         self.arr.close()
                     self.arr = storage.ArrayIndex.from_postings(
@@ -392,11 +404,40 @@ class Index:
             interner = npipe.NativeInterner()
         id_words: List[str] = []
         coord = 0
+        # token batches from many pages accumulate and flush to the
+        # builder in big chunks: per-page add_interned calls pay ~0.5 ms
+        # of fixed vectorization overhead each (measured — it dominated
+        # the facade build), while one call per ~128k tokens amortizes
+        # it away. Marks (docs/pages) carry explicit coordinates, so
+        # buffering postings does not disturb them; the flush threshold
+        # stays under the spill budget so MemUse bounds hold.
+        pend_ids: List[np.ndarray] = []
+        pend_starts: List[np.ndarray] = []
+        pend_n = 0
+        flush_at = max(4096, min(131072, builder.max_items // 2))
+
+        def flush():
+            nonlocal pend_n
+            if not pend_ids:
+                return
+            id_words.extend(
+                interner.terms_range(len(id_words), len(interner))
+            )
+            builder.add_interned(
+                np.concatenate(pend_ids),
+                np.concatenate(pend_starts),
+                id_words,
+            )
+            pend_ids.clear()
+            pend_starts.clear()
+            pend_n = 0
+
         while not self._cancel.is_set():
             doc = source.next_document(True)
             if doc is None:
                 break
             try:
+                flush()  # add_doc's default mark reads builder.max_coord
                 builder.add_doc(source.name, doc.name)
                 for page in doc:
                     if self._cancel.is_set():
@@ -405,6 +446,7 @@ class Index:
                         if len(page.text) == 0:
                             continue
                         if page.id == "0":
+                            flush()
                             coord = self._index_header_page(builder, page.text, coord)
                             builder.end_page(page.id, coord)
                             continue
@@ -413,13 +455,13 @@ class Index:
                                 page.text, interner,
                                 C.MIN_WORD_LENGTH, C.MAX_WORD_LENGTH,
                             )
-                            for k in range(len(id_words), len(interner)):
-                                id_words.append(interner.term_at(k))
-                            builder.add_interned(
-                                ids,
-                                starts.astype(np.uint64) + np.uint64(coord),
-                                id_words,
+                            pend_ids.append(ids)
+                            pend_starts.append(
+                                starts.astype(np.uint64) + np.uint64(coord)
                             )
+                            pend_n += ids.size
+                            if pend_n >= flush_at:
+                                flush()
                             coord += tokenizer.char_len(page.text)
                             builder.end_page(page.id, coord)
                             continue
@@ -443,6 +485,7 @@ class Index:
                 close = getattr(doc, "close", None)
                 if close:
                     close()
+        flush()
         if interner is not None:
             interner.close()
         builder.save()
@@ -478,9 +521,36 @@ class Index:
         if not files:
             return None
         records: Optional[list] = [] if collect else None
-        max_coord = storage.merge_spills(
-            files, output + "_", shift_coords=True, collect=records
-        )
+        arrays: Optional[list] = [] if collect else None
+        # identity fast path: ONE file has records, every other file is
+        # coordinate-empty, and the task that wrote it registered its
+        # in-memory arrays — copy the file, skip parse+decode entirely
+        fast = None
+        if collect:
+            import shutil as _sh
+
+            sizes = [os.path.getsize(p) for p in files]
+            nonempty = [i for i, sz in enumerate(sizes) if sz > 8]
+            if len(nonempty) == 1:
+                def _mc(p):
+                    with open(p, "rb") as f:
+                        return int.from_bytes(f.read(8), "little")
+                i = nonempty[0]
+                key = os.path.abspath(files[i])
+                if key in self._task_arrays and all(
+                    _mc(files[j]) == 0
+                    for j in range(len(files)) if j != i
+                ):
+                    fast = self._task_arrays[key]
+                    _sh.copyfile(files[i], output + "_")
+                    max_coord = _mc(files[i])
+        if fast is not None:
+            arrays = [fast]
+        else:
+            max_coord = storage.merge_spills(
+                files, output + "_", shift_coords=True, collect=records,
+                mem_items=self.max_tmp_index_items, arrays_out=arrays,
+            )
         table = PageTable()
         shift = 0
         for path in files:
@@ -506,6 +576,9 @@ class Index:
         for path in files:
             os.remove(path)
         if collect:
+            if arrays:
+                terms, offsets, coords = arrays[0]
+                return ("arrays", terms, offsets, coords), table, max_coord
             return records, table, max_coord
         return None
 
@@ -886,12 +959,18 @@ class IndexBuilder:
         coder = self.parent.word_coder
         cache = self._id_tids
         uids = np.unique(ids)
-        for i in uids.tolist():
-            if i not in cache:
-                cache[i] = np.array(
-                    [self._tid(c) for c in coder.codes(id_words[i])],
-                    dtype=np.int64,
-                )
+        new_ids = [i for i in uids.tolist() if i not in cache]
+        if new_ids:
+            coder.prime(id_words[i] for i in new_ids)  # one bulk stem
+            code_rows = [coder.codes(id_words[i]) for i in new_ids]
+            tid = self._tid
+            flat = np.fromiter(
+                (tid(c) for row in code_rows for c in row), np.int64
+            )
+            pos = 0
+            for i, row in zip(new_ids, code_rows):
+                cache[i] = flat[pos: pos + len(row)]
+                pos += len(row)
         arrs = [cache[i] for i in uids.tolist()]
         lens = np.fromiter((a.size for a in arrs), np.int64, uids.size)
         flat_u = (
@@ -968,13 +1047,20 @@ class IndexBuilder:
         terms, offsets, coords = self._gather_sorted()
         out = os.path.join(self.path, f"{self.n_tmp_index}.tmpind")
         with open(out, "wb") as f:
-            storage.write_postings_stream(
-                f,
-                self.max_coord,
-                (
-                    (t, coords[offsets[i]: offsets[i + 1]])
-                    for i, t in enumerate(terms)
-                ),
+            storage.write_postings_arrays(
+                f, self.max_coord, terms, offsets, coords
+            )
+        # unspilled single-file builds register their arrays so an
+        # identity merge can skip re-decoding the file it just wrote
+        if self.n_tmp_index == 1:
+            self.parent._task_arrays[os.path.abspath(out)] = (
+                terms, offsets, coords
+            )
+        else:
+            self.parent._task_arrays.pop(
+                os.path.abspath(
+                    os.path.join(self.path, "1.tmpind")
+                ), None,
             )
         if save_pages:
             _save_marks(os.path.join(self.path, "index.tmplist"), self.marks)

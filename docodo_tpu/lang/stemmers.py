@@ -73,8 +73,113 @@ def _en_short_syllable_at_end(word):
     return False
 
 
+_tls = None
+
+
+def _native_stem_en(word: str):
+    """C fast path (native/docodo_native.cpp:docodo_stem_en): ~40x the
+    Python stemmer, byte-parity pinned by test_stemmers' fuzz leg.
+    Returns None when unavailable or not covered (non-ASCII, >60 chars,
+    DOCODO_NO_NATIVE) — callers fall back to the Python implementation."""
+    global _tls
+    try:
+        raw = word.encode("ascii")
+    except UnicodeEncodeError:
+        return None
+    from docodo_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    if _tls is None:
+        import threading
+
+        _tls = threading.local()
+    buf = getattr(_tls, "buf", None)
+    if buf is None:
+        import ctypes
+
+        buf = _tls.buf = ctypes.create_string_buffer(96)
+    n = lib.docodo_stem_en(raw, len(raw), buf)
+    if n < 0:
+        return None
+    return buf.raw[:n].decode("ascii")
+
+
 def stem_en(word: str) -> str:
     """Porter2 / Snowball English stemmer."""
+    ns = _native_stem_en(word)
+    if ns is not None:
+        return ns
+    return _stem_en_py(word)
+
+
+def stem_en_bulk(words):
+    """Stem MANY words in one native call (build-path hot loop: one
+    ctypes round trip instead of one per unique word). Bit-identical to
+    stem_en/_stem_en_py; words the C fast path does not cover fall back
+    per word."""
+    if not words:
+        return []
+    from docodo_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return [_stem_en_py(w) for w in words]
+    import ctypes
+
+    import numpy as np
+
+    raws = []
+    ok = True
+    for w in words:
+        try:
+            raws.append(w.encode("ascii"))
+        except UnicodeEncodeError:
+            ok = False
+            raws.append(b"")
+    lens = np.fromiter(
+        (len(r) if r else -1 for r in raws), np.int32, len(raws)
+    )
+    covered = lens > 0
+    if not ok:
+        raws_c = [r for r in raws if r]
+        lens_c = lens[covered]
+    else:
+        raws_c, lens_c = raws, lens
+    blob = b"".join(raws_c)
+    total = len(blob) + 2 * len(raws_c) + 8
+    out_blob = ctypes.create_string_buffer(total)
+    out_lens = np.empty(max(len(raws_c), 1), dtype=np.int32)
+    lib.docodo_stem_en_bulk(
+        blob, lens_c.ctypes.data_as(ctypes.c_void_p), len(raws_c),
+        out_blob, out_lens.ctypes.data_as(ctypes.c_void_p),
+    )
+    # one decode of the whole stem blob, then string slicing (ascii:
+    # byte offsets == char offsets)
+    total_out = int(np.maximum(out_lens[: len(raws_c)], 0).sum())
+    blob_out = out_blob.raw[:total_out].decode("ascii")
+    out = []
+    pos = 0
+    k = 0
+    lens_list = out_lens[: len(raws_c)].tolist()
+    for i, w in enumerate(words):
+        if not covered[i]:
+            out.append(_stem_en_py(w))
+            continue
+        n = lens_list[k]
+        k += 1
+        if n < 0:
+            out.append(_stem_en_py(w))
+            continue
+        out.append(blob_out[pos: pos + n])
+        pos += n
+    return out
+
+
+def _stem_en_py(word: str) -> str:
+    """Pure-Python Porter2 (the reference implementation the native fast
+    path must bit-match; also the non-ASCII/DOCODO_NO_NATIVE path)."""
     if len(word) <= 2:
         return word
     if word in _EN_EXCEPTIONS:

@@ -62,6 +62,48 @@ class WordCoder:
             self._cache[word] = out
         return out
 
+    def prime(self, words: Iterable[str]) -> None:
+        """Bulk-populate the codes cache for NEW words: the English
+        stems run as ONE native call (stemmers.stem_en_bulk) instead of
+        one per word — the per-word ctypes round trip dominated the
+        facade build's word-coding phase. Only the no-vocab stemmer-
+        table path batches; everything else falls through to the normal
+        per-word logic (and vocab stems are dict lookups anyway)."""
+        if self.vocs:
+            return
+        todo = [
+            w for w in words
+            if w and w not in self._cache
+            and not ("0" <= w[0] <= "9") and w not in self.stop_words
+        ]
+        if not todo:
+            return
+        fns = []
+        en_words = []
+        for w in todo:
+            fn = None
+            for _lang, f, neg_re in self.stemmer_table:
+                if not neg_re.search(w):
+                    fn = f
+                    break
+            fns.append(fn)
+            if fn is stemmers.stem_en:
+                en_words.append(w)
+        stems = dict(zip(en_words, stemmers.stem_en_bulk(en_words)))
+        if len(self._cache) + len(todo) > 1_000_000:
+            return
+        for w, fn in zip(todo, fns):
+            if fn is stemmers.stem_en:
+                stemmed = stems[w]
+            elif fn is not None:
+                stemmed = fn(w)
+            else:
+                stemmed = w
+            if stemmed and stemmed != w:
+                self._cache[w] = (w, WORD_STEM_CHAR + stemmed)
+            else:
+                self._cache[w] = (w,)
+
     def _codes_uncached(self, word: str) -> Tuple[str, ...]:
         if not word:
             return ()

@@ -71,6 +71,18 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.docodo_varint_encode.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
     lib.docodo_varint_decode.restype = c.c_int64
     lib.docodo_varint_decode.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
+    lib.docodo_stem_en.restype = c.c_int64
+    lib.docodo_stem_en.argtypes = [c.c_char_p, c.c_int64, c.c_char_p]
+    lib.docodo_stem_en_bulk.restype = c.c_int64
+    lib.docodo_stem_en_bulk.argtypes = [
+        c.c_char_p, c.c_void_p, c.c_int64, c.c_char_p, c.c_void_p]
+    lib.docodo_parse_records.restype = c.c_int64
+    lib.docodo_parse_records.argtypes = [
+        c.c_char_p, c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p]
+    lib.docodo_interner_export_range.restype = c.c_int64
+    lib.docodo_interner_export_range.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64, c.c_void_p, c.c_void_p]
     return lib
 
 

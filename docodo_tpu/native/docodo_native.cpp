@@ -115,6 +115,22 @@ void docodo_interner_export(void* p, uint16_t* units, int32_t* lens_out) {
     std::memcpy(lens_out, in->lens.data(), in->lens.size() * 4);
 }
 
+// Range export for incremental consumers: units + lengths of terms
+// [lo, hi). The arena is append-only in id order, so the slice is
+// contiguous. Returns the unit count copied (or required, out=null).
+int64_t docodo_interner_export_range(
+    void* p, int64_t lo, int64_t hi, uint16_t* units, int32_t* lens_out) {
+    Interner* in = (Interner*)p;
+    if (lo < 0) lo = 0;
+    if (hi > (int64_t)in->offs.size()) hi = (int64_t)in->offs.size();
+    if (lo >= hi) return 0;
+    int64_t start = in->offs[lo];
+    int64_t end = in->offs[hi - 1] + in->lens[hi - 1];
+    if (units) std::memcpy(units, &in->arena[start], (end - start) * 2);
+    if (lens_out) std::memcpy(lens_out, &in->lens[lo], (hi - lo) * 4);
+    return end - start;
+}
+
 // One-pass tokenize + intern.
 //   units      : UTF-16 code units of the RAW text, length n
 //   fold       : 65536-entry case-fold table (unit -> lowercased unit;
@@ -222,6 +238,302 @@ int64_t docodo_varint_decode(
         }
     }
     return c;
+}
+
+// ---------------------------------------------------------------------
+// English Porter2 stemmer — a byte-exact twin of the pure-Python
+// implementation in lang/stemmers.py:stem_en (itself validated against
+// the reference's Iveonik/Snowball stemmer via the shipped Dict/en.voc
+// key set). ASCII lowercase input only; returns the stemmed length, or
+// -1 for inputs this fast path does not cover (non-ASCII, too long) —
+// the caller then falls back to the Python implementation. A fuzz test
+// pins native == Python on corpus vocab and random strings.
+
+static int en_is_vowel(char c) {
+    return c=='a'||c=='e'||c=='i'||c=='o'||c=='u'||c=='y';
+}
+
+// position after the first non-vowel following a vowel, from `start`
+// ('Y' marker counts as a consonant, matching _region_after_vc)
+static int en_region(const char* w, int n, int start) {
+    int i = start;
+    while (i < n && !en_is_vowel(w[i])) i++;
+    while (i < n && en_is_vowel(w[i])) i++;
+    if (i < n) { int r = i + 1; return r < n ? r : n; }
+    return n;
+}
+
+static int en_r1(const char* w, int n) {
+    if (n >= 5 && !memcmp(w, "gener", 5)) return 5;
+    if (n >= 6 && !memcmp(w, "commun", 6)) return 6;
+    if (n >= 5 && !memcmp(w, "arsen", 5)) return 5;
+    return en_region(w, n, 0);
+}
+
+static int en_short_syllable_at_end(const char* w, int n) {
+    if (n >= 3) {
+        char a = w[n-3], b = w[n-2], c = w[n-1];
+        if (en_is_vowel(b) && !en_is_vowel(c) && c!='w' && c!='x' && c!='Y'
+            && !en_is_vowel(a))
+            return 1;
+    }
+    if (n == 2 && en_is_vowel(w[0]) && !en_is_vowel(w[1])) return 1;
+    return 0;
+}
+
+static int en_ends(const char* w, int n, const char* suf) {
+    int m = (int)strlen(suf);
+    return n >= m && !memcmp(w + n - m, suf, m);
+}
+
+int64_t docodo_stem_en(const char* in, int64_t len, char* out) {
+    if (len > 60) return -1;
+    for (int64_t i = 0; i < len; i++) {
+        unsigned char c = (unsigned char)in[i];
+        if (c >= 0x80) return -1;
+    }
+    char w[64];
+    int n = (int)len;
+    memcpy(w, in, n);
+    w[n] = 0;
+    if (n <= 2) { memcpy(out, w, n); return n; }
+
+    static const char* exc_from[11] = {
+        "skis","skies","dying","lying","tying","idly","gently","ugly",
+        "early","only","singly"};
+    static const char* exc_to[11] = {
+        "ski","sky","die","lie","tie","idl","gentl","ugli",
+        "earli","onli","singl"};
+    for (int i = 0; i < 11; i++) {
+        if ((int)strlen(exc_from[i]) == n && !memcmp(w, exc_from[i], n)) {
+            int m = (int)strlen(exc_to[i]);
+            memcpy(out, exc_to[i], m);
+            return m;
+        }
+    }
+    static const char* invariants[7] = {
+        "sky","news","howe","atlas","cosmos","bias","andes"};
+    for (int i = 0; i < 7; i++) {
+        if ((int)strlen(invariants[i]) == n && !memcmp(w, invariants[i], n)) {
+            memcpy(out, w, n);
+            return n;
+        }
+    }
+
+    if (w[0] == '\'') { memmove(w, w + 1, n - 1); n--; }
+    if (w[0] == 'y') w[0] = 'Y';
+    for (int i = 1; i < n; i++)
+        if (w[i] == 'y' && en_is_vowel(w[i-1])) w[i] = 'Y';
+
+    int r1 = en_r1(w, n);
+    int r2 = en_region(w, n, r1);
+
+    // step 0
+    if (en_ends(w, n, "'s'")) n -= 3;
+    else if (en_ends(w, n, "'s")) n -= 2;
+    else if (en_ends(w, n, "'")) n -= 1;
+
+    // step 1a
+    if (en_ends(w, n, "sses")) n -= 2;
+    else if (en_ends(w, n, "ied") || en_ends(w, n, "ies")) {
+        if (n > 4) { n -= 3; w[n++] = 'i'; }
+        else       { n -= 3; w[n++] = 'i'; w[n++] = 'e'; }
+    } else if (en_ends(w, n, "us") || en_ends(w, n, "ss")) {
+        // keep
+    } else if (en_ends(w, n, "s")) {
+        int has_v = 0;
+        for (int i = 0; i < n - 2; i++)
+            if (en_is_vowel(w[i])) { has_v = 1; break; }
+        if (has_v) n -= 1;
+    }
+
+    static const char* exc2[8] = {
+        "inning","outing","canning","herring","earring",
+        "proceed","exceed","succeed"};
+    for (int i = 0; i < 8; i++) {
+        if ((int)strlen(exc2[i]) == n && !memcmp(w, exc2[i], n)) {
+            for (int j = 0; j < n; j++)
+                out[j] = w[j] == 'Y' ? 'y' : w[j];
+            return n;
+        }
+    }
+
+    // step 1b
+    {
+        static const char* sufs[6] = {
+            "eedly","ingly","edly","eed","ing","ed"};
+        int si = -1, sl = 0;
+        for (int i = 0; i < 6; i++)
+            if (en_ends(w, n, sufs[i])) { si = i; sl = (int)strlen(sufs[i]); break; }
+        if (si == 0 || si == 3) {                 // eedly / eed
+            if (n - sl >= r1) { n -= sl; w[n++] = 'e'; w[n++] = 'e'; }
+        } else if (si >= 0) {
+            int has_v = 0;
+            for (int i = 0; i < n - sl; i++)
+                if (en_is_vowel(w[i])) { has_v = 1; break; }
+            if (has_v) {
+                n -= sl;
+                if (en_ends(w, n, "at") || en_ends(w, n, "bl")
+                    || en_ends(w, n, "iz")) {
+                    w[n++] = 'e';
+                } else if (n >= 2 && w[n-1] == w[n-2]
+                           && strchr("bdfgmnprt", w[n-1])) {
+                    n -= 1;
+                } else if (r1 >= n && en_short_syllable_at_end(w, n)) {
+                    w[n++] = 'e';
+                }
+            }
+        }
+    }
+
+    // step 1c
+    if (n > 2 && (w[n-1]=='y' || w[n-1]=='Y') && !en_is_vowel(w[n-2]))
+        w[n-1] = 'i';
+
+    // step 2 (suffix in R1)
+    {
+        static const char* sufs[23] = {
+            "ization","ational","fulness","ousness","iveness","tional",
+            "biliti","lessli","entli","ation","alism","aliti","ousli",
+            "iviti","fulli","enci","anci","abli","izer","ator","alli",
+            "bli","ogi"};
+        static const char* reps[23] = {
+            "ize","ate","ful","ous","ive","tion","ble","less","ent",
+            "ate","al","al","ous","ive","ful","ence","ance","able",
+            "ize","ate","al","ble",0};
+        int done = 0;
+        for (int i = 0; i < 23; i++) {
+            int sl = (int)strlen(sufs[i]);
+            if (en_ends(w, n, sufs[i])) {
+                if (n - sl >= r1) {
+                    if (i == 22) {                       // ogi
+                        if (en_ends(w, n, "logi")) n -= 1;
+                    } else {
+                        n -= sl;
+                        int rl = (int)strlen(reps[i]);
+                        memcpy(w + n, reps[i], rl);
+                        n += rl;
+                    }
+                }
+                done = 1;
+                break;
+            }
+        }
+        if (!done && en_ends(w, n, "li")) {
+            if (n - 2 >= r1 && n >= 3 && strchr("cdeghkmnrt", w[n-3]))
+                n -= 2;
+        }
+    }
+
+    // step 3 (suffix in R1; ative needs R2)
+    {
+        static const char* sufs[9] = {
+            "ational","tional","alize","icate","iciti","ative","ical",
+            "ness","ful"};
+        static const char* reps[9] = {
+            "ate","tion","al","ic","ic","","ic","",""};
+        for (int i = 0; i < 9; i++) {
+            int sl = (int)strlen(sufs[i]);
+            if (en_ends(w, n, sufs[i])) {
+                if (n - sl >= r1) {
+                    if (i == 5) {                        // ative
+                        if (n - sl >= r2) n -= sl;
+                    } else {
+                        n -= sl;
+                        int rl = (int)strlen(reps[i]);
+                        memcpy(w + n, reps[i], rl);
+                        n += rl;
+                    }
+                }
+                break;
+            }
+        }
+    }
+
+    // step 4 (suffix in R2)
+    {
+        static const char* sufs[18] = {
+            "ement","ance","ence","able","ible","ment","ant","ent",
+            "ism","ate","iti","ous","ive","ize","ion","al","er","ic"};
+        for (int i = 0; i < 18; i++) {
+            int sl = (int)strlen(sufs[i]);
+            if (en_ends(w, n, sufs[i])) {
+                if (n - sl >= r2) {
+                    if (i == 14) {                       // ion
+                        if (n >= 4 && (w[n-4]=='s' || w[n-4]=='t')) n -= 3;
+                    } else {
+                        n -= sl;
+                    }
+                }
+                break;
+            }
+        }
+    }
+
+    // step 5
+    if (n >= 1 && w[n-1] == 'e') {
+        if (n - 1 >= r2
+            || (n - 1 >= r1 && !en_short_syllable_at_end(w, n - 1)))
+            n -= 1;
+    } else if (n >= 2 && w[n-1] == 'l') {
+        if (n - 1 >= r2 && w[n-2] == 'l') n -= 1;
+    }
+
+    for (int j = 0; j < n; j++)
+        out[j] = w[j] == 'Y' ? 'y' : w[j];
+    return n;
+}
+
+// Bulk stem: words concatenated in `blob` with per-word `lens`;
+// stems concatenate into out_blob (capacity >= total_in + 2*n),
+// out_lens[i] = stem length or -1 (word not covered — caller falls
+// back to Python for that word). Returns total output bytes.
+int64_t docodo_stem_en_bulk(
+    const char* blob, const int32_t* lens, int64_t n,
+    char* out_blob, int32_t* out_lens) {
+    int64_t ip = 0, op = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t r = docodo_stem_en(blob + ip, lens[i], out_blob + op);
+        out_lens[i] = (int32_t)r;
+        if (r > 0) op += r;
+        ip += lens[i];
+    }
+    return op;
+}
+
+// Parse the record framing of a spill/.index stream (after the 8-byte
+// max_coord header): term byte offsets/lengths and posting-span
+// offsets/word counts. Returns the record count, or -1 on a truncated
+// or corrupt stream. Callers size the outputs at (n-8)/5+1 records
+// (minimum record: 1-byte length + empty term + 4-byte count).
+int64_t docodo_parse_records(const uint8_t* buf, int64_t n,
+                             int64_t* term_off, int32_t* term_len,
+                             int64_t* span_off, int32_t* span_words) {
+    int64_t pos = 8, cnt = 0;
+    while (pos < n) {
+        int64_t slen = 0;
+        int shift = 0;
+        for (;;) {
+            if (pos >= n) return -1;
+            uint8_t b = buf[pos++];
+            slen |= (int64_t)(b & 0x7F) << shift;
+            if (!(b & 0x80)) break;
+            shift += 7;
+        }
+        if (pos + slen + 4 > n) return -1;
+        term_off[cnt] = pos;
+        term_len[cnt] = (int32_t)slen;
+        pos += slen;
+        int32_t nw;
+        std::memcpy(&nw, buf + pos, 4);
+        pos += 4;
+        if (nw < 0 || pos + 2 * (int64_t)nw > n) return -1;
+        span_off[cnt] = pos;
+        span_words[cnt] = nw;
+        pos += 2 * nw;
+        cnt++;
+    }
+    return cnt;
 }
 
 }  // extern "C"

@@ -217,3 +217,60 @@ def test_opencorpora_builder(tmp_path):
     assert grp("книга") == grp("книгу") != 0
     # different lemmas -> different groups
     assert grp("наташа") != grp("книга")
+
+
+def test_native_stem_en_parity_fuzz():
+    """The C Porter2 fast path (native/docodo_native.cpp:docodo_stem_en)
+    must bit-match the pure-Python implementation on corpus vocabulary
+    and adversarial random strings (the Python one is itself validated
+    against the shipped en.voc key set)."""
+    import random
+
+    from docodo_tpu.lang.stemmers import (
+        _native_stem_en,
+        _stem_en_py,
+        stem_en_bulk,
+    )
+
+    if _native_stem_en("testing") is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    words = set()
+    path = ("/root/reference/Test/"
+            "Dickens Charles. The Pickwick Papers - royallib.ru.txt")
+    if os.path.exists(path):
+        import re
+
+        raw = open(path, encoding="cp1251", errors="replace").read().lower()
+        words.update(m.group() for m in re.finditer(r"[a-z]+", raw))
+    rng = random.Random(7)
+    for _ in range(5000):
+        n = rng.randint(1, 14)
+        words.add("".join(
+            rng.choice("abcdefgilmnorstuyz'") for _ in range(n)
+        ))
+    words.update(["skis", "skies", "dying", "early", "only", "news",
+                  "bias", "inning", "proceed", "succeed", "hopping",
+                  "hoping", "ties", "cries", "gas", "generous",
+                  "communal", "arsenic", "ugly", "atlas"])
+    wl = sorted(words)
+    bulk = stem_en_bulk(wl)
+    for w, b in zip(wl, bulk):
+        py = _stem_en_py(w)
+        assert b == py, w
+        ns = _native_stem_en(w)
+        assert ns is None or ns == py, w
+
+
+def test_word_coder_prime_parity():
+    """prime() (the bulk-stem cache warmer) must produce exactly the
+    per-word codes of the normal path."""
+    from docodo_tpu.lang.wordcodes import WordCoder
+
+    words = ["hopping", "ties", "news", "123abc", "the", "generous",
+             "running", "catlike", "оружие"]
+    c1, c2 = WordCoder(), WordCoder()
+    c1.prime(words)
+    for w in words:
+        assert c1.codes(w) == c2.codes(w), w
