@@ -72,6 +72,24 @@ class ShardedDeviceIndex:
         self._doc_ordinal = {
             n: i for i, n in enumerate(index.pages.doc_names)
         }
+        # GLOBAL coordinates where shards 1..S-1 begin — the boundary
+        # list for the divergence check (a proximity window crossing one
+        # of these is dropped by contiguous-range sharding)
+        pt = index.pages
+        bounds_g = pt.bounds.astype(np.uint64)
+        page_doc_g = pt.page_doc.astype(np.int64)
+        n_docs = len(pt.doc_names)
+        doc_last = np.zeros(n_docs, dtype=np.int64)
+        for p_, d_ in enumerate(page_doc_g):
+            doc_last[d_] = p_
+        doc_base_g = np.zeros(n_docs, dtype=np.uint64)
+        doc_base_g[1:] = bounds_g[doc_last[:-1]]
+        self.boundaries = np.array(
+            [int(doc_base_g[corpus.doc_assign[s_][0]])
+             for s_ in range(1, len(corpus.doc_assign))
+             if len(corpus.doc_assign[s_])],
+            dtype=np.uint64,
+        )
 
     # ---- staging -----------------------------------------------------------
     @classmethod
@@ -182,63 +200,72 @@ class ShardedDeviceIndex:
     # tunnelled device — so every shape dimension pads to a ladder
     CAP_LADDER = (128, 1024, 16384, 1 << 17)
 
-    def _compile(self, queries) -> Tuple[np.ndarray, np.ndarray, int, list]:
-        """Group queries [(codes, r), ...] -> padded [B, W, V] ids + rs.
-        Rows with an unknown group compile to all -1 at slot 0 (matches
-        nothing). Returns (terms, rs, cap, known_mask).
-
-        Shape-bucketed on every axis: B rows pad on the x4 ladder, W/V
-        to powers of two, the posting cap to CAP_LADDER — compositions
-        recur and hit the jit cache."""
-        w = v = 1
-        need = 1
-        rows_all = []
-        for q in queries:
-            rows, rvals = [], []
-            ok = True
-            for codes, r in q:
-                if isinstance(codes, str):
-                    codes = (codes,)
-                ids = [self.term_id(c) for c in codes]
-                ids = [i for i in ids if i >= 0]
-                if not ids:
-                    ok = False
-                    break
-                for c in codes:
-                    need = max(need, self.posting_count(c))
-                rows.append(ids)
-                rvals.append(r)
-            if not ok:
-                rows_all.append(None)
-                continue
-            rows_all.append((rows, rvals))
-            w = max(w, len(rows))
-            v = max(v, max(len(i) for i in rows))
-        b = _bucket4(len(queries))
-        w = _bucket(w, lo=1)
-        v = _bucket(v, lo=1)
-        if v == 1:
-            terms = np.full((b, w), -1, dtype=np.int32)
-        else:
-            terms = np.full((b, w, v), -1, dtype=np.int32)
-        rs = np.ones((b, w), dtype=np.int32)
-        for i, rr in enumerate(rows_all):
-            if rr is None:
-                continue
-            rows, rvals = rr
-            for j, (ids, r) in enumerate(zip(rows, rvals)):
-                if v == 1:
-                    terms[i, j] = ids[0]
-                else:
-                    terms[i, j, : len(ids)] = ids
-                rs[i, j] = r
+    def _round_cap(self, need: int) -> int:
         for c in self.CAP_LADDER:
             if need <= c:
-                cap = c
-                break
-        else:
-            cap = _bucket(need)
-        return terms, rs, cap, [r is not None for r in rows_all]
+                return c
+        return _bucket(need)
+
+    def _compile_one(self, q):
+        """One group query -> (rows of variant ids, rvals, cap need), or
+        None when some group resolves to no known terms (matches
+        nothing, host parity)."""
+        rows, rvals = [], []
+        need = 1
+        for codes, r in q:
+            if isinstance(codes, str):
+                codes = (codes,)
+            ids = [self.term_id(c) for c in codes]
+            ids = [i for i in ids if i >= 0]
+            if not ids:
+                return None
+            for c in codes:
+                need = max(need, self.posting_count(c))
+            rows.append(ids)
+            rvals.append(r)
+        return rows, rvals, need
+
+    def _bucketize(self, queries):
+        """Group queries into (cap, W, V) shape buckets — a frequent
+        word no longer drags every rare-word query in the batch to its
+        cap (the single-chip search_batch_full design). Returns
+        (compiled, {bucket_key: [query idx]})."""
+        compiled = [self._compile_one(q) for q in queries]
+        buckets = {}
+        for i, cg in enumerate(compiled):
+            if cg is None:
+                continue
+            rows, rvals, need = cg
+            w = _bucket(max(len(rows), 1), lo=1)
+            v = _bucket(max((len(x) for x in rows), default=1), lo=1)
+            buckets.setdefault(
+                (self._round_cap(need), w, v), []
+            ).append(i)
+        return compiled, buckets
+
+    def boundary_risk(self, q, max_r: int) -> bool:
+        """Whether this query's proximity window could cross one of the
+        S-1 shard boundaries: any posting of any query term within
+        max_r of a boundary coordinate (conservative — a flagged result
+        MAY silently miss a cross-boundary match; an unflagged one
+        cannot). Cheap: one bisect pair per (term, boundary)."""
+        if self.boundaries.size == 0:
+            return False
+        r = np.uint64(max(max_r, 1))
+        arr = self.index.arr
+        for codes, _ in q:
+            if isinstance(codes, str):
+                codes = (codes,)
+            for c in codes:
+                p = arr.get(c)
+                if p is None or p.size == 0:
+                    continue
+                for b in self.boundaries:
+                    lo = np.searchsorted(p, b - min(r, b), side="left")
+                    hi = np.searchsorted(p, b + r, side="left")
+                    if hi > lo:
+                        return True
+        return False
 
     # ---- serving ---------------------------------------------------------------
     def search_batch(self, queries, topk: int = 64, hit_cap: int = 1024,
@@ -249,44 +276,105 @@ class ShardedDeviceIndex:
         queries: per query a list of (codes, R) groups, the same form the
         batcher's compile_request emits. Truncated queries (any shard
         over the topk/hit_cap budget) re-serve via the parent host
-        engine's expression path.
+        engine's expression path. Results whose proximity window could
+        cross a shard boundary carry boundary_risk=True (the contiguous
+        sharding contract drops cross-boundary matches — see the module
+        docstring; exact results are unflagged).
+
+        Queries are (cap, W, V)-shape-bucketed: each bucket runs its own
+        cached jitted mesh program, so one frequent word no longer drags
+        the whole batch to its padding, and recurring bucket shapes skip
+        re-tracing. Materialization locates ALL hit coordinates of a
+        shard in ONE page-table pass, then slices per query.
         """
-        terms, rs, cap, known = self._compile(queries)
-        out = sh.sharded_query_full(
-            self.mesh, self._off, self._sc, self._bounds, self._page_doc,
-            self._is_header, jnp.asarray(terms), jnp.asarray(rs),
-            cap=cap, topk=topk, hit_cap=hit_cap,
-        )
         import jax
 
-        (pages, ranks, counts, n_pages, docs, doc_ranks, hits,
-         n_hits) = jax.device_get(out)
-        S = pages.shape[0]
-        results: List[SearchResult] = []
-        for b, q in enumerate(queries):
-            if not known[b]:
-                results.append(SearchResult())  # matches nothing
+        compiled, buckets = self._bucketize(queries)
+        B = len(queries)
+        results: List[Optional[SearchResult]] = [None] * B
+        for i, cg in enumerate(compiled):
+            if cg is None:
+                results[i] = SearchResult()  # matches nothing
+
+        bucket_outs = []
+        for (cap, w, v), idxs in sorted(buckets.items()):
+            brows = _bucket4(len(idxs))
+            if v == 1:
+                terms = np.full((brows, w), -1, dtype=np.int32)
+            else:
+                terms = np.full((brows, w, v), -1, dtype=np.int32)
+            rs = np.ones((brows, w), dtype=np.int32)
+            for row, qi in enumerate(idxs):
+                rows_i, rvals_i, _ = compiled[qi]
+                for j, (ids, r) in enumerate(zip(rows_i, rvals_i)):
+                    if v == 1:
+                        terms[row, j] = ids[0]
+                    else:
+                        terms[row, j, : len(ids)] = ids
+                    rs[row, j] = r
+            out = sh.sharded_query_full(
+                self.mesh, self._off, self._sc, self._bounds,
+                self._page_doc, self._is_header, jnp.asarray(terms),
+                jnp.asarray(rs), cap=cap, topk=topk, hit_cap=hit_cap,
+            )
+            bucket_outs.append((idxs, out))
+        # ONE coalesced device->host transfer for every bucket
+        bucket_outs = [
+            (idxs, jax.device_get(out)) for idxs, out in bucket_outs
+        ]
+
+        # assemble per-query shard hit streams; batch page-location per
+        # shard (one locate pass instead of one per query x shard)
+        S = len(self.shard_tables)
+        per_shard: List[list] = [[] for _ in range(S)]  # (qi, coords)
+        for idxs, (pages, ranks, counts, n_pages, docs, doc_ranks,
+                   hits, n_hits) in bucket_outs:
+            for row, qi in enumerate(idxs):
+                if (n_pages[:, row] > topk).any() or                         (n_hits[:, row] > hit_cap).any():
+                    continue  # stays None: caller re-serves host-side
+                results[qi] = combined = SearchResult()
+                for s_ in range(S):
+                    hv = hits[s_, row]
+                    hv = hv[hv < INT32_MAX].astype(np.uint64)
+                    if hv.size:
+                        per_shard[s_].append((qi, hv))
+        shard_parts: dict = {}
+        for s_ in range(S):
+            items = per_shard[s_]
+            if not items:
                 continue
-            if (n_pages[:, b] > topk).any() or (n_hits[:, b] > hit_cap).any():
-                results.append(None)  # caller re-serves host-side
-                continue
-            combined = SearchResult()
-            for s in range(S):
-                hv = hits[s, b]
-                hv = hv[hv < INT32_MAX].astype(np.uint64)
-                if hv.size == 0:
-                    continue
-                part = prepare_search_result(hv, self.shard_tables[s], [])
+            cat = np.concatenate([hv for _, hv in items])
+            page_idx, pos = self.shard_tables[s_].locate(cat)
+            off = 0
+            for qi, hv in items:
+                n = hv.size
+                part = prepare_search_result(
+                    hv, self.shard_tables[s_], [],
+                    located=(page_idx[off: off + n], pos[off: off + n]),
+                )
+                shard_parts.setdefault(qi, []).append(part)
+                off += n
+
+        ordinal = self._doc_ordinal
+        for qi, parts in shard_parts.items():
+            combined = results[qi]
+            for part in parts:
                 combined.found_docs.extend(part.found_docs)
             # host parity for rank TIES: the host engine's stable sort
             # preserves global coordinate (= doc ordinal) order; shards
-            # deliver docs shard-major, so restore the ordinal order first
-            ordinal = self._doc_ordinal
+            # deliver docs shard-major, so restore ordinal order first
             combined.found_docs.sort(key=lambda d: ordinal.get(d.name, 0))
+        for qi, q in enumerate(queries):
+            combined = results[qi]
+            if combined is None or compiled[qi] is None:
+                continue
+            max_r = max(
+                (abs(r) for _, r in q), default=0
+            )
+            combined.boundary_risk = self.boundary_risk(q, max_r)
             if materialize:
                 self.index._materialize_docs(combined)
                 combined.found_docs.sort(key=lambda d: d.rank)
             else:  # rank-only half, identical to the single-chip brief
                 finalize_doc_ranks(combined)
-            results.append(combined)
         return results

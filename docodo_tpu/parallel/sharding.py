@@ -127,22 +127,14 @@ def sharded_query(mesh, term_offsets, coords, bounds, page_doc,
     return fn(term_offsets, coords, bounds, page_doc, page_base, terms, rs)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("mesh", "cap", "topk", "hit_cap")
-)
-def sharded_query_full(mesh, term_offsets, coords, bounds, page_doc,
-                       is_header, terms, rs, cap: int, topk: int,
-                       hit_cap: int):
-    """Full-result twin of sharded_query: every shard evaluates the
-    replicated (variant-aware) query batch with query_step_full, and the
-    per-shard LocateFull fields are all_gathered so every host process
-    sees [S, B, ...] — hit streams stay in SHARD-LOCAL coordinates, which
-    is exactly what per-shard materialization needs (in-page positions
-    are shard-invariant because documents never span shards).
-
-    terms: int32[B, W] or int32[B, W, V]; rs: int32[B, W].
-    Returns the LocateFull fields as a tuple of [S, B, ...] arrays.
-    """
+@functools.lru_cache(maxsize=128)
+def _sharded_query_full_jit(mesh, cap: int, topk: int, hit_cap: int,
+                            t_ndim: int):
+    """Cached JITTED mesh program per (mesh, cap, topk, hit_cap, terms
+    rank): serving calls this per shape BUCKET, so recurring bucket
+    shapes hit the jit cache instead of re-tracing the shard_map on
+    every batch (the mesh analog of batched_query_full's per-bucket
+    cache)."""
     from docodo_tpu.ops.device_index import query_step_full
 
     def local_query(off, co, bo, pd, hd, tq, rq):
@@ -155,7 +147,7 @@ def sharded_query_full(mesh, term_offsets, coords, bounds, page_doc,
         )
         return tuple(jax.lax.all_gather(x, "d") for x in lf)
 
-    t_spec = P(*([None] * terms.ndim))
+    t_spec = P(*([None] * t_ndim))
     fn = shard_map(
         local_query, mesh=mesh,
         in_specs=(
@@ -171,6 +163,23 @@ def sharded_query_full(mesh, term_offsets, coords, bounds, page_doc,
         ),
         check_vma=False,  # replicated outputs, as in sharded_query
     )
+    return jax.jit(fn)
+
+
+def sharded_query_full(mesh, term_offsets, coords, bounds, page_doc,
+                       is_header, terms, rs, cap: int, topk: int,
+                       hit_cap: int):
+    """Full-result twin of sharded_query: every shard evaluates the
+    replicated (variant-aware) query batch with query_step_full, and the
+    per-shard LocateFull fields are all_gathered so every host process
+    sees [S, B, ...] — hit streams stay in SHARD-LOCAL coordinates, which
+    is exactly what per-shard materialization needs (in-page positions
+    are shard-invariant because documents never span shards).
+
+    terms: int32[B, W] or int32[B, W, V]; rs: int32[B, W].
+    Returns the LocateFull fields as a tuple of [S, B, ...] arrays.
+    """
+    fn = _sharded_query_full_jit(mesh, cap, topk, hit_cap, terms.ndim)
     return fn(term_offsets, coords, bounds, page_doc, is_header, terms, rs)
 
 

@@ -430,6 +430,10 @@ class BatchExecutor:
             # fallback reason, not just the count)
             "fallback_unsupported": 0, "fallback_shape": 0,
             "fallback_no_index": 0,
+            # mesh serving: results whose proximity window could cross
+            # a shard boundary (may miss cross-boundary matches; see
+            # parallel/serving.py boundary contract)
+            "boundary_risk": 0,
         }
         if device_index is not None:
             self._gen = index.generation
@@ -727,6 +731,8 @@ class BatchExecutor:
                 self._bump(truncated_fallbacks=1)
             else:
                 self._bump(device_queries=1)
+                if res.boundary_risk:
+                    self._bump(boundary_risk=1)
                 res.words = p.words
                 p.result = res
             p.event.set()

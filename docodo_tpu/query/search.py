@@ -91,6 +91,11 @@ class SearchResult:
         self.success = True
         self.error = ""
         self.words: List[WordInfo] = []
+        # mesh serving: True when the query's proximity window could
+        # cross a shard boundary — contiguous-range document sharding
+        # drops matches spanning one of the S-1 boundaries, so a flagged
+        # result MAY miss those (parallel/serving.py boundary contract)
+        self.boundary_risk = False
 
     def __eq__(self, other):
         if isinstance(other, SearchResult):
@@ -114,17 +119,22 @@ class ErrorSearchResult(SearchResult):
         self.error = error
 
 
-def prepare_search_result(coords: np.ndarray, page_table, doc_filter) -> SearchResult:
+def prepare_search_result(coords: np.ndarray, page_table, doc_filter,
+                          located=None) -> SearchResult:
     """Coordinate stream -> found pages/docs (ref Search.cs:365-420).
 
     `coords` ascending uint64; `doc_filter` list of regex strings a doc
-    name must match (any) to enter found_docs.
+    name must match (any) to enter found_docs. `located` optionally
+    carries a precomputed (page_idx, pos) pair — batch callers locate
+    MANY queries' coordinates in one page-table pass and slice.
     """
     result = SearchResult()
     if coords is None or len(coords) == 0 or len(page_table) == 0:
         return result
     coords = np.asarray(coords, dtype=np.uint64)
-    page_idx, pos = page_table.locate(coords)
+    page_idx, pos = (
+        located if located is not None else page_table.locate(coords)
+    )
     # runs of equal page index
     n = page_idx.size
     change = np.empty(n, dtype=bool)

@@ -190,3 +190,52 @@ def test_mixed_batch_one_word_queries_not_annihilated(ind, sdi):
         assert res is not None, req
         assert _doc_view(res) == _doc_view(host), req
         assert res.found_docs or not host.found_docs, req
+
+
+def test_boundary_divergence_flagged(tmp_path):
+    """A query whose proximity window could cross a shard boundary
+    carries boundary_risk=True: contiguous-range sharding drops
+    cross-boundary matches, and a served result affected by that must
+    be distinguishable from an exact one (serving.py boundary
+    contract). Queries clear of every boundary stay unflagged."""
+    import docodo_tpu
+    from docodo_tpu.parallel import sharding as sh
+    from docodo_tpu.parallel.serving import ShardedDeviceIndex
+    from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
+
+    # two docs split across two shards; "tail head" spans the boundary
+    ind = docodo_tpu.Index(path=str(tmp_path / "bd"), in_memory=True)
+    ind.stemmers.clear()
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile(
+            "d0", "alpha filler words lead up to the ending tail", ""
+        ),
+        IndexPagedTextFile(
+            "d1", "head starts the second document with omega words", ""
+        ),
+    ]))
+    ind.create()
+    sdi = ShardedDeviceIndex.from_index(ind, sh.make_mesh(2))
+    assert sdi.boundaries.size == 1
+
+    res = sdi.search_batch(
+        [
+            [("tail", 259), ("head", 259)],   # window spans the boundary
+            [("alpha", 260)],                  # far from the boundary
+        ],
+        topk=8, hit_cap=64,
+    )
+    # the host engine FINDS the cross-boundary match...
+    host = ind.search("tail head")
+    assert host.found_pages
+    # ...the mesh drops it, and the result says so
+    assert res[0] is not None and res[0].boundary_risk
+    assert not res[0].found_pages
+    # "alpha" sits at the corpus start: depending on doc sizes its
+    # window may still reach the boundary; with these tiny docs it does
+    # not extend past d0's end minus R... assert only the flag's
+    # MONOTONICITY: an unflagged result must equal the host result
+    host_a = ind.search("alpha")
+    if not res[1].boundary_risk:
+        assert [p.pos for p in res[1].found_pages] == \
+            [p.pos for p in host_a.found_pages]
