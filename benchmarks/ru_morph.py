@@ -101,7 +101,71 @@ def main() -> int:
     t_query = (time.perf_counter() - t0) / reps
     qps = len(groups) / t_query
     print(f"warm {t_warm:.1f}s; {len(groups)} queries in "
-          f"{t_query*1e3:.1f} ms -> {qps:.0f} QPS", file=sys.stderr)
+          f"{t_query*1e3:.1f} ms -> {qps:.0f} QPS "
+          f"(host-API: compile + dispatch + readback)", file=sys.stderr)
+
+    # device-ENGINE leg: the same buckets chained through a checksum
+    # scalar with ONE closing readback (the Pickwick full_result.py
+    # protocol) — isolates kernel throughput from the host-API tail
+    # (per-batch Python compile + the tunnel's ~300 ms readback floor)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from docodo_tpu.ops.device_index import (
+        _bucket,
+        multi_bucket_query_full_chained,
+    )
+
+    comp = [di.compile_group_query(q) for q in groups]
+    buckets = {}
+    for i, cg in enumerate(comp):
+        if cg is None:
+            continue
+        rows, rvals, w, v, need, min_need = cg
+        buckets.setdefault(
+            (_bucket(need), w, _bucket(v, lo=1)), []
+        ).append(i)
+    terms_l, rs_l, caps_l = [], [], []
+    for (cap, w, vb), idxs in sorted(buckets.items()):
+        if vb == 1:
+            terms = np.full((len(idxs), w), -1, dtype=np.int32)
+        else:
+            terms = np.full((len(idxs), w, vb), -1, dtype=np.int32)
+        rsq = np.ones((len(idxs), w), dtype=np.int32)
+        for row, i in enumerate(idxs):
+            rows_i, rvals_i = comp[i][0], comp[i][1]
+            for j, (ids, r) in enumerate(zip(rows_i, rvals_i)):
+                if vb == 1:
+                    terms[row, j] = ids[0]
+                else:
+                    terms[row, j, : len(ids)] = ids
+                rsq[row, j] = r
+        terms_l.append(jnp.asarray(terms))
+        rs_l.append(jnp.asarray(rsq))
+        caps_l.append(cap)
+    terms_l, rs_l, caps_l = tuple(terms_l), tuple(rs_l), tuple(caps_l)
+
+    use_pallas = jax.default_backend() == "tpu"
+
+    def estep(chain):
+        return multi_bucket_query_full_chained(
+            di.term_offsets, di.coords, di.bounds, di.page_doc,
+            di.header_mask(), terms_l, rs_l, chain, caps_l, 16, 256,
+            use_pallas=use_pallas,
+        )
+
+    eouts, es = estep(jnp.float32(0))
+    ewarm = float(es)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        eouts, es = estep(es)
+    efinal = float(es)
+    t_engine = (time.perf_counter() - t0) / reps
+    assert abs(efinal - ewarm) < 1e-3 * max(abs(efinal), 1.0)
+    engine_qps = len(groups) / t_engine
+    print(f"device-engine chained: {len(groups)} queries in "
+          f"{t_engine*1e3:.1f} ms -> {engine_qps:.0f} QPS",
+          file=sys.stderr)
 
     # parity sample vs the host engine
     sample = rng.sample(range(len(reqs)), 20)
@@ -130,6 +194,7 @@ def main() -> int:
         "metric": "ru_morph_query_qps", "value": round(qps, 1),
         "unit": "qps", "build_mb_s": round(mb / t_build, 2),
         "host_fallback": n_host, "parity_mismatches": mismatches,
+        "engine_qps": round(engine_qps, 1),
     }))
     return 0
 
