@@ -575,15 +575,67 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
     from docodo_tpu.ops.pallas_query import (
         MAX_PALLAS_CAP,
         MAX_SORTED_PALLAS_CAP,
+        MAX_STREAM_WIDTH,
         pallas_single_locate_full,
         pallas_sorted_and_locate_full,
+        pallas_union_locate_full,
+        pallas_variants_and_locate_full,
         q_for_cap,
         q_for_sorted_cap,
+        q_for_stream,
     )
 
+    interpret = jax.default_backend() != "tpu"
+    if tq.ndim == 3 and tq.shape[2] > 1:
+        # VARIANT-OR shapes (morphological code sets, a|b alternations,
+        # wildcard expansions): one lax.sort of the word-tagged variant
+        # concatenation feeds the run-dedupe kernels — the Pallas twin
+        # of the XLA and_variants_sorted / or_variants_sorted path
+        w, v = tq.shape[1], tq.shape[2]
+        if w > 2:
+            return None
+        n = w * v * cap
+        if n > MAX_STREAM_WIDTH:
+            return None
+        pq = q_for_stream(n)
+        bsz = tq.shape[0]
+        pad = (-bsz) % pq
+        if pad:
+            tq = jnp.concatenate(
+                [tq, jnp.full((pad, w, v), -1, jnp.int32)]
+            )
+            rq = jnp.concatenate(
+                [rq, jnp.ones((pad, rq.shape[1]), jnp.int32)]
+            )
+        gather_v = jax.vmap(jax.vmap(
+            lambda t: gather_term(coords, term_offsets, t, cap)
+        ))
+        a3, na2 = gather_v(tq[:, 0])
+        if w == 1:
+            pg, rk, ct, npg, nht, hits = pallas_union_locate_full(
+                a3, na2, bounds, topk=topk, hit_cap=hit_cap,
+                interpret=interpret,
+            )
+        else:
+            b3, nb2 = gather_v(tq[:, 1])
+            pg, rk, ct, npg, nht, hits = pallas_variants_and_locate_full(
+                a3, na2, rq[:, 0], b3, nb2, rq[:, 1],
+                tq[:, 1, 0] < 0, bounds, topk=topk, hit_cap=hit_cap,
+                interpret=interpret,
+            )
+        docs = doc_ranks = None
+        if with_docs:
+            docs, doc_ranks = jax.vmap(
+                doc_group_topk, in_axes=(0, 0, None, None)
+            )(pg, rk, page_doc, is_header)
+            docs, doc_ranks = docs[:bsz], doc_ranks[:bsz]
+        return LocateFull(
+            pages=pg[:bsz], ranks=rk[:bsz], counts=ct[:bsz],
+            n_pages=npg[:bsz], docs=docs, doc_ranks=doc_ranks,
+            hits=hits[:bsz], n_hits=nht[:bsz],
+        )
+
     if tq.ndim == 3:
-        if tq.shape[2] != 1:
-            return None  # variant ORs: XLA path (general tagged streams)
         tq = tq[:, :, 0]
     w = tq.shape[1]
     if w > 2:

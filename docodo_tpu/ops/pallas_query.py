@@ -329,36 +329,18 @@ def _locate_rank_topk(vals, keep, lane, n, bounds_ref, pages_ref,
         remaining = jnp.where(lane == pick, 0.0, remaining)
 
 
-def _sorted_and_keep(vals, tag, ra_ref, rb_ref, lane, n):
-    """Shared AND body over a PRE-MERGED tagged stream (tag: 0 = a,
-    1 = b, 2 = padding): dup/ghost folding, gap segmentation, the
-    ordered cut, per-segment containment. Pure log-depth scans.
-    Returns the keep mask (ref IndexSequence.cs:218-284)."""
+def _segment_and_k(vals, isa2, isb2, ghost, valid, ra_ref, rb_ref,
+                   lane, n):
+    """Gap segmentation + ordered cut + per-segment both-operands
+    containment over a merged tagged stream whose representative tags
+    (isa2/isb2) and ghosts are already folded. Pure log-depth scans —
+    the kernel twin of ops/seqops._segment_and."""
     r1 = ra_ref[:, 0][:, None]
     r2 = rb_ref[:, 0][:, None]
     abs_r = jnp.maximum(jnp.abs(r1), jnp.abs(r2))
     ordered = jnp.logical_and(r1 < 0, r2 < 0)
 
-    valid = vals < INF32
-    isa = jnp.logical_and(tag == 0, valid)
-    isb = jnp.logical_and(tag == 1, valid)
-
-    # cross-operand duplicates merge onto the first; second is ghost
     prev_vals = _shift_right_fill(vals, np.int32(-1))
-    nxt_vals = _roll(vals, -1)
-    nxt_vals = jnp.where(lane == n - 1, INF32, nxt_vals)
-    dup_prev = jnp.logical_and(vals == prev_vals, valid)
-    dup_next = jnp.logical_and(vals == nxt_vals, valid)
-    isa_next = _roll(isa.astype(jnp.int32), -1) > 0
-    isb_next = _roll(isb.astype(jnp.int32), -1) > 0
-    isa2 = jnp.logical_and(
-        jnp.logical_or(isa, jnp.logical_and(dup_next, isa_next)), ~dup_prev
-    )
-    isb2 = jnp.logical_and(
-        jnp.logical_or(isb, jnp.logical_and(dup_next, isb_next)), ~dup_prev
-    )
-    ghost = dup_prev
-
     # gap segmentation (ref IndexSequence.cs:218-284 group semantics)
     gap_prev = vals - jnp.where(lane == 0, 0, prev_vals)
     gap_cut = jnp.logical_and(abs_r != 0, gap_prev > abs_r)
@@ -391,6 +373,78 @@ def _sorted_and_keep(vals, tag, ra_ref, rb_ref, lane, n):
     return jnp.logical_and(
         jnp.logical_and(has_a, has_b), jnp.logical_and(valid, ~ghost)
     )
+
+
+def _sorted_and_keep(vals, tag, ra_ref, rb_ref, lane, n):
+    """Shared AND body over a PRE-MERGED tagged stream (tag: 0 = a,
+    1 = b, 2 = padding): dup/ghost folding, gap segmentation, the
+    ordered cut, per-segment containment. Pure log-depth scans.
+    Returns the keep mask (ref IndexSequence.cs:218-284)."""
+    valid = vals < INF32
+    isa = jnp.logical_and(tag == 0, valid)
+    isb = jnp.logical_and(tag == 1, valid)
+
+    # cross-operand duplicates merge onto the first; second is ghost
+    prev_vals = _shift_right_fill(vals, np.int32(-1))
+    nxt_vals = _roll(vals, -1)
+    nxt_vals = jnp.where(lane == n - 1, INF32, nxt_vals)
+    dup_prev = jnp.logical_and(vals == prev_vals, valid)
+    dup_next = jnp.logical_and(vals == nxt_vals, valid)
+    isa_next = _roll(isa.astype(jnp.int32), -1) > 0
+    isb_next = _roll(isb.astype(jnp.int32), -1) > 0
+    isa2 = jnp.logical_and(
+        jnp.logical_or(isa, jnp.logical_and(dup_next, isa_next)), ~dup_prev
+    )
+    isb2 = jnp.logical_and(
+        jnp.logical_or(isb, jnp.logical_and(dup_next, isb_next)), ~dup_prev
+    )
+    return _segment_and_k(
+        vals, isa2, isb2, dup_prev, valid, ra_ref, rb_ref, lane, n
+    )
+
+
+def _span_contains_k(marks, starts, terminals, lane):
+    """Kernel twin of ops/seqops._span_contains: whether each slot's
+    enclosing [start..terminal] span contains a marked slot — prefix
+    sum + running max at starts + reverse running min at terminals."""
+    bigi = jnp.int32(np.iinfo(np.int32).max)
+    cum = _cumsum(marks.astype(jnp.int32))
+    prev = _shift_right_fill(cum, np.int32(0))
+    before = _cummax(jnp.where(starts, prev, -1))
+    end = _rev_cummin(jnp.where(terminals, cum, bigi), bigi)
+    return (end - before) > 0
+
+
+def _variants_and_keep(vals, tag, ra_ref, rb_ref, bpad_ref, lane, n):
+    """Keep mask for a PRE-MERGED stream of MANY variant substreams of
+    two words (tag 0 = word A variants, 1 = B, 2 = padding): run-dedupe
+    folds every equal-coordinate run (length up to Va+Vb) onto its
+    first slot carrying the union of word tags, then the shared AND
+    segmentation — the kernel twin of ops/seqops.and_variants_sorted.
+    bpad_ref[:, 0] > 0 marks rows whose word-B slot is query padding:
+    the AND is the identity and the result is word A's deduped union."""
+    valid = vals < INF32
+    is0 = jnp.logical_and(tag == 0, valid)
+    is1 = jnp.logical_and(tag == 1, valid)
+
+    prev_vals = _shift_right_fill(vals, np.int32(-1))
+    run_start = jnp.logical_and(valid, vals != prev_vals)
+    nxt_rs = _roll(run_start.astype(jnp.int32), -1) > 0
+    nxt_valid = _roll(valid.astype(jnp.int32), -1) > 0
+    terminal = jnp.logical_or(nxt_rs, ~nxt_valid)
+    terminal = jnp.logical_or(terminal, lane == n - 1)
+    isa = jnp.logical_and(
+        run_start, _span_contains_k(is0, run_start, terminal, lane)
+    )
+    isb = jnp.logical_and(
+        run_start, _span_contains_k(is1, run_start, terminal, lane)
+    )
+    ghost = jnp.logical_and(valid, ~run_start)
+    keep = _segment_and_k(
+        vals, isa, isb, ghost, valid, ra_ref, rb_ref, lane, n
+    )
+    b_pad = bpad_ref[:, 0][:, None] > 0
+    return jnp.where(b_pad, jnp.logical_and(run_start, valid), keep)
 
 
 def _sorted_and_locate_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
@@ -431,6 +485,166 @@ def _sorted_and_locate_full_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
     _locate_rank_topk(
         vals, keep, lane, n, bounds_ref, pages_ref, ranks_ref, counts_ref,
         topk=topk, npages_ref=npages_ref,
+    )
+
+
+def _variants_and_locate_full_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
+                                     bpad_ref, bounds_ref, pages_ref,
+                                     ranks_ref, counts_ref, npages_ref,
+                                     nhits_ref, hits_ref,
+                                     *, n: int, topk: int):
+    """FULL-RESULT kernel over a pre-merged VARIANT stream (W=2 words,
+    each an OR of variants): run-dedupe + AND segmentation + the shared
+    locate/rank/top-k tail + kept-hit stream and untruncated totals."""
+    q = vals_ref.shape[0]
+    lane = _iota((q, n), 1)
+    vals = vals_ref[...]
+    keep = _variants_and_keep(
+        vals, tag_ref[...], ra_ref, rb_ref, bpad_ref, lane, n
+    )
+    nhits_ref[:, 0] = jnp.sum(keep.astype(jnp.int32), axis=-1)
+    hits_ref[...] = jnp.where(keep, vals, INF32)
+    _locate_rank_topk(
+        vals, keep, lane, n, bounds_ref, pages_ref, ranks_ref, counts_ref,
+        topk=topk, npages_ref=npages_ref,
+    )
+
+
+def _union_locate_full_kernel(vals_ref, bounds_ref, pages_ref, ranks_ref,
+                              counts_ref, npages_ref, nhits_ref, hits_ref,
+                              *, n: int, topk: int):
+    """FULL-RESULT kernel for ONE word's variant union (W=1, V>1): the
+    sorted concatenation deduped by run starts IS the result stream
+    (ops/seqops.or_variants_sorted), then the locate tail."""
+    q = vals_ref.shape[0]
+    lane = _iota((q, n), 1)
+    vals = vals_ref[...]
+    valid = vals < INF32
+    prev_vals = _shift_right_fill(vals, np.int32(-1))
+    keep = jnp.logical_and(valid, vals != prev_vals)
+    nhits_ref[:, 0] = jnp.sum(keep.astype(jnp.int32), axis=-1)
+    hits_ref[...] = jnp.where(keep, vals, INF32)
+    _locate_rank_topk(
+        vals, keep, lane, n, bounds_ref, pages_ref, ranks_ref, counts_ref,
+        topk=topk, npages_ref=npages_ref,
+    )
+
+
+def q_for_stream(n: int) -> int:
+    """Queries per program for a pre-merged [Q, n] stream kernel —
+    same scoped-vmem rule as q_for_sorted_cap: Q*n <= 8192."""
+    q = 8
+    while q < 64 and (q * 2) * n <= 8192:
+        q <<= 1
+    return q
+
+
+MAX_STREAM_WIDTH = 1024  # Q floors at 8; larger streams blow scoped vmem
+
+
+def _full_stream_call(kernel, bsz: int, q: int, n: int, topk: int,
+                      hit_cap: int, interpret: bool, inputs, in_specs):
+    """Shared pallas_call plumbing for the full-result stream kernels +
+    the outside hit compaction sort."""
+    grid = (bsz // q,)
+    pages, ranks, counts, n_pages, n_hits, hitvals = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, topk), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((q, n), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, topk), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    hits = jax.lax.sort(hitvals)
+    if hit_cap <= n:
+        hits = hits[:, :hit_cap]
+    else:
+        hits = jnp.concatenate([
+            hits, jnp.full((bsz, hit_cap - n), INF32, jnp.int32)
+        ], axis=1)
+    return pages, ranks, counts, n_pages[:, 0], n_hits[:, 0], hits
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "topk", "hit_cap", "interpret"))
+def pallas_variants_and_locate_full(a, na, ra, b, nb, rb, b_pad, bounds,
+                                    topk: int, hit_cap: int,
+                                    interpret: bool = False):
+    """Hybrid FULL-RESULT variant AND: a [B, Va, cap] / [B, Vb, cap]
+    pair of variant posting blocks merges in ONE vmapped lax.sort of
+    the word-tagged concatenation; the Pallas kernel run-dedupes and
+    evaluates the AND + locate (the kernel twin of the XLA
+    and_variants_sorted path, numerically identical)."""
+    bsz, va, cap = a.shape
+    vb = b.shape[1]
+    n = (va + vb) * cap
+    q = min(q_for_stream(n), bsz)
+    assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, va, cap), 2)
+    av = jnp.where(lane_c < na[:, :, None], a, INF32).reshape(bsz, -1)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, vb, cap), 2)
+    bv = jnp.where(lane_c < nb[:, :, None], b, INF32).reshape(bsz, -1)
+    tag = jnp.concatenate([
+        jnp.where(av < INF32, 0, 2), jnp.where(bv < INF32, 1, 2)
+    ], axis=1).astype(jnp.int32)
+    vals, tag = jax.vmap(
+        lambda v, t: jax.lax.sort((v, t), num_keys=2)
+    )(jnp.concatenate([av, bv], axis=1), tag)
+    kernel = functools.partial(
+        _variants_and_locate_full_kernel, n=n, topk=topk
+    )
+    in_specs = [
+        pl.BlockSpec((q, n), lambda i: (i, 0)),
+        pl.BlockSpec((q, n), lambda i: (i, 0)),
+        pl.BlockSpec((q, 1), lambda i: (i, 0)),
+        pl.BlockSpec((q, 1), lambda i: (i, 0)),
+        pl.BlockSpec((q, 1), lambda i: (i, 0)),
+        pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+    ]
+    return _full_stream_call(
+        kernel, bsz, q, n, topk, hit_cap, interpret,
+        (vals, tag, ra.reshape(bsz, 1), rb.reshape(bsz, 1),
+         b_pad.astype(jnp.int32).reshape(bsz, 1), bounds.reshape(1, -1)),
+        in_specs,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "topk", "hit_cap", "interpret"))
+def pallas_union_locate_full(a, na, bounds, topk: int, hit_cap: int,
+                             interpret: bool = False):
+    """FULL-RESULT W=1 variant union: one vmapped lax.sort of the
+    [B, V, cap] variant blocks, run-dedupe + locate in the kernel
+    (the kernel twin of or_variants_sorted)."""
+    bsz, v, cap = a.shape
+    n = v * cap
+    q = min(q_for_stream(n), bsz)
+    assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, v, cap), 2)
+    av = jnp.where(lane_c < na[:, :, None], a, INF32).reshape(bsz, -1)
+    vals = jax.vmap(jax.lax.sort)(av)
+    kernel = functools.partial(_union_locate_full_kernel, n=n, topk=topk)
+    in_specs = [
+        pl.BlockSpec((q, n), lambda i: (i, 0)),
+        pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+    ]
+    return _full_stream_call(
+        kernel, bsz, q, n, topk, hit_cap, interpret,
+        (vals, bounds.reshape(1, -1)), in_specs,
     )
 
 

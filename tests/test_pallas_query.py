@@ -254,3 +254,56 @@ def test_full_result_without_docs(rng):
                                   np.asarray(brief.hits))
     np.testing.assert_array_equal(np.asarray(full.pages),
                                   np.asarray(brief.pages))
+
+
+def test_full_result_variant_kernels_match_xla(rng):
+    """The variant-OR full-result kernels (W=1 union + W=2 run-dedupe
+    AND) must equal the XLA and_variants_sorted/or_variants_sorted path
+    on every field — including cross-variant shared coordinates,
+    ordered mode, W-padded rows, and -1-padded variant slots."""
+    from docodo_tpu.ops import device_index as di
+
+    T = 40
+    # deliberately overlapping postings so variants share coordinates
+    base = np.sort(rng.integers(0, 1 << 16, 4000)).astype(np.int32)
+    tids = rng.integers(0, T, 4000).astype(np.int32)
+    st, sc, off = di.build_postings(tids, base, T)
+    n_pg = 30
+    bounds = jnp.asarray(np.arange(1, n_pg + 1, dtype=np.int32) * 2200)
+    pd = jnp.asarray((np.arange(n_pg) // 5).astype(np.int32))
+    hdr = jnp.asarray(np.arange(n_pg) % 5 == 0)
+
+    rng2 = np.random.default_rng(4)
+    # W=1, V=3 unions (with some -1 variant padding)
+    t1 = rng2.integers(0, T, (6, 1, 3)).astype(np.int32)
+    t1[2, 0, 2] = -1
+    t1[3, 0, 1:] = -1
+    r1 = np.full((6, 1), 260, np.int32)
+    # W=2, V=2 variant ANDs (ordered rows + W-padded row)
+    t2 = rng2.integers(0, T, (10, 2, 2)).astype(np.int32)
+    t2[3, 1, :] = -1           # W-padded: identity fold -> A's union
+    t2[5, 0, 1] = -1
+    r2 = np.full((10, 2), 300, np.int32)
+    r2[6:] = -40
+    for tq, rq in [(jnp.asarray(t1), jnp.asarray(r1)),
+                   (jnp.asarray(t2), jnp.asarray(r2))]:
+        xla = di.batched_query_full(
+            off, sc, bounds, pd, hdr, tq, rq, cap=128, topk=8,
+            hit_cap=512, use_pallas=False,
+        )
+        pls = di.batched_query_full(
+            off, sc, bounds, pd, hdr, tq, rq, cap=128, topk=8,
+            hit_cap=512, use_pallas=True,
+        )
+        np.testing.assert_array_equal(np.asarray(xla.pages),
+                                      np.asarray(pls.pages))
+        np.testing.assert_allclose(np.asarray(xla.ranks),
+                                   np.asarray(pls.ranks), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(xla.n_pages),
+                                      np.asarray(pls.n_pages))
+        np.testing.assert_array_equal(np.asarray(xla.n_hits),
+                                      np.asarray(pls.n_hits))
+        np.testing.assert_array_equal(np.asarray(xla.hits),
+                                      np.asarray(pls.hits))
+        np.testing.assert_allclose(np.asarray(xla.doc_ranks),
+                                   np.asarray(pls.doc_ranks), atol=1e-4)
