@@ -30,6 +30,7 @@ import zlib
 from typing import Dict, List, Optional, Tuple
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
 _STREAM_RE = re.compile(rb"stream\r?\n")
 
 
@@ -584,36 +585,199 @@ class PdfDocument:
         self._parsed: Dict[int, object] = {}
         self._from_objstm: set = set()
         self._scan_objects()
+        self._load_xref()
         self._crypt = self._setup_encryption(password)
         self._expand_object_streams()
         self.info = self._info()
         self.pages, self._page_resources = self._page_objects()
 
     # ---- object scan -----------------------------------------------------
+    def _body_at(self, start: int):
+        """Object body starting right after `N G obj`: returns
+        (dict/body bytes, raw stream bytes or None)."""
+        data = self.data
+        end = data.find(b"endobj", start)
+        if end < 0:
+            end = len(data)
+        body = data[start:end]
+        sm = _STREAM_RE.search(body)
+        if sm:
+            raw = body[sm.end():]
+            es = raw.rfind(b"endstream")
+            if es >= 0:
+                raw = raw[:es]
+            # Keep raw bytes intact: binary stream data (e.g. AES
+            # ciphertext) may legitimately end in 0x0a/0x0d. The EOL
+            # before `endstream` is trimmed in stream() — by /Length
+            # when present, by rstrip only as a fallback.
+            return body[: sm.start()], raw
+        return body, None
+
     def _scan_objects(self) -> None:
         data = self.data
         for m in _OBJ_RE.finditer(data):
             num = int(m.group(1))
-            start = m.end()
-            end = data.find(b"endobj", start)
-            if end < 0:
-                end = len(data)
-            body = data[start:end]
-            sm = _STREAM_RE.search(body)
-            if sm:
-                self.objects[num] = body[: sm.start()]
-                raw = body[sm.end():]
-                es = raw.rfind(b"endstream")
-                if es >= 0:
-                    raw = raw[:es]
-                # Keep raw bytes intact: binary stream data (e.g. AES
-                # ciphertext) may legitimately end in 0x0a/0x0d. The EOL
-                # before `endstream` is trimmed in stream() — by /Length
-                # when present, by rstrip only as a fallback.
+            body, raw = self._body_at(m.end())
+            self.objects[num] = body
+            if raw is not None:
                 self._raw_streams[num] = raw
-            else:
-                self.objects[num] = body
             self._gens[num] = int(m.group(2))
+
+    # ---- xref resolution -------------------------------------------------
+    # The linear scavenger above handles damaged files and most real
+    # incremental updates (last definition wins). When the file carries
+    # a VALID xref chain, prefer it: an update can roll an object BACK
+    # to an earlier offset, or reuse a freed object number with a
+    # bumped generation — cases where "last definition in the file" is
+    # the wrong object (ref DocumentDataSource.cs:27-117: PdfSharp
+    # resolves objects through the xref machinery). Any parse hiccup
+    # leaves the scavenger's result standing.
+    def _load_xref(self) -> None:
+        ms = list(_STARTXREF_RE.finditer(self.data))
+        if not ms:
+            return
+        entries: Dict[int, Tuple[int, int]] = {}  # num -> (offset, gen)
+        free: set = set()
+        seen = set()
+        off = int(ms[-1].group(1))
+        for _ in range(64):  # bounded /Prev chain walk
+            if off in seen or off <= 0 or off >= len(self.data):
+                break
+            seen.add(off)
+            try:
+                nxt = self._parse_xref_section(off, entries, free)
+            except Exception:  # noqa: BLE001 — damaged xref: scavenger wins
+                return
+            if nxt is None:
+                break
+            off = nxt
+        for num, (pos, gen) in entries.items():
+            if num in free:
+                continue
+            try:
+                self._load_obj_at(num, gen, pos)
+            except Exception:  # noqa: BLE001
+                continue
+
+    def _parse_xref_section(self, off: int, entries, free):
+        """Parse one xref table or xref stream at `off`; fills entries
+        (first-seen wins — the chain walks newest-first) and the free
+        set. Returns the /Prev offset or None."""
+        data = self.data
+        pos = _skip_ws(data, off)
+        if data[pos: pos + 4] == b"xref":
+            pos += 4
+            while True:
+                pos = _skip_ws(data, pos)
+                m = re.match(rb"(\d+)\s+(\d+)", data[pos: pos + 40])
+                if m is None:
+                    break
+                start, count = int(m.group(1)), int(m.group(2))
+                pos += m.end()
+                for i in range(count):
+                    pos = _skip_ws(data, pos)
+                    em = re.match(
+                        rb"(\d{10})\s+(\d{5})\s+([nf])",
+                        data[pos: pos + 20],
+                    )
+                    if em is None:
+                        raise ValueError("bad xref entry")
+                    pos += em.end()
+                    num = start + i
+                    if em.group(3) == b"n":
+                        entries.setdefault(
+                            num, (int(em.group(1)), int(em.group(2)))
+                        )
+                    elif num not in entries:
+                        free.add(num)
+            tpos = data.find(b"trailer", pos)
+            if tpos < 0:
+                return None
+            tdict, _ = _parse_value(data, _skip_ws(data, tpos + 7))
+            if not isinstance(tdict, dict):
+                return None
+            # hybrid-reference files: /XRefStm points at a stream with
+            # entries for objects the classic table marks free
+            if "XRefStm" in tdict:
+                try:
+                    self._parse_xref_section(
+                        int(tdict["XRefStm"]), entries, free
+                    )
+                except Exception:  # noqa: BLE001
+                    pass
+            prev = tdict.get("Prev")
+            return int(prev) if prev is not None else None
+        # xref STREAM (PDF 1.5+): an object whose stream encodes entries
+        m = _OBJ_RE.match(data, pos)
+        if m is None:
+            raise ValueError("no xref at offset")
+        body, raw = self._body_at(m.end())
+        sdict, _ = _parse_value(body, 0)
+        if not (isinstance(sdict, dict) and raw is not None):
+            raise ValueError("xref stream malformed")
+        ln = sdict.get("Length")
+        if isinstance(ln, int) and 0 <= ln <= len(raw):
+            raw = raw[:ln]
+        else:
+            raw = raw.rstrip(b"\r\n")
+        stream = _apply_filters(sdict, raw)
+        w = [int(x) for x in sdict.get("W", [])]
+        if len(w) != 3:
+            raise ValueError("bad /W")
+        size = int(sdict.get("Size", 0))
+        index = sdict.get("Index", [0, size])
+        rowlen = sum(w)
+        rpos = 0
+
+        def field(row, k, default):
+            a = sum(w[:k])
+            b = a + w[k]
+            if w[k] == 0:
+                return default
+            return int.from_bytes(row[a:b], "big")
+
+        pairs = [
+            (int(index[i]), int(index[i + 1]))
+            for i in range(0, len(index) - 1, 2)
+        ]
+        for start, count in pairs:
+            for i in range(count):
+                row = stream[rpos: rpos + rowlen]
+                rpos += rowlen
+                if len(row) < rowlen:
+                    break
+                typ = field(row, 0, 1)
+                f2 = field(row, 1, 0)
+                f3 = field(row, 2, 0)
+                num = start + i
+                if typ == 1:
+                    entries.setdefault(num, (f2, f3))
+                elif typ == 0 and num not in entries:
+                    free.add(num)
+                # typ == 2 (in an object stream): the objstm expansion
+                # pass resolves those (file-level copies win there)
+        prev = sdict.get("Prev")
+        return int(prev) if prev is not None else None
+
+    def _load_obj_at(self, num: int, gen: int, pos: int) -> None:
+        """Re-read one object from its xref-designated offset and
+        OVERRIDE the scavenger's pick (which keeps the last definition
+        in the file — wrong when an update rolled the object back or
+        reused its number with a bumped generation)."""
+        data = self.data
+        pos = _skip_ws(data, pos)
+        m = _OBJ_RE.match(data, pos)
+        if m is None or int(m.group(1)) != num:
+            return  # damaged offset: keep the scavenger's pick
+        body, raw = self._body_at(m.end())
+        self.objects[num] = body
+        if raw is not None:
+            self._raw_streams[num] = raw
+        elif num in self._raw_streams:
+            del self._raw_streams[num]
+        self._gens[num] = int(m.group(2))
+        self._parsed.pop(num, None)
+        self._from_objstm.discard(num)
 
     def obj(self, num: int):
         """Parsed object value (dict for dictionaries), cached."""

@@ -646,3 +646,128 @@ def test_pdf_truncated_bfrange_array_terminates():
             b"beginbfrange <01> <03> [ <0041> <0042> endbfrange\n")
     fm = _parse_tounicode(data)  # must return, not spin
     assert fm.nbytes == 1
+
+
+def _xref_pdf():
+    """A PDF whose LAST definition of the content object is stale: a
+    rolled-back incremental update left `5 0 obj (WRONG)` later in the
+    file, but the final xref table points object 5 at its ORIGINAL
+    offset. xref-aware resolution (ref DocumentDataSource.cs:27-117 —
+    PdfSharp resolves through xref) must pick CORRECT; the linear
+    last-definition scavenger alone would pick WRONG."""
+    head = b"%PDF-1.4\n"
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Title (XrefCase) >>\nendobj\n",
+        b"4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\n"
+        b"endobj\n",
+    ]
+    good = b"BT /F1 12 Tf 72 700 Td (CORRECT) Tj ET"
+    objs.append(
+        b"5 0 obj\n<< /Length " + str(len(good)).encode()
+        + b" >>\nstream\n" + good + b"\nendstream\nendobj\n"
+    )
+    offsets = {}
+    pos = len(head)
+    for i, o in enumerate(objs, start=1):
+        offsets[i] = pos
+        pos += len(o)
+    body = head + b"".join(objs)
+    # stale re-definition appended by a rolled-back update
+    bad = b"BT /F1 12 Tf 72 700 Td (WRONG) Tj ET"
+    body += (
+        b"5 1 obj\n<< /Length " + str(len(bad)).encode()
+        + b" >>\nstream\n" + bad + b"\nendstream\nendobj\n"
+    )
+    xref_pos = len(body)
+    ent = [b"0000000000 65535 f \n"] + [
+        f"{offsets[i]:010d} 00000 n \n".encode() for i in range(1, 6)
+    ]
+    body += (
+        b"xref\n0 6\n" + b"".join(ent)
+        + b"trailer\n<< /Size 6 /Root 1 0 R /Info 3 0 R >>\n"
+        + b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
+    )
+    return body
+
+
+def test_pdf_xref_overrides_stale_redefinition(tmp_path):
+    from docodo_tpu.sources.pdftext import PdfDocument
+
+    doc = PdfDocument(_xref_pdf())
+    text = doc.extract_page_text(0)
+    assert "CORRECT" in text and "WRONG" not in text
+    # generation follows the xref-designated object
+    assert doc._gens[5] == 0
+
+
+def test_pdf_damaged_xref_falls_back_to_scavenger():
+    """A corrupt xref offset must not break extraction — the linear
+    scavenger's pick stands (damaged-file robustness)."""
+    from docodo_tpu.sources.pdftext import PdfDocument
+
+    data = _xref_pdf()
+    # corrupt the startxref target
+    data = data.replace(
+        b"startxref\n", b"startxref\n9", 1
+    )
+    doc = PdfDocument(data)
+    text = doc.extract_page_text(0)
+    # scavenger semantics: last definition wins
+    assert "WRONG" in text
+
+
+def test_pdf_xref_stream_resolution():
+    """Same rollback scenario through a PDF 1.5 xref STREAM (/Type
+    /XRef, /W field widths) instead of a classic table."""
+    import zlib as _z
+
+    from docodo_tpu.sources.pdftext import PdfDocument
+
+    head = b"%PDF-1.5\n"
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Title (XrefStm) >>\nendobj\n",
+        b"4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\n"
+        b"endobj\n",
+    ]
+    good = b"BT /F1 12 Tf 72 700 Td (CORRECT) Tj ET"
+    objs.append(
+        b"5 0 obj\n<< /Length " + str(len(good)).encode()
+        + b" >>\nstream\n" + good + b"\nendstream\nendobj\n"
+    )
+    offsets = {}
+    pos = len(head)
+    for i, o in enumerate(objs, start=1):
+        offsets[i] = pos
+        pos += len(o)
+    body = head + b"".join(objs)
+    bad = b"BT /F1 12 Tf 72 700 Td (WRONG) Tj ET"
+    body += (
+        b"5 1 obj\n<< /Length " + str(len(bad)).encode()
+        + b" >>\nstream\n" + bad + b"\nendstream\nendobj\n"
+    )
+    xref_pos = len(body)
+    # /W [1 4 2]: type u8, offset u32be, gen u16be; entries 0..6
+    rows = [bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")]
+    for i in range(1, 6):
+        rows.append(
+            bytes([1]) + offsets[i].to_bytes(4, "big")
+            + (0).to_bytes(2, "big")
+        )
+    rows.append(  # the xref stream object itself (6)
+        bytes([1]) + xref_pos.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    )
+    stream = _z.compress(b"".join(rows))
+    body += (
+        b"6 0 obj\n<< /Type /XRef /Size 7 /W [1 4 2] /Root 1 0 R "
+        b"/Info 3 0 R /Filter /FlateDecode /Length "
+        + str(len(stream)).encode() + b" >>\nstream\n" + stream
+        + b"\nendstream\nendobj\n"
+        + b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
+    )
+    doc = PdfDocument(body)
+    text = doc.extract_page_text(0)
+    assert "CORRECT" in text and "WRONG" not in text
