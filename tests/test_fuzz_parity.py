@@ -35,7 +35,7 @@ def _corpus(rng, n_docs):
 def _requests(rng, n):
     reqs = []
     for _ in range(n):
-        kind = rng.randrange(5)
+        kind = rng.randrange(7)
         w = lambda: rng.choice(VOCAB)
         if kind == 0:
             reqs.append(w())
@@ -45,8 +45,15 @@ def _requests(rng, n):
             reqs.append(f'"{w()} {w()}"')
         elif kind == 3:
             reqs.append(f"{w()} | {w()}")
-        else:
+        elif kind == 4:
             reqs.append(f"{w()} {w()} {w()}")
+        elif kind == 5:
+            # '?' wildcard: replace one interior char of a vocab word
+            word = w()
+            i = rng.randrange(1, max(2, len(word) - 1))
+            reqs.append(word[:i] + "?" + word[i + 1:])
+        else:
+            reqs.append(f"{w()}? {w()}")
     return reqs
 
 
