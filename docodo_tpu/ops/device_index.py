@@ -27,6 +27,7 @@ Coordinates are int32: a single index shard addresses up to 2^31-1 chars
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
 from typing import List, NamedTuple, Optional, Sequence, Tuple
@@ -793,6 +794,8 @@ class DeviceIndex:
     offsets_np: np.ndarray
     page_doc_np: np.ndarray
     bounds_np: np.ndarray
+    # compile_group_query memo (immutable per staged index)
+    _cgq_cache: dict = dataclasses.field(default_factory=dict)
     # header-page ("0") mask for the device doc-rank boost; derived from
     # page_ids when absent (ref Search.cs:554-557)
     is_header: Optional[jax.Array] = None
@@ -970,7 +973,29 @@ class DeviceIndex:
         summed) — an a-priori scale for the RESULT size used to tier the
         hit-stream readback buffer (the result is not strictly bounded
         by it, so overflow is still detected via n_hits).
+
+        Compilations cache per query shape: production query streams
+        repeat heavily (the compile is pure dict/count lookups over this
+        immutable index), and the per-query Python otherwise dominates
+        the host-API batch path.
         """
+        try:
+            key = tuple(
+                (codes if isinstance(codes, str) else tuple(codes), r)
+                for codes, r in query
+            )
+        except TypeError:
+            key = None
+        if key is not None:
+            cached = self._cgq_cache.get(key)
+            if cached is not None or key in self._cgq_cache:
+                return cached
+        out = self._compile_group_query_uncached(query)
+        if key is not None and len(self._cgq_cache) < 200_000:
+            self._cgq_cache[key] = out
+        return out
+
+    def _compile_group_query_uncached(self, query):
         rows, rvals = [], []
         need = 1
         min_need = None
