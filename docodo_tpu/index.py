@@ -420,14 +420,15 @@ class Index:
             nonlocal pend_n
             if not pend_ids:
                 return
-            id_words.extend(
-                interner.terms_range(len(id_words), len(interner))
-            )
-            builder.add_interned(
-                np.concatenate(pend_ids),
-                np.concatenate(pend_starts),
-                id_words,
-            )
+            with profiling.phase("build.wordcode+gather"):
+                id_words.extend(
+                    interner.terms_range(len(id_words), len(interner))
+                )
+                builder.add_interned(
+                    np.concatenate(pend_ids),
+                    np.concatenate(pend_starts),
+                    id_words,
+                )
             pend_ids.clear()
             pend_starts.clear()
             pend_n = 0
@@ -451,10 +452,11 @@ class Index:
                             builder.end_page(page.id, coord)
                             continue
                         if interner is not None:
-                            ids, starts = npipe.tokenize_intern_native(
-                                page.text, interner,
-                                C.MIN_WORD_LENGTH, C.MAX_WORD_LENGTH,
-                            )
+                            with profiling.phase("build.tokenize"):
+                                ids, starts = npipe.tokenize_intern_native(
+                                    page.text, interner,
+                                    C.MIN_WORD_LENGTH, C.MAX_WORD_LENGTH,
+                                )
                             pend_ids.append(ids)
                             pend_starts.append(
                                 starts.astype(np.uint64) + np.uint64(coord)
@@ -488,7 +490,8 @@ class Index:
         flush()
         if interner is not None:
             interner.close()
-        builder.save()
+        with profiling.phase("build.spill-save"):
+            builder.save()
 
     def _index_header_page(self, builder: "IndexBuilder", text: str, coord: int) -> int:
         """Header page: 'name=value' lines index '&name' at the value start

@@ -130,39 +130,42 @@ def stem_en_bulk(words):
 
     import numpy as np
 
-    raws = []
-    ok = True
-    for w in words:
-        try:
-            raws.append(w.encode("ascii"))
-        except UnicodeEncodeError:
-            ok = False
-            raws.append(b"")
-    lens = np.fromiter(
-        (len(r) if r else -1 for r in raws), np.int32, len(raws)
-    )
-    covered = lens > 0
-    if not ok:
-        raws_c = [r for r in raws if r]
+    try:
+        # one join + one encode for the whole batch (ascii: byte count
+        # == char count, so lens come from the strings)
+        blob = "".join(words).encode("ascii")
+        lens_c = np.fromiter((len(w) for w in words), np.int32, len(words))
+        covered = np.ones(len(words), dtype=bool)
+        n_covered = len(words)
+    except UnicodeEncodeError:
+        raws = []
+        for w in words:
+            try:
+                raws.append(w.encode("ascii"))
+            except UnicodeEncodeError:
+                raws.append(b"")
+        lens = np.fromiter(
+            (len(r) if r else -1 for r in raws), np.int32, len(raws)
+        )
+        covered = lens > 0
         lens_c = lens[covered]
-    else:
-        raws_c, lens_c = raws, lens
-    blob = b"".join(raws_c)
-    total = len(blob) + 2 * len(raws_c) + 8
+        blob = b"".join(r for r in raws if r)
+        n_covered = int(covered.sum())
+    total = len(blob) + 2 * n_covered + 8
     out_blob = ctypes.create_string_buffer(total)
-    out_lens = np.empty(max(len(raws_c), 1), dtype=np.int32)
+    out_lens = np.empty(max(n_covered, 1), dtype=np.int32)
     lib.docodo_stem_en_bulk(
-        blob, lens_c.ctypes.data_as(ctypes.c_void_p), len(raws_c),
+        blob, lens_c.ctypes.data_as(ctypes.c_void_p), n_covered,
         out_blob, out_lens.ctypes.data_as(ctypes.c_void_p),
     )
     # one decode of the whole stem blob, then string slicing (ascii:
     # byte offsets == char offsets)
-    total_out = int(np.maximum(out_lens[: len(raws_c)], 0).sum())
+    total_out = int(np.maximum(out_lens[:n_covered], 0).sum())
     blob_out = out_blob.raw[:total_out].decode("ascii")
     out = []
     pos = 0
     k = 0
-    lens_list = out_lens[: len(raws_c)].tolist()
+    lens_list = out_lens[:n_covered].tolist()
     for i, w in enumerate(words):
         if not covered[i]:
             out.append(_stem_en_py(w))
