@@ -53,8 +53,11 @@ INT32_MAX = int(INF32)
 # more merge/compact stages per query (variant ORs, hit compaction), so
 # the lax.sort merge pays off far earlier than on the page-level path
 # (measured on TPU v5e: caps 1024/2048 W2V2 run 2.1-2.8x faster at 512
-# than at the page-level path's 4096 crossover, identical checksums)
-FULL_CA_MAX = 512
+# than at the page-level path's 4096 crossover, identical checksums).
+# DOCODO_FULL_CA_MAX overrides for tuning.
+import os as _os
+
+FULL_CA_MAX = int(_os.environ.get("DOCODO_FULL_CA_MAX", "512"))
 
 
 def _fold_select(skip, acc, keep_acc, n_acc, vals, keep):

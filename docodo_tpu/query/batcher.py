@@ -684,6 +684,11 @@ class BatchExecutor:
             # field-only request — the field row (host parity: res is
             # resf when the main expression is empty, Search.cs:679-682)
             row = mains[i] if mains[i] is not None else frows[i]
+            if row is None:  # defensive: no rows at all -> empty result
+                p.result = SearchResult()
+                p.result.words = p.words
+                p.event.set()
+                continue
             res = prepare_search_result(
                 self._row_coords(out, row), self.index.pages, []
             )

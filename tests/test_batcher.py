@@ -330,3 +330,30 @@ def test_field_queries_ride_device(tmp_path):
     finally:
         ex.close()
         ind.dispose()
+
+
+def test_pipelined_mode_serves_fields_and_wildcards(tmp_path):
+    """The pipelined dispatch path must carry the main/field row split
+    through the completion thread."""
+    import docodo_tpu
+
+    ind = docodo_tpu.Index(path=str(tmp_path / "pf"), in_memory=True)
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile("alpha", "the pickwick club met at noon",
+                           "name=alpha\nauthor=dickens"),
+        IndexPagedTextFile("beta", "the club adjourned after dinner",
+                           "name=beta\nauthor=trollope"),
+    ]))
+    ind.create()
+    ex = BatchExecutor(ind, max_wait_ms=1.0, pipeline=True)
+    try:
+        for req in ["club {author=dickens}", "{author=trollope}",
+                    "clu?", "dinner"]:
+            dev = ex.search(req)
+            host = ind.search(req)
+            assert dev == host, req
+            assert [d.name for d in dev.found_docs] == \
+                [d.name for d in host.found_docs], req
+        assert ex.stats["host_queries"] == 0, ex.stats
+    finally:
+        ex.close()
