@@ -269,7 +269,7 @@ class ShardedDeviceIndex:
 
     # ---- serving ---------------------------------------------------------------
     def search_batch(self, queries, topk: int = 64, hit_cap: int = 1024,
-                     materialize: bool = True) -> List[SearchResult]:
+                     materialize=True) -> List[SearchResult]:
         """Evaluate group queries over the mesh and materialize full
         SearchResults with exact host parity.
 
@@ -280,6 +280,12 @@ class ShardedDeviceIndex:
         cross a shard boundary carry boundary_risk=True (the contiguous
         sharding contract drops cross-boundary matches — see the module
         docstring; exact results are unflagged).
+
+        materialize: True = full (snippets/headers); False = brief
+        (finalize_doc_ranks only); "defer" = RAW results (doc.rank is
+        still the sum of page ranks, no materialization at all) — for
+        callers that combine several rows (field-query doc intersection)
+        before running their own materialize/finalize pass.
 
         Queries are (cap, W, V)-shape-bucketed: each bucket runs its own
         cached jitted mesh program, so one frequent word no longer drags
@@ -372,6 +378,8 @@ class ShardedDeviceIndex:
                 (abs(r) for _, r in q), default=0
             )
             combined.boundary_risk = self.boundary_risk(q, max_r)
+            if materialize == "defer":
+                continue  # caller combines rows, then materializes
             if materialize:
                 self.index._materialize_docs(combined)
                 combined.found_docs.sort(key=lambda d: d.rank)

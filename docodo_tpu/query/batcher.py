@@ -509,8 +509,7 @@ class BatchExecutor:
             self.index, req, words_out=words, n_found=self._n_found,
             reason_out=reason, field_out=fields,
         )
-        if compiled is None or (fields and self.mesh is not None):
-            # (mesh serving doesn't row-split field queries yet)
+        if compiled is None:
             key = ("fallback_unsupported"
                    if (reason and reason[0] == "unsupported")
                    else "fallback_shape")
@@ -722,22 +721,44 @@ class BatchExecutor:
         self._bump(material_s=time.perf_counter() - t1)
 
     def _execute_sharded(self, batch: List[_Pending]) -> None:
-        """Mesh-sharded execution: ShardedDeviceIndex returns complete
-        SearchResults (per-shard materialization included); truncated
-        queries come back None and re-serve on the caller's thread."""
+        """Mesh-sharded execution: rows evaluate RAW on the mesh
+        (materialize="defer"), main/field row pairs doc-intersect here,
+        then the batch materializes/finalizes exactly like the
+        single-chip path; truncated queries come back None and re-serve
+        on the caller's thread."""
+        from docodo_tpu.query.search import combine_search_results
+
         t0 = time.perf_counter()
+        rows, mains, frows = self._batch_rows(batch)
         results = self.sdi.search_batch(
-            [p.compiled for p in batch], topk=self.topk,
-            hit_cap=self.hit_cap, materialize=self.materialize,
+            rows, topk=self.topk, hit_cap=self.hit_cap,
+            materialize="defer",
         )
         self._bump(batches=1, device_s=time.perf_counter() - t0)
-        for p, res in zip(batch, results):
-            if res is None:
+        for i, p in enumerate(batch):
+            qrows = [r for r in (mains[i], frows[i]) if r is not None]
+            if not qrows:
+                p.result = SearchResult()
+                p.result.words = p.words
+                p.event.set()
+                continue
+            if any(results[r] is None for r in qrows):
                 self._bump(truncated_fallbacks=1)
+                p.event.set()
+                continue
+            row = mains[i] if mains[i] is not None else frows[i]
+            res = results[row]
+            if mains[i] is not None and frows[i] is not None:
+                res = combine_search_results(res, results[frows[i]])
+            if any(results[r].boundary_risk for r in qrows):
+                res.boundary_risk = True
+                self._bump(boundary_risk=1)
+            if self.materialize:
+                self.index._materialize_docs(res)
+                res.found_docs.sort(key=lambda d: d.rank)
             else:
-                self._bump(device_queries=1)
-                if res.boundary_risk:
-                    self._bump(boundary_risk=1)
-                res.words = p.words
-                p.result = res
+                finalize_doc_ranks(res)
+            self._bump(device_queries=1)
+            res.words = p.words
+            p.result = res
             p.event.set()

@@ -155,9 +155,12 @@ def test_batcher_serves_from_mesh(ind):
         res = ex.search("clu?")
         host = ind.search("clu?")
         assert res.success and _doc_view(res) == _doc_view(host)
-        # field queries aren't row-split on the mesh yet -> host engine
+        # field queries row-split on the mesh now too
+        hq_before = ex.stats["host_queries"]
         res = ex.search("{name=x} club")
-        assert res.success and ex.stats["host_queries"] >= 1
+        host = ind.search("{name=x} club")
+        assert res.success and _doc_view(res) == _doc_view(host)
+        assert ex.stats["host_queries"] == hq_before
     finally:
         ex.close()
 
