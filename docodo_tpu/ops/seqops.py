@@ -121,6 +121,9 @@ def compact_mask(vals, mask, out_cap: int, ca_max: int = None):
     compare + reduce, no gathers/scatters/sorts. Elsewhere (or for large
     streams) one `lax.sort` of the INF-masked stream compacts it, since
     ascending order makes masking + sorting a stable partition.
+
+    (A p x out_cap one-hot for long-stream/small-buffer shapes measured
+    NEUTRAL on TPU v5e — the sort path stays for p > 2*ca_max.)
     """
     p = vals.shape[0]
     if p <= 2 * (ca_max if ca_max is not None else _compare_all_max()) and _use_compare_all():
