@@ -429,7 +429,7 @@ class BatchExecutor:
             # why queries bypassed the device (verdict: surface the
             # fallback reason, not just the count)
             "fallback_unsupported": 0, "fallback_shape": 0,
-            "fallback_no_index": 0,
+            "fallback_no_index": 0, "escalations": 0,
             # mesh serving: results whose proximity window could cross
             # a shard boundary (may miss cross-boundary matches; see
             # parallel/serving.py boundary contract)
@@ -519,13 +519,71 @@ class BatchExecutor:
                      field_compiled=fields[0] if fields else None,
                      words=words)
         self._q.put(p)
-        if not p.event.wait(timeout) or p.result is None:
-            # device stall, or a rank-truncated result the device can't
-            # serve exactly: re-serve host-side ON THIS THREAD — running
-            # fallbacks in the collector would serialize every pending
-            # batch behind them
+        if not p.event.wait(timeout):
+            return self.index.search(req)  # device stall
+        if p.result is None:
+            # rank-truncated: ESCALATE on this caller's thread — one
+            # more device pass with a budget sized to the query's
+            # posting volume serves frequent-word results exactly
+            # instead of punting the most expensive queries to the
+            # host engine; only results that still overflow (pages >
+            # the escalated top-k) re-serve host-side
+            res = self._escalate(p)
+            if res is not None:
+                return res
             return self.index.search(req)
         return p.result
+
+    # escalation budget: top-k pages cap (the reference serves up to
+    # MAX_FOUND_PAGES=30000; 2048 covers frequent words on real corpora)
+    ESC_TOPK = 2048
+    ESC_CAP_MAX = 16384  # beyond this the hit buffers get silly — host
+
+    def _escalate(self, p: _Pending) -> Optional[SearchResult]:
+        if self.di is None:
+            return None
+        rows = [r for r in (p.compiled or None, p.field_compiled)
+                if r]
+        sizes = []
+        for q in rows:
+            cg = self.di.compile_group_query(q)
+            if cg is None:
+                sizes.append((64, 1))
+                continue
+            _, _, w, v, need, _ = cg
+            sizes.append((need, v))
+        need = max((n for n, _ in sizes), default=1)
+        vmax = max((v for _, v in sizes), default=1)
+        if need > self.ESC_CAP_MAX:
+            return None
+        cap = 128
+        while cap < need:
+            cap <<= 1
+        # kept hits never exceed the merged stream, so this hit budget
+        # cannot truncate; topk clamps to the SHORTEST possible stream
+        # (a W=1 query's stream is `cap` — lax.top_k requires k <= n),
+        # so only n_pages > that still falls through to the host
+        hit_cap = cap * max(2, 2 * vmax)
+        topk = min(self.ESC_TOPK, cap)
+        out = self.di.search_batch_full(
+            rows, topk=topk, hit_cap=hit_cap, cap=cap,
+            fused=False, want_docs=not self.materialize,
+        )
+        mains = [0] if p.compiled else [None]
+        frows = (
+            [len(rows) - 1] if p.field_compiled is not None else [None]
+        )
+        if any(
+            int(out["n_pages"][r]) > topk or int(out["n_hits"][r]) > hit_cap
+            for r in (mains[0], frows[0]) if r is not None
+        ):
+            return None
+        self._bump(escalations=1)
+        shadow = _Pending(req=p.req, compiled=p.compiled,
+                          field_compiled=p.field_compiled, words=p.words)
+        self._deliver([shadow], out, time.perf_counter(), mains, frows,
+                      topk=topk, hit_cap=hit_cap)
+        return shadow.result
 
     def close(self) -> None:
         self._stop.set()
@@ -661,15 +719,20 @@ class BatchExecutor:
         return hits[hits < INT32_MAX].astype(np.uint64)
 
     def _deliver(self, batch: List[_Pending], out, t1: float,
-                 mains, frows) -> None:
-        """Materialize one executed batch's rows and release waiters."""
+                 mains, frows, topk: Optional[int] = None,
+                 hit_cap: Optional[int] = None) -> None:
+        """Materialize one executed batch's rows and release waiters.
+        topk/hit_cap override the batch budgets (the escalation path
+        runs with its own)."""
         from docodo_tpu.query.search import combine_search_results
 
+        topk = self.topk if topk is None else topk
+        hit_cap = self.hit_cap if hit_cap is None else hit_cap
         for i, p in enumerate(batch):
             qrows = [r for r in (mains[i], frows[i]) if r is not None]
             if any(
-                int(out["n_pages"][r]) > self.topk
-                or int(out["n_hits"][r]) > self.hit_cap
+                int(out["n_pages"][r]) > topk
+                or int(out["n_hits"][r]) > hit_cap
                 for r in qrows
             ):
                 # rank-truncated result: the caller's thread re-serves it

@@ -357,3 +357,44 @@ def test_pipelined_mode_serves_fields_and_wildcards(tmp_path):
         assert ex.stats["host_queries"] == 0, ex.stats
     finally:
         ex.close()
+
+
+def test_truncated_queries_escalate_on_device(tmp_path):
+    """A query whose result overflows the batch top-k budget must be
+    RE-SERVED ON DEVICE with an escalated budget (not punted to the
+    host), with exact host parity — frequent words are the expensive
+    queries, exactly where the device matters."""
+    import docodo_tpu
+
+    # 40 docs all containing 'common' -> n_pages(40) > topk(8)
+    ind = docodo_tpu.Index(path=str(tmp_path / "esc"), in_memory=True)
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile(
+            f"d{i}", f"common words appear here plus unique{i} token", ""
+        )
+        for i in range(40)
+    ]))
+    ind.create()
+    ex = BatchExecutor(ind, max_wait_ms=1.0, topk=8, hit_cap=16)
+    try:
+        dev = ex.search("common")
+        host = ind.search("common")
+        assert dev == host
+        assert [d.name for d in dev.found_docs] == \
+            [d.name for d in host.found_docs]
+        assert ex.stats["escalations"] == 1, ex.stats
+        assert ex.stats["host_queries"] == 0, ex.stats
+        # brief mode escalates too (device doc ranks at the bigger topk)
+    finally:
+        ex.close()
+    ex2 = BatchExecutor(ind, max_wait_ms=1.0, topk=8, hit_cap=16,
+                        materialize=False)
+    try:
+        dev = ex2.search("common")
+        host = ind.search("common")
+        assert dev == host
+        assert [d.name for d in dev.found_docs] == \
+            [d.name for d in host.found_docs]
+        assert ex2.stats["escalations"] == 1, ex2.stats
+    finally:
+        ex2.close()
