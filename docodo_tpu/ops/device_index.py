@@ -1031,6 +1031,7 @@ class DeviceIndex:
         cap_ladder: Optional[Sequence[int]] = None,
         fused: bool = True, deferred: bool = False,
         want_docs: bool = True, use_pallas: Optional[bool] = None,
+        clamp_budgets: bool = False,
     ):
         """Full-result batch evaluation with per-word variant ORs.
 
@@ -1046,6 +1047,13 @@ class DeviceIndex:
         recompute doc ranks host-side (full materialization) pass
         want_docs=False and skip those readback bytes.
         n_pages > topk or n_hits > hit_cap flags rank truncation.
+
+        clamp_budgets (the ESCALATION mode): per bucket, topk clamps to
+        the bucket cap (lax.top_k needs k <= the stream length) and the
+        hit buffer to the merged-stream bound (so hits can never
+        truncate); the per-row effective budgets come back in
+        out["topk_eff"]/out["hit_cap_eff"] for the caller's truncation
+        check.
         """
         if use_pallas is None:
             import os
@@ -1067,6 +1075,9 @@ class DeviceIndex:
         if want_docs:
             out["docs"] = np.full((b, topk), -1, dtype=np.int32)
             out["doc_ranks"] = np.zeros((b, topk), dtype=np.float32)
+        if clamp_budgets:
+            out["topk_eff"] = np.full(b, topk, dtype=np.int64)
+            out["hit_cap_eff"] = np.full(b, hit_cap, dtype=np.int64)
 
         def round_cap(need: int) -> int:
             if cap:
@@ -1113,7 +1124,15 @@ class DeviceIndex:
         terms_list, rs_list, caps_list, hcaps_list, idx_list = (
             [], [], [], [], []
         )
+        topks_list = []
         for (qcap, w, vb, hb), idxs in sorted(buckets.items()):
+            topk_b = topk
+            if clamp_budgets:
+                topk_b = min(topk, qcap)
+                hb = min(hit_cap, qcap * max(2, 2 * vb))
+                out["topk_eff"][idxs] = topk_b
+                out["hit_cap_eff"][idxs] = hb
+            topks_list.append(topk_b)
             brows = _bucket4(len(idxs)) if not fused else _bucket(
                 len(idxs), lo=8
             )
@@ -1138,7 +1157,7 @@ class DeviceIndex:
 
         if not idx_list:
             return (lambda: out) if deferred else out
-        if fused:
+        if fused and not clamp_budgets:
             outs = multi_bucket_query_full(
                 self.term_offsets, self.coords, self.bounds, self.page_doc,
                 self.header_mask(), tuple(terms_list), tuple(rs_list),
@@ -1153,11 +1172,12 @@ class DeviceIndex:
                 batched_query_full(
                     self.term_offsets, self.coords, self.bounds,
                     self.page_doc, self.header_mask(), tq, rq,
-                    cap=qcap, topk=topk, hit_cap=hb,
+                    cap=qcap, topk=tk, hit_cap=hb,
                     with_docs=want_docs, use_pallas=use_pallas,
                 )
-                for tq, rq, qcap, hb in zip(
-                    terms_list, rs_list, caps_list, hcaps_list
+                for tq, rq, qcap, hb, tk in zip(
+                    terms_list, rs_list, caps_list, hcaps_list,
+                    topks_list
                 )
             ]
         def finish():
@@ -1166,14 +1186,16 @@ class DeviceIndex:
             # round trips, and remote-tunnel devices stall intermittently
             # under many small readbacks (see CLAUDE.md)
             outs_h = jax.device_get(outs)
-            for idxs, hb, o in zip(idx_list, hcaps_list, outs_h):
+            for idxs, hb, tk, o in zip(idx_list, hcaps_list, topks_list,
+                                       outs_h):
                 n = len(idxs)
-                out["pages"][idxs] = o.pages[:n]
-                out["ranks"][idxs] = o.ranks[:n]
-                out["counts"][idxs] = o.counts[:n]
+                out["pages"][np.ix_(idxs, range(tk))] = o.pages[:n]
+                out["ranks"][np.ix_(idxs, range(tk))] = o.ranks[:n]
+                out["counts"][np.ix_(idxs, range(tk))] = o.counts[:n]
                 if want_docs:
-                    out["docs"][idxs] = o.docs[:n]
-                    out["doc_ranks"][idxs] = o.doc_ranks[:n]
+                    out["docs"][np.ix_(idxs, range(tk))] = o.docs[:n]
+                    out["doc_ranks"][np.ix_(idxs, range(tk))] = \
+                        o.doc_ranks[:n]
                 out["n_pages"][idxs] = o.n_pages[:n]
                 # a query overflowing its TIER (within the global budget)
                 # must flag truncation: n_hits > hits columns delivered

@@ -367,6 +367,7 @@ class _Pending:
     words: list = field(default_factory=list)
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[SearchResult] = None
+    esc: bool = False  # second (escalated-budget) device attempt
 
 
 class BatchExecutor:
@@ -376,7 +377,8 @@ class BatchExecutor:
                  max_batch: int = 512, max_wait_ms: float = 2.0,
                  topk: int = 64, hit_cap: int = 1024,
                  materialize: bool = True, mesh=None,
-                 pipeline: Optional[bool] = None):
+                 pipeline: Optional[bool] = None,
+                 escalate: Optional[bool] = None):
         """With `mesh`, serve from a document-sharded mesh index
         (parallel/serving.ShardedDeviceIndex) instead of a single-chip
         DeviceIndex — corpora larger than one device's HBM.
@@ -408,6 +410,16 @@ class BatchExecutor:
 
             pipeline = os.environ.get("DOCODO_PIPELINE") == "1"
         self.pipeline = bool(pipeline) and mesh is None
+        if escalate is None:
+            import os
+
+            # a truncated query's SECOND batched device pass with
+            # escalated budgets: the right default on locally-attached
+            # devices (the heaviest queries stay on device); OFF here
+            # because each escalated wave pays the tunnel's ~300 ms
+            # dispatch+readback floor (measured: serve QPS 164 -> 96)
+            escalate = os.environ.get("DOCODO_ESCALATE") == "1"
+        self.escalate = bool(escalate)
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._done_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
@@ -519,71 +531,37 @@ class BatchExecutor:
                      field_compiled=fields[0] if fields else None,
                      words=words)
         self._q.put(p)
-        if not p.event.wait(timeout):
-            return self.index.search(req)  # device stall
-        if p.result is None:
-            # rank-truncated: ESCALATE on this caller's thread — one
-            # more device pass with a budget sized to the query's
-            # posting volume serves frequent-word results exactly
-            # instead of punting the most expensive queries to the
-            # host engine; only results that still overflow (pages >
-            # the escalated top-k) re-serve host-side
-            res = self._escalate(p)
-            if res is not None:
-                return res
+        if not p.event.wait(timeout) or p.result is None:
+            # device stall, or a result that overflowed even the
+            # escalated budget: re-serve host-side ON THIS THREAD —
+            # fallbacks in the collector would serialize every pending
+            # batch behind them
             return self.index.search(req)
         return p.result
 
-    # escalation budget: top-k pages cap (the reference serves up to
-    # MAX_FOUND_PAGES=30000; 2048 covers frequent words on real corpora)
+    # escalation budgets: a rank-truncated query re-enqueues and the
+    # collector serves the escalated set as ONE batched device pass
+    # (per-query escalation would pay one dispatch RTT each — measured
+    # 164 -> 97 QPS over the tunnel). Budgets clamp per bucket inside
+    # search_batch_full; queries above ESC_CAP_MAX go host-side.
     ESC_TOPK = 2048
-    ESC_CAP_MAX = 16384  # beyond this the hit buffers get silly — host
+    ESC_HIT_CAP = 1 << 13
+    # only moderate posting volumes escalate: the clamped budgets keep
+    # those kernels cheap and the hit readbacks small; true monster
+    # queries (cap > 2048) cost less on the host engine than their
+    # device streams would
+    ESC_CAP_MAX = 2048
 
-    def _escalate(self, p: _Pending) -> Optional[SearchResult]:
-        if self.di is None:
-            return None
-        rows = [r for r in (p.compiled or None, p.field_compiled)
-                if r]
-        sizes = []
-        for q in rows:
-            cg = self.di.compile_group_query(q)
-            if cg is None:
-                sizes.append((64, 1))
+    def _esc_eligible(self, p: _Pending) -> bool:
+        if not self.escalate or self.di is None or p.esc:
+            return False
+        for q in (p.compiled or None, p.field_compiled):
+            if not q:
                 continue
-            _, _, w, v, need, _ = cg
-            sizes.append((need, v))
-        need = max((n for n, _ in sizes), default=1)
-        vmax = max((v for _, v in sizes), default=1)
-        if need > self.ESC_CAP_MAX:
-            return None
-        cap = 128
-        while cap < need:
-            cap <<= 1
-        # kept hits never exceed the merged stream, so this hit budget
-        # cannot truncate; topk clamps to the SHORTEST possible stream
-        # (a W=1 query's stream is `cap` — lax.top_k requires k <= n),
-        # so only n_pages > that still falls through to the host
-        hit_cap = cap * max(2, 2 * vmax)
-        topk = min(self.ESC_TOPK, cap)
-        out = self.di.search_batch_full(
-            rows, topk=topk, hit_cap=hit_cap, cap=cap,
-            fused=False, want_docs=not self.materialize,
-        )
-        mains = [0] if p.compiled else [None]
-        frows = (
-            [len(rows) - 1] if p.field_compiled is not None else [None]
-        )
-        if any(
-            int(out["n_pages"][r]) > topk or int(out["n_hits"][r]) > hit_cap
-            for r in (mains[0], frows[0]) if r is not None
-        ):
-            return None
-        self._bump(escalations=1)
-        shadow = _Pending(req=p.req, compiled=p.compiled,
-                          field_compiled=p.field_compiled, words=p.words)
-        self._deliver([shadow], out, time.perf_counter(), mains, frows,
-                      topk=topk, hit_cap=hit_cap)
-        return shadow.result
+            cg = self.di.compile_group_query(q)
+            if cg is not None and cg[4] > self.ESC_CAP_MAX:
+                return False
+        return True
 
     def close(self) -> None:
         self._stop.set()
@@ -612,13 +590,18 @@ class BatchExecutor:
                     batch.append(self._q.get(timeout=left))
                 except queue.Empty:
                     break
-            try:
-                if self.pipeline:
-                    self._dispatch_pipelined(batch)
-                else:
-                    self._execute(batch)
-            except Exception as e:  # noqa: BLE001 — fail the whole batch over
-                self._fail(batch, e)
+            normal = [p for p in batch if not p.esc]
+            esc = [p for p in batch if p.esc]
+            for sub, escalated in ((normal, False), (esc, True)):
+                if not sub:
+                    continue
+                try:
+                    if self.pipeline:
+                        self._dispatch_pipelined(sub, escalated)
+                    else:
+                        self._execute(sub, escalated)
+                except Exception as e:  # noqa: BLE001 — fail the batch
+                    self._fail(sub, e)
 
     @staticmethod
     def _fail(batch: List[_Pending], e: BaseException) -> None:
@@ -651,7 +634,13 @@ class BatchExecutor:
                 frows.append(None)
         return rows, mains, frows
 
-    def _dispatch_pipelined(self, batch: List[_Pending]) -> None:
+    def _budgets(self, escalated: bool):
+        if escalated:
+            return self.ESC_TOPK, self.ESC_HIT_CAP
+        return self.topk, self.hit_cap
+
+    def _dispatch_pipelined(self, batch: List[_Pending],
+                            escalated: bool = False) -> None:
         """Dispatch the device program and hand the pending readback to
         the completion thread; bounded queue depth 2 applies
         backpressure (one batch in flight + one queued)."""
@@ -659,13 +648,15 @@ class BatchExecutor:
             return self._execute_sharded(batch)
         t0 = time.perf_counter()
         rows, mains, frows = self._batch_rows(batch)
+        topk, hit_cap = self._budgets(escalated)
         finish = self.di.search_batch_full(
-            rows, topk=self.topk,
-            hit_cap=self.hit_cap, cap_ladder=self.CAP_LADDER,
+            rows, topk=topk,
+            hit_cap=hit_cap, cap_ladder=self.CAP_LADDER,
             fused=False, deferred=True,
             # full materialization recomputes doc ranks host-side; only
             # brief mode consumes the device ranks (skip the readback)
             want_docs=not self.materialize,
+            clamp_budgets=escalated,
         )
         self._bump(batches=1, device_s=time.perf_counter() - t0)
         while not self._stop.is_set():
@@ -695,20 +686,23 @@ class BatchExecutor:
     # query batches churn, so tight caps would compile endlessly
     CAP_LADDER = (128, 1024, 16384, 1 << 17)
 
-    def _execute(self, batch: List[_Pending]) -> None:
+    def _execute(self, batch: List[_Pending],
+                 escalated: bool = False) -> None:
         if self.sdi is not None:
             return self._execute_sharded(batch)
         t0 = time.perf_counter()
         rows, mains, frows = self._batch_rows(batch)
+        topk, hit_cap = self._budgets(escalated)
         out = self.di.search_batch_full(
-            rows, topk=self.topk,
-            hit_cap=self.hit_cap, cap_ladder=self.CAP_LADDER,
+            rows, topk=topk,
+            hit_cap=hit_cap, cap_ladder=self.CAP_LADDER,
             # per-bucket cached jits: serving batch COMPOSITIONS churn per
             # request wave, and the fused multi-bucket program recompiles
             # per composition tuple (minutes over a remote-tunnel device);
             # individual bucket shapes recur and hit the jit cache
             fused=False,
             want_docs=not self.materialize,
+            clamp_budgets=escalated,
         )
         t1 = time.perf_counter()
         self._bump(batches=1, device_s=t1 - t0)
@@ -728,19 +722,32 @@ class BatchExecutor:
 
         topk = self.topk if topk is None else topk
         hit_cap = self.hit_cap if hit_cap is None else hit_cap
+        tk_eff = out.get("topk_eff")
+        hc_eff = out.get("hit_cap_eff")
         for i, p in enumerate(batch):
             qrows = [r for r in (mains[i], frows[i]) if r is not None]
             if any(
-                int(out["n_pages"][r]) > topk
-                or int(out["n_hits"][r]) > hit_cap
+                int(out["n_pages"][r]) > (
+                    tk_eff[r] if tk_eff is not None else topk
+                )
+                or int(out["n_hits"][r]) > (
+                    hc_eff[r] if hc_eff is not None else hit_cap
+                )
                 for r in qrows
             ):
-                # rank-truncated result: the caller's thread re-serves it
-                # host-side (result stays None) so served results never
-                # silently diverge from the host engine
+                # rank-truncated: re-enqueue ONCE with escalated budgets
+                # (served as one batched second pass — per-query retries
+                # pay a dispatch RTT each); queries too big even for the
+                # escalated budget go to the caller's host fallback
+                if self._esc_eligible(p):
+                    p.esc = True
+                    self._q.put(p)
+                    continue
                 self._bump(truncated_fallbacks=1)
                 p.event.set()
                 continue
+            if p.esc:
+                self._bump(escalations=1)
             self._bump(device_queries=1)
             # the primary row: the main expression, or — for a
             # field-only request — the field row (host parity: res is

@@ -375,7 +375,8 @@ def test_truncated_queries_escalate_on_device(tmp_path):
         for i in range(40)
     ]))
     ind.create()
-    ex = BatchExecutor(ind, max_wait_ms=1.0, topk=8, hit_cap=16)
+    ex = BatchExecutor(ind, max_wait_ms=1.0, topk=8, hit_cap=16,
+                       escalate=True)
     try:
         dev = ex.search("common")
         host = ind.search("common")
@@ -388,7 +389,7 @@ def test_truncated_queries_escalate_on_device(tmp_path):
     finally:
         ex.close()
     ex2 = BatchExecutor(ind, max_wait_ms=1.0, topk=8, hit_cap=16,
-                        materialize=False)
+                        materialize=False, escalate=True)
     try:
         dev = ex2.search("common")
         host = ind.search("common")
