@@ -114,26 +114,15 @@ def main() -> None:
     # ---- query set: mixed single/phrase/proximity over ALL terms -------
     # (term popularity follows the real corpus distribution: frequent
     # words get big posting lists, the bucketing keeps rare ones cheap)
-    rng = np.random.default_rng(42)
-    eligible = np.flatnonzero(counts >= 2)
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks import common as bc
+
     id_to_term = {v: k for k, v in term_to_id.items()}
     sc_np = sc_host
-
     W = 2
-    terms = np.full((N_QUERIES, W), -1, dtype=np.int32)
-    rs = np.ones((N_QUERIES, W), dtype=np.int32)
-    for i in range(N_QUERIES):
-        a, b = rng.choice(eligible, size=2, replace=False)
-        kind = i % 3
-        if kind == 0:      # single word
-            terms[i, 0] = a
-            rs[i, 0] = 255 + len(id_to_term[a])
-        elif kind == 1:    # ordered "phrase"
-            terms[i] = (a, b)
-            rs[i] = (-(len(id_to_term[a]) + 4), -(len(id_to_term[b]) + 4))
-        else:              # proximity AND, default dist
-            terms[i] = (a, b)
-            rs[i] = (255 + len(id_to_term[a]), 255 + len(id_to_term[b]))
+    terms, rs = bc.standard_mix(counts, id_to_term, N_QUERIES)
 
     # page table: 3000-char pages over the single doc (ref DataSources.cs:308)
     page_len = 3000
@@ -240,32 +229,8 @@ def main() -> None:
     # multi_bucket_query_full_chained (topk=64, tiered hit buffers)
     FULL_TOPK = 64
     HIT_CAP = 1024
-    hit_tiers = (128, 512, HIT_CAP)
-
-    def tier_of(min_need: int) -> int:
-        want = 4 * min_need + 16
-        for t in hit_tiers:
-            if want <= t:
-                return t
-        return HIT_CAP
-
-    fbuckets = {}
-    for i in range(N_QUERIES):
-        w = int((terms[i] >= 0).sum()) or 1
-        need = int(counts[terms[i, :w]].max())
-        min_need = int(counts[terms[i, :w]].min())
-        c = 64
-        while c < need:
-            c <<= 1
-        fbuckets.setdefault((c, w, tier_of(min_need)), []).append(i)
-    fterms, frs, fcaps, fhcaps = [], [], [], []
-    for (qcap, w, hb), idxs in sorted(fbuckets.items()):
-        fterms.append(jnp.asarray(terms[idxs, :w]))
-        frs.append(jnp.asarray(rs[idxs, :w]))
-        fcaps.append(qcap)
-        fhcaps.append(hb)
-    fterms, frs = tuple(fterms), tuple(frs)
-    fcaps, fhcaps = tuple(fcaps), tuple(fhcaps)
+    fterms, frs, fcaps, fhcaps = bc.full_buckets(terms, rs, counts,
+                                                 HIT_CAP)
     _is_header = jnp.zeros(n_pages, dtype=bool)
 
     def fstep(chain):
@@ -288,43 +253,11 @@ def main() -> None:
         f"{t_full*1e3:.1f} ms -> {full_qps:.0f} QPS "
         f"({t_full / N_QUERIES * 1e6:.1f} us/query)")
 
-    # host full-result baseline: page-level loop + position extraction
-    # per top page + doc rank (what the host engine does per query)
-    def host_full_chunk():
-        t0 = time.perf_counter()
-        for i in range(n_base):
-            acc = sc_np[off_np[terms[i, 0]]: off_np[terms[i, 0] + 1]].astype(np.uint64)
-            r_acc = int(rs[i, 0])
-            for j in range(1, W):
-                t = terms[i, j]
-                if t < 0:
-                    continue
-                b = sc_np[off_np[t]: off_np[t + 1]].astype(np.uint64)
-                acc, r_acc = group_and(acc, b, r_acc, int(rs[i, j]))
-            page = np.searchsorted(bounds_np, acc, side="right")
-            if acc.size:
-                first = np.concatenate([[True], page[1:] != page[:-1]])
-                run = np.cumsum(first) - 1
-                gaps = np.diff(acc.astype(np.int64), prepend=0)
-                bonus = np.where(~first, 30 // np.maximum(5, gaps), 0)
-                nb = np.bincount(run)
-                rank = (1 + np.bincount(run, weights=bonus)
-                        + np.log(np.maximum(nb, 1)))
-                k = min(FULL_TOPK, rank.size)
-                top = np.argpartition(-rank, k - 1)[:k]
-                starts = np.flatnonzero(first)
-                ends = np.append(starts[1:], acc.size)
-                base = np.where(
-                    page > 0, bounds_np[np.maximum(page - 1, 0)], 0
-                )
-                for t_ in top:
-                    _ = (acc[starts[t_]:ends[t_]]
-                         - base[starts[t_]]).tolist()
-                1 + np.log(max(rank[top].sum(), 1e-30))
-        return (time.perf_counter() - t0) / n_base
-
-    t_host_full = min(host_full_chunk() for _ in range(3))
-    host_full_qps = 1.0 / t_host_full
+    # host full-result baseline: the shared reference-analog loop
+    # (benchmarks/common.py — ONE copy across both benchmarks)
+    host_full_qps = bc.host_full_baseline(
+        terms, rs, sc_np, off_np, bounds_np, FULL_TOPK, n_base
+    )
     log(f"host sequential full-result baseline (best of 3): "
         f"{host_full_qps:.0f} QPS")
 

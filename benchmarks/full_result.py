@@ -80,24 +80,10 @@ def main() -> None:
     off_np = np.zeros(T + 1, dtype=np.int64)
     np.cumsum(counts, out=off_np[1:])
 
-    # ---- same mixed query set as bench.py (seed 42) ---------------------
-    rng = np.random.default_rng(42)
-    eligible = np.flatnonzero(counts >= 2)
-    W = 2
-    terms = np.full((N_QUERIES, W), -1, dtype=np.int32)
-    rs = np.ones((N_QUERIES, W), dtype=np.int32)
-    for i in range(N_QUERIES):
-        a, b = rng.choice(eligible, size=2, replace=False)
-        kind = i % 3
-        if kind == 0:
-            terms[i, 0] = a
-            rs[i, 0] = 255 + len(id_to_term[a])
-        elif kind == 1:
-            terms[i] = (a, b)
-            rs[i] = (-(len(id_to_term[a]) + 4), -(len(id_to_term[b]) + 4))
-        else:
-            terms[i] = (a, b)
-            rs[i] = (255 + len(id_to_term[a]), 255 + len(id_to_term[b]))
+    # ---- same mixed query set as bench.py (shared module, seed 42) ------
+    from benchmarks import common as bc
+
+    terms, rs = bc.standard_mix(counts, id_to_term, N_QUERIES)
 
     page_len = 3000
     n_pages = (len(text) + page_len - 1) // page_len
@@ -109,36 +95,9 @@ def main() -> None:
     _is_header = jnp.zeros(n_pages, dtype=bool)
 
     # ---- bucket by (cap, W, hit tier) — serving's fused layout ----------
-    hit_tiers = (128, 512, HIT_CAP)
-
-    def tier_of(min_need: int) -> int:
-        want = 4 * min_need + 16
-        for t in hit_tiers:
-            if want <= t:
-                return t
-        return HIT_CAP
-
-    def bucket_of(i):
-        w = int((terms[i] >= 0).sum()) or 1
-        need = int(counts[terms[i, :w]].max())
-        min_need = int(counts[terms[i, :w]].min())
-        c = 64
-        while c < need:
-            c <<= 1
-        return (c, w, tier_of(min_need))
-
-    buckets = {}
-    for i in range(N_QUERIES):
-        buckets.setdefault(bucket_of(i), []).append(i)
-    terms_t, rs_t, caps_t, hcaps_t = [], [], [], []
-    for (qcap, w, hb), idxs in sorted(buckets.items()):
-        terms_t.append(jnp.asarray(terms[idxs, :w]))
-        rs_t.append(jnp.asarray(rs[idxs, :w]))
-        caps_t.append(qcap)
-        hcaps_t.append(hb)
+    terms_t, rs_t, caps_t, hcaps_t = bc.full_buckets(terms, rs, counts,
+                                                     HIT_CAP)
     log(f"buckets: {[(c, h, t.shape) for c, h, t in zip(caps_t, hcaps_t, terms_t)]}")
-    terms_t, rs_t = tuple(terms_t), tuple(rs_t)
-    caps_t, hcaps_t = tuple(caps_t), tuple(hcaps_t)
 
     env_pallas = os.environ.get("DOCODO_PALLAS")
     if env_pallas is not None:
@@ -177,43 +136,11 @@ def main() -> None:
     )
     log(f"readback: {nbytes/1e6:.1f} MB in {t_rb*1e3:.0f} ms")
 
-    # ---- host sequential full-result baseline ---------------------------
-    n_base = min(256, N_QUERIES)
-    bounds_np = bounds_host
-
-    def host_chunk():
-        t0 = time.perf_counter()
-        for i in range(n_base):
-            acc = sc_host[off_np[terms[i, 0]]: off_np[terms[i, 0] + 1]].astype(np.uint64)
-            r_acc = int(rs[i, 0])
-            for j in range(1, W):
-                t = terms[i, j]
-                if t < 0:
-                    continue
-                b = sc_host[off_np[t]: off_np[t + 1]].astype(np.uint64)
-                acc, r_acc = group_and(acc, b, r_acc, int(rs[i, j]))
-            page = np.searchsorted(bounds_np, acc, side="right")
-            if acc.size:
-                first = np.concatenate([[True], page[1:] != page[:-1]])
-                run = np.cumsum(first) - 1
-                gaps = np.diff(acc.astype(np.int64), prepend=0)
-                bonus = np.where(~first, 30 // np.maximum(5, gaps), 0)
-                nb = np.bincount(run)
-                rank = (1 + np.bincount(run, weights=bonus)
-                        + np.log(np.maximum(nb, 1)))
-                k = min(TOPK, rank.size)
-                top = np.argpartition(-rank, k - 1)[:k]
-                # full result: positions per top page + doc rank
-                starts = np.flatnonzero(first)
-                ends = np.append(starts[1:], acc.size)
-                base = np.where(page > 0, bounds_np[np.maximum(page - 1, 0)], 0)
-                for t_ in top:
-                    _ = (acc[starts[t_]:ends[t_]] - base[starts[t_]]).tolist()
-                1 + np.log(max(rank[top].sum(), 1e-30))
-        return (time.perf_counter() - t0) / n_base
-
-    t_host = min(host_chunk() for _ in range(3))
-    host_qps = 1.0 / t_host
+    # ---- host sequential full-result baseline (shared module) ----------
+    host_qps = bc.host_full_baseline(
+        terms, rs, sc_host, off_np, bounds_host, TOPK,
+        n_base=min(256, N_QUERIES),
+    )
     log(f"host sequential full-result baseline (best of 3): {host_qps:.0f} QPS")
 
     print(json.dumps({

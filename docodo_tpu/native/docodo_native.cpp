@@ -515,6 +515,7 @@ int64_t docodo_parse_records(const uint8_t* buf, int64_t n,
         int shift = 0;
         for (;;) {
             if (pos >= n) return -1;
+            if (shift > 63) return -1;  // corrupt: runaway 7-bit length
             uint8_t b = buf[pos++];
             slen |= (int64_t)(b & 0x7F) << shift;
             if (!(b & 0x80)) break;

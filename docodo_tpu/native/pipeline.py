@@ -167,33 +167,8 @@ class _PyInterner:
         return len(self._map)
 
     def terms_range(self, lo: int, hi: int) -> List[str]:
-        """Terms [lo, hi) in one export call — incremental consumers
-        pull only the ids minted since their last call without the
-        per-id ctypes round trips of term_at."""
-        if hi <= lo:
-            return []
-        lib = self._lib
-        n_units = int(lib.docodo_interner_export_range(
-            self._ptr, lo, hi, None, None
-        ))
-        units = np.empty(max(n_units, 1), dtype=np.uint16)
-        lens = np.empty(hi - lo, dtype=np.int32)
-        lib.docodo_interner_export_range(
-            self._ptr, lo, hi,
-            units.ctypes.data_as(ctypes.c_void_p),
-            lens.ctypes.data_as(ctypes.c_void_p),
-        )
-        blob = units[:n_units].tobytes().decode("utf-16-le")
-        if len(blob) != n_units:
-            # astral terms: unit lengths != code-point lengths, so the
-            # joined decode can't be sliced by lens — per-term fetch
-            return [self.term_at(i) for i in range(lo, hi)]
-        out: List[str] = []
-        pos = 0
-        for ln in lens.tolist():
-            out.append(blob[pos: pos + ln])
-            pos += ln
-        return out
+        """Terms [lo, hi) — dict insertion order IS id order here."""
+        return list(self._map)[lo:hi]
 
     def terms(self) -> List[str]:
         return list(self._map)

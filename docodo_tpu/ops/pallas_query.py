@@ -739,51 +739,22 @@ def pallas_sorted_and_locate_full(a, na, ra, b, nb, rb, bounds,
     vals, tag = jax.vmap(
         lambda v, t: jax.lax.sort((v, t), num_keys=2)
     )(jnp.concatenate([av, bv], axis=1), tag)
-    ra2 = ra.reshape(bsz, 1)
-    rb2 = rb.reshape(bsz, 1)
-    bounds2 = bounds.reshape(1, -1)
     kernel = functools.partial(
         _sorted_and_locate_full_kernel, cap=cap, topk=topk
     )
-    grid = (bsz // q,)
-    pages, ranks, counts, n_pages, n_hits, hitvals = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((q, n), lambda i: (i, 0)),
-            pl.BlockSpec((q, n), lambda i: (i, 0)),
-            pl.BlockSpec((q, 1), lambda i: (i, 0)),
-            pl.BlockSpec((q, 1), lambda i: (i, 0)),
-            pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((q, topk), lambda i: (i, 0)),
-            pl.BlockSpec((q, topk), lambda i: (i, 0)),
-            pl.BlockSpec((q, topk), lambda i: (i, 0)),
-            pl.BlockSpec((q, 1), lambda i: (i, 0)),
-            pl.BlockSpec((q, 1), lambda i: (i, 0)),
-            pl.BlockSpec((q, n), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, topk), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, n), jnp.int32),
-        ],
-        interpret=interpret,
-    )(vals, tag, ra2, rb2, bounds2)
-    # compact the (ascending, INF-holed) hit stream: mask+sort is a
-    # stable partition on an ascending stream
-    hits = jax.lax.sort(hitvals)
-    if hit_cap <= n:
-        hits = hits[:, :hit_cap]
-    else:
-        hits = jnp.concatenate([
-            hits, jnp.full((bsz, hit_cap - n), INF32, jnp.int32)
-        ], axis=1)
-    return pages, ranks, counts, n_pages[:, 0], n_hits[:, 0], hits
+    in_specs = [
+        pl.BlockSpec((q, n), lambda i: (i, 0)),
+        pl.BlockSpec((q, n), lambda i: (i, 0)),
+        pl.BlockSpec((q, 1), lambda i: (i, 0)),
+        pl.BlockSpec((q, 1), lambda i: (i, 0)),
+        pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+    ]
+    return _full_stream_call(
+        kernel, bsz, q, n, topk, hit_cap, interpret,
+        (vals, tag, ra.reshape(bsz, 1), rb.reshape(bsz, 1),
+         bounds.reshape(1, -1)),
+        in_specs,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -322,6 +322,9 @@ class ShardedDeviceIndex:
                 self.mesh, self._off, self._sc, self._bounds,
                 self._page_doc, self._is_header, jnp.asarray(terms),
                 jnp.asarray(rs), cap=cap, topk=topk, hit_cap=hit_cap,
+                # doc ranks recompute host-side in every materialize
+                # mode — don't compute/all_gather/read them back
+                with_docs=False,
             )
             bucket_outs.append((idxs, out))
         # ONE coalesced device->host transfer for every bucket
@@ -338,7 +341,7 @@ class ShardedDeviceIndex:
             for row, qi in enumerate(idxs):
                 if (n_pages[:, row] > topk).any() or                         (n_hits[:, row] > hit_cap).any():
                     continue  # stays None: caller re-serves host-side
-                results[qi] = combined = SearchResult()
+                results[qi] = SearchResult()
                 for s_ in range(S):
                     hv = hits[s_, row]
                     hv = hv[hv < INT32_MAX].astype(np.uint64)

@@ -129,38 +129,45 @@ def sharded_query(mesh, term_offsets, coords, bounds, page_doc,
 
 @functools.lru_cache(maxsize=128)
 def _sharded_query_full_jit(mesh, cap: int, topk: int, hit_cap: int,
-                            t_ndim: int):
+                            t_ndim: int, with_docs: bool):
     """Cached JITTED mesh program per (mesh, cap, topk, hit_cap, terms
     rank): serving calls this per shape BUCKET, so recurring bucket
     shapes hit the jit cache instead of re-tracing the shard_map on
     every batch (the mesh analog of batched_query_full's per-bucket
-    cache)."""
+    cache). with_docs=False skips computing AND all_gathering the
+    docs/doc_ranks fields (serving recomputes doc ranks host-side —
+    shipping them was pure wasted ICI/readback bytes)."""
     from docodo_tpu.ops.device_index import query_step_full
 
     def local_query(off, co, bo, pd, hd, tq, rq):
         off, co, bo, pd, hd = off[0], co[0], bo[0], pd[0], hd[0]
         fn = functools.partial(
-            query_step_full, cap=cap, topk=topk, hit_cap=hit_cap
+            query_step_full, cap=cap, topk=topk, hit_cap=hit_cap,
+            with_docs=with_docs,
         )
         lf = jax.vmap(fn, in_axes=(None, None, None, None, None, 0, 0))(
             off, co, bo, pd, hd, tq, rq
         )
-        return tuple(jax.lax.all_gather(x, "d") for x in lf)
+        return tuple(
+            jax.lax.all_gather(x, "d") for x in lf if x is not None
+        )
 
     t_spec = P(*([None] * t_ndim))
+    # LocateFull field order: pages/ranks/counts [S,B,k], n_pages
+    # [S,B], (docs/doc_ranks [S,B,k] when with_docs), hits
+    # [S,B,hit_cap], n_hits [S,B]
+    p3 = P(None, None, None)
+    p2 = P(None, None)
+    out_specs = (p3, p3, p3, p2) + ((p3, p3) if with_docs else ()) + (
+        p3, p2
+    )
     fn = shard_map(
         local_query, mesh=mesh,
         in_specs=(
             P("d", None), P("d", None), P("d", None), P("d", None),
             P("d", None), t_spec, P(None, None),
         ),
-        # LocateFull field order: pages/ranks/counts [S,B,k], n_pages
-        # [S,B], docs/doc_ranks [S,B,k], hits [S,B,hit_cap], n_hits [S,B]
-        out_specs=(
-            P(None, None, None), P(None, None, None), P(None, None, None),
-            P(None, None), P(None, None, None), P(None, None, None),
-            P(None, None, None), P(None, None),
-        ),
+        out_specs=out_specs,
         check_vma=False,  # replicated outputs, as in sharded_query
     )
     return jax.jit(fn)
@@ -168,7 +175,7 @@ def _sharded_query_full_jit(mesh, cap: int, topk: int, hit_cap: int,
 
 def sharded_query_full(mesh, term_offsets, coords, bounds, page_doc,
                        is_header, terms, rs, cap: int, topk: int,
-                       hit_cap: int):
+                       hit_cap: int, with_docs: bool = True):
     """Full-result twin of sharded_query: every shard evaluates the
     replicated (variant-aware) query batch with query_step_full, and the
     per-shard LocateFull fields are all_gathered so every host process
@@ -177,10 +184,18 @@ def sharded_query_full(mesh, term_offsets, coords, bounds, page_doc,
     are shard-invariant because documents never span shards).
 
     terms: int32[B, W] or int32[B, W, V]; rs: int32[B, W].
-    Returns the LocateFull fields as a tuple of [S, B, ...] arrays.
+    Returns the 8 LocateFull fields as a tuple of [S, B, ...] arrays;
+    with_docs=False returns None in the docs/doc_ranks slots (and skips
+    their compute + collective entirely).
     """
-    fn = _sharded_query_full_jit(mesh, cap, topk, hit_cap, terms.ndim)
-    return fn(term_offsets, coords, bounds, page_doc, is_header, terms, rs)
+    fn = _sharded_query_full_jit(
+        mesh, cap, topk, hit_cap, terms.ndim, with_docs
+    )
+    out = fn(term_offsets, coords, bounds, page_doc, is_header, terms, rs)
+    if with_docs:
+        return out
+    pages, ranks, counts, n_pages, hits, n_hits = out
+    return pages, ranks, counts, n_pages, None, None, hits, n_hits
 
 
 # ---------------------------------------------------------------------------
