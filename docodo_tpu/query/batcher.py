@@ -46,9 +46,10 @@ from docodo_tpu.query.search import (
 )
 
 _DEFAULT_DIST = 255
-# only correction mode (~) and regex doc filters stay host-only; the
-# device path covers wildcards and single-word field queries now
-_UNSUPPORTED = re.compile(r"~|-filter:")
+# only correction mode (~) stays host-bounced (it is a syntax-error
+# path host-side too); wildcards, field queries and -filter: regexes
+# all serve through the device path now
+_UNSUPPORTED = re.compile(r"~")
 _MAX_WORDS = 8
 # wildcard expansions OR up to MAX_LIKE_WORDS (=100) raw-form keys into
 # one variant group (ref Search.cs:158-167); morphological groups stay
@@ -269,6 +270,7 @@ def _compile_field_part(index, thunks, fields_expr: str):
 def compile_request(index, req: str, words_out: Optional[list] = None,
                     n_found=None, reason_out: Optional[list] = None,
                     field_out: Optional[list] = None,
+                    filters_out: Optional[list] = None,
                     ) -> Optional[List[Tuple[Tuple[str, ...], int]]]:
     """Compile a request into device groups [(variant keys, R), ...] in
     left-fold evaluation order.
@@ -290,6 +292,11 @@ def compile_request(index, req: str, words_out: Optional[list] = None,
     Search.cs:599-601); `n_found(thunk) -> int` supplies the resolved
     posting counts (cached by the executor).
 
+    With `filters_out` (a list), `-filter:` doc-name regexes extract
+    into it exactly like the host engine (ref Search.cs:456-466) — they
+    only affect result materialization, so the caller applies them in
+    delivery. Without it, filter requests return None.
+
     With `reason_out` (a list), a failure appends one reason tag:
     "unsupported" (a syntax feature the device path lacks) or "shape"
     (fold-incompatible operator tree / budget overflow / parse error).
@@ -301,6 +308,17 @@ def compile_request(index, req: str, words_out: Optional[list] = None,
 
     if _UNSUPPORTED.search(req):
         return bail("unsupported")
+    if "-filter:" in req:
+        if filters_out is None:
+            return bail("unsupported")
+        from docodo_tpu.index import _FILTER_RE
+
+        m = _FILTER_RE.search(req.lower())
+        if m:
+            filters_out.extend(
+                pat for pat in m.group(1).split(",") if pat
+            )
+        req = _FILTER_RE.sub(" ", req)
     if "{" in req and field_out is None:
         # a caller without field-row support must not silently drop the
         # {field=value} filter (sanitation strips unparsed braces)
@@ -364,6 +382,7 @@ class _Pending:
     req: str
     compiled: list                      # main-expression groups ([] = none)
     field_compiled: Optional[list] = None  # {field=value} row, if any
+    filters: list = field(default_factory=list)  # -filter: doc regexes
     words: list = field(default_factory=list)
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[SearchResult] = None
@@ -517,10 +536,16 @@ class BatchExecutor:
         words: list = []
         reason: list = []
         fields: list = []
+        filters: list = []
         compiled = compile_request(
             self.index, req, words_out=words, n_found=self._n_found,
-            reason_out=reason, field_out=fields,
+            reason_out=reason, field_out=fields, filters_out=filters,
         )
+        if compiled is not None and filters and self.mesh is not None:
+            # mesh materialization is per-shard; filters aren't plumbed
+            # through it yet — host engine serves those
+            compiled = None
+            reason = ["shape"]
         if compiled is None:
             key = ("fallback_unsupported"
                    if (reason and reason[0] == "unsupported")
@@ -529,7 +554,7 @@ class BatchExecutor:
             return self.index.search(req)
         p = _Pending(req=req, compiled=compiled,
                      field_compiled=fields[0] if fields else None,
-                     words=words)
+                     filters=filters, words=words)
         self._q.put(p)
         if not p.event.wait(timeout) or p.result is None:
             # device stall, or a result that overflowed even the
@@ -758,8 +783,10 @@ class BatchExecutor:
                 p.result.words = p.words
                 p.event.set()
                 continue
+            # doc-name filters apply to the MAIN result only (the host
+            # prepares the field part with no filters, Search.cs:686-688)
             res = prepare_search_result(
-                self._row_coords(out, row), self.index.pages, []
+                self._row_coords(out, row), self.index.pages, p.filters
             )
             if mains[i] is not None and frows[i] is not None:
                 resf = prepare_search_result(

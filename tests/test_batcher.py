@@ -62,10 +62,17 @@ def test_batch_executor_matches_host_docs(ind):
             assert {d.name for d in dev.found_docs} == \
                 {d.name for d in host.found_docs}, req
         assert ex.stats["device_queries"] >= 3
-        # host fallback path still serves full results
+        # -filter: doc regexes serve on device too (delivery-side
+        # filtering, ref Search.cs:456-466)
         res = ex.search("club -filter:al.*")
+        host = ind.search("club -filter:al.*")
+        assert res == host
+        assert [d.name for d in res.found_docs] == \
+            [d.name for d in host.found_docs] == ["docs:alpha"]
+        # host fallback path still serves (~ = host parity with the
+        # reference's syntax-error path)
+        res = ex.search("club ~tavern")
         assert ex.stats["host_queries"] >= 1
-        assert res.success
     finally:
         ex.close()
 
@@ -269,10 +276,9 @@ def test_fallback_reason_counters(ind):
     """stats must say WHY a query bypassed the device."""
     ex = BatchExecutor(ind, max_wait_ms=1.0)
     try:
-        ex.search("club -filter:a.*")  # regex filter -> unsupported
         ex.search("club ~tavren")      # correction -> unsupported
         ex.search("xy")                # all-short -> shape
-        assert ex.stats["fallback_unsupported"] >= 2
+        assert ex.stats["fallback_unsupported"] >= 1
         assert ex.stats["fallback_shape"] >= 1
         assert ex.stats["host_queries"] == \
             ex.stats["fallback_unsupported"] + ex.stats["fallback_shape"] \
