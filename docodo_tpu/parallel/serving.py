@@ -269,7 +269,9 @@ class ShardedDeviceIndex:
 
     # ---- serving ---------------------------------------------------------------
     def search_batch(self, queries, topk: int = 64, hit_cap: int = 1024,
-                     materialize=True) -> List[SearchResult]:
+                     materialize=True,
+                     filters: Optional[List[Optional[list]]] = None,
+                     ) -> List[SearchResult]:
         """Evaluate group queries over the mesh and materialize full
         SearchResults with exact host parity.
 
@@ -286,6 +288,11 @@ class ShardedDeviceIndex:
         still the sum of page ranks, no materialization at all) — for
         callers that combine several rows (field-query doc intersection)
         before running their own materialize/finalize pass.
+
+        filters: optional per-query `-filter:` doc-name regex lists,
+        applied while assembling each query's per-shard docs (shard doc
+        names are the parent index's names, so name filtering composes
+        exactly — ref Search.cs:456-466).
 
         Queries are (cap, W, V)-shape-bucketed: each bucket runs its own
         cached jitted mesh program, so one frequent word no longer drags
@@ -358,7 +365,8 @@ class ShardedDeviceIndex:
             for qi, hv in items:
                 n = hv.size
                 part = prepare_search_result(
-                    hv, self.shard_tables[s_], [],
+                    hv, self.shard_tables[s_],
+                    (filters[qi] or []) if filters is not None else [],
                     located=(page_idx[off: off + n], pos[off: off + n]),
                 )
                 shard_parts.setdefault(qi, []).append(part)

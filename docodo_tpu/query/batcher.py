@@ -541,11 +541,6 @@ class BatchExecutor:
             self.index, req, words_out=words, n_found=self._n_found,
             reason_out=reason, field_out=fields, filters_out=filters,
         )
-        if compiled is not None and filters and self.mesh is not None:
-            # mesh materialization is per-shard; filters aren't plumbed
-            # through it yet — host engine serves those
-            compiled = None
-            reason = ["shape"]
         if compiled is None:
             key = ("fallback_unsupported"
                    if (reason and reason[0] == "unsupported")
@@ -827,9 +822,18 @@ class BatchExecutor:
 
         t0 = time.perf_counter()
         rows, mains, frows = self._batch_rows(batch)
+        # per-row -filter: lists: a query's filters apply to its MAIN
+        # row only (field rows prepare unfiltered, host parity)
+        row_filters: List[Optional[list]] = [None] * len(rows)
+        for i, p in enumerate(batch):
+            if mains[i] is not None:
+                row_filters[mains[i]] = p.filters
+            elif frows[i] is not None:
+                # field-only: the field row IS the result -> filtered
+                row_filters[frows[i]] = p.filters
         results = self.sdi.search_batch(
             rows, topk=self.topk, hit_cap=self.hit_cap,
-            materialize="defer",
+            materialize="defer", filters=row_filters,
         )
         self._bump(batches=1, device_s=time.perf_counter() - t0)
         for i, p in enumerate(batch):

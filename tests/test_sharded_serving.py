@@ -161,13 +161,14 @@ def test_batcher_serves_from_mesh(ind):
         host = ind.search("{name=x} club")
         assert res.success and _doc_view(res) == _doc_view(host)
         assert ex.stats["host_queries"] == hq_before
-        # -filter: isn't plumbed through per-shard materialization yet
-        # -> host engine, with identical results
+        # -filter: rides the mesh too (per-shard name filtering —
+        # shard doc names ARE the parent index names)
         res = ex.search("club -filter:d[0-2]")
         host = ind.search("club -filter:d[0-2]")
-        assert res.success and ex.stats["host_queries"] > hq_before
+        assert res.success and ex.stats["host_queries"] == hq_before
         assert [d.name for d in res.found_docs] == \
             [d.name for d in host.found_docs]
+        assert res.found_docs  # the filter actually matched docs
     finally:
         ex.close()
 
