@@ -580,6 +580,7 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
         MAX_PALLAS_CAP,
         MAX_SORTED_PALLAS_CAP,
         MAX_STREAM_WIDTH,
+        W1_FULL_STREAM_MAX,
         pallas_single_locate_full,
         pallas_sorted_and_locate_full,
         pallas_union_locate_full,
@@ -645,10 +646,20 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
     if w > 2:
         return None
     single = w == 1
-    limit = MAX_PALLAS_CAP if single else MAX_SORTED_PALLAS_CAP
-    if cap > limit:
+    # W=1 full buckets beyond the merge-free kernel's cap ride the
+    # union kernel with V=1 (its merge sort is skipped) — measured
+    # 1.21x over the XLA locate_full at cap 256, but a LOSS at 512
+    # (0.89x) and a wash at 1024, so the route stops at 256; W=2 stays
+    # within the sorted budget
+    limit = W1_FULL_STREAM_MAX if single else MAX_SORTED_PALLAS_CAP
+    if cap > limit or (single and topk > cap):
         return None
-    pq = min(64, q_for_cap(cap) * 2) if single else q_for_sorted_cap(cap)
+    if single and cap > MAX_PALLAS_CAP:
+        pq = q_for_stream(cap)
+    elif single:
+        pq = min(64, q_for_cap(cap) * 2)
+    else:
+        pq = q_for_sorted_cap(cap)
     bsz = tq.shape[0]
     pad = (-bsz) % pq
     if pad:
@@ -661,7 +672,12 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
     )
     a, na = gather(tq[:, 0])
     interpret = jax.default_backend() != "tpu"
-    if single:
+    if single and cap > MAX_PALLAS_CAP:
+        pg, rk, ct, npg, nht, hits = pallas_union_locate_full(
+            a[:, None, :], na[:, None], bounds, topk=topk,
+            hit_cap=hit_cap, interpret=interpret,
+        )
+    elif single:
         pg, rk, ct, npg, nht, hits = pallas_single_locate_full(
             a, na, bounds, cap=cap, topk=topk, hit_cap=hit_cap,
             interpret=interpret,
