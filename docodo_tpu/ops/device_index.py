@@ -616,17 +616,19 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             lambda t: gather_term(coords, term_offsets, t, cap)
         ))
         a3, na2 = gather_v(tq[:, 0])
+        # variant buckets are small-B in real mixes — kernel-topk mode
+        # (slots mode measured a loss on the small-B union bucket)
         if w == 1:
             pg, rk, ct, npg, nht, hits = pallas_union_locate_full(
                 a3, na2, bounds, topk=topk, hit_cap=hit_cap,
-                interpret=interpret,
+                interpret=interpret, sort_topk=False,
             )
         else:
             b3, nb2 = gather_v(tq[:, 1])
             pg, rk, ct, npg, nht, hits = pallas_variants_and_locate_full(
                 a3, na2, rq[:, 0], b3, nb2, rq[:, 1],
                 tq[:, 1, 0] < 0, bounds, topk=topk, hit_cap=hit_cap,
-                interpret=interpret,
+                interpret=interpret, sort_topk=False,
             )
         docs = doc_ranks = None
         if with_docs:
@@ -672,21 +674,25 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
     )
     a, na = gather(tq[:, 0])
     interpret = jax.default_backend() != "tpu"
+    # slots-mode (outside-sort) top-k where measured faster on v5e:
+    # merge-free W1 1.18x, sorted W2 1.20x/1.08x/1.06x at caps
+    # 64/128/256; kernel-topk keeps the union route (0.61x in slots
+    # mode at its tiny batches) and W2 cap 512 (0.89x)
     if single and cap > MAX_PALLAS_CAP:
         pg, rk, ct, npg, nht, hits = pallas_union_locate_full(
             a[:, None, :], na[:, None], bounds, topk=topk,
-            hit_cap=hit_cap, interpret=interpret,
+            hit_cap=hit_cap, interpret=interpret, sort_topk=False,
         )
     elif single:
         pg, rk, ct, npg, nht, hits = pallas_single_locate_full(
             a, na, bounds, cap=cap, topk=topk, hit_cap=hit_cap,
-            interpret=interpret,
+            interpret=interpret, sort_topk=True,
         )
     else:
         b, nb = gather(tq[:, 1])
         pg, rk, ct, npg, nht, hits = pallas_sorted_and_locate_full(
             a, na, rq[:, 0], b, nb, rq[:, 1], bounds, cap=cap, topk=topk,
-            hit_cap=hit_cap, interpret=interpret,
+            hit_cap=hit_cap, interpret=interpret, sort_topk=cap <= 256,
         )
     docs = doc_ranks = None
     if with_docs:
