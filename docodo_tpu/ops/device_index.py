@@ -653,6 +653,8 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
     # 1.21x over the XLA locate_full at cap 256, but a LOSS at 512
     # (0.89x) and a wash at 1024, so the route stops at 256; W=2 stays
     # within the sorted budget
+    # W2 cap 1024 (n=2048) COMPILES in slots mode (MAX_SORTED_SLOTS_CAP)
+    # but measured 0.89-0.95x vs the XLA sort path on v5e — stays off
     limit = W1_FULL_STREAM_MAX if single else MAX_SORTED_PALLAS_CAP
     if cap > limit or (single and topk > cap):
         return None

@@ -719,10 +719,22 @@ def _full_stream_call_slots(kernel, bsz: int, q: int, n: int, topk: int,
     stable lax.sort (_slots_topk_sort) riding next to the hit
     compaction sort."""
     grid = (bsz // q,)
+    extra = {}
+    if n >= 2048 and not interpret:
+        # wide streams brush the default 16 MB scoped-vmem stack when
+        # the page table is large (the locate compare-all's live
+        # temporaries scale with P); the slots kernels have no unrolled
+        # top-k so a raised limit compiles fine (v5e: 128 MB VMEM)
+        from jax.experimental.pallas import tpu as pltpu
+
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
     page_s, rank_s, cnt_s, n_pages, n_hits, hitvals = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
+        **extra,
         out_specs=[
             pl.BlockSpec((q, n), lambda i: (i, 0)),
             pl.BlockSpec((q, n), lambda i: (i, 0)),
@@ -850,6 +862,14 @@ def q_for_sorted_cap(cap: int) -> int:
 
 
 MAX_SORTED_PALLAS_CAP = 512  # Q floors at 8; larger caps blow scoped vmem
+
+# Slots-mode (no unrolled top-k loop) COMPILES beyond the kernel-topk
+# budget — cap 1024 (n=2048, Q=8) builds in ~90 s with
+# vmem_limit_bytes=64M and runs correctly — but measured 0.89-0.95x vs
+# the XLA sort path on v5e (B=32/512), so routing keeps wide W2 buckets
+# on XLA (MAX_SORTED_PALLAS_CAP). Kept as the measured admission
+# ceiling should future hardware shift the crossover.
+MAX_SORTED_SLOTS_CAP = 1024
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "topk", "interpret"))
