@@ -13,6 +13,8 @@ has a device-side twin in ops/ for HBM-resident compressed postings).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 BITS = 15
@@ -89,14 +91,17 @@ def encode(coords: np.ndarray) -> np.ndarray:
     return out
 
 
-def _encode_deltas(deltas: np.ndarray) -> np.ndarray:
+def _encode_deltas(deltas: np.ndarray,
+                   nchunks: Optional[np.ndarray] = None) -> np.ndarray:
     """Vectorized delta-array -> u16 varint stream (the chunked body of
-    `encode`, shared by the whole-file block encoder)."""
+    `encode`, shared by the whole-file block encoder). `nchunks` lets a
+    caller that already computed chunks_per_delta skip the recompute."""
     if deltas.size == 0:
         return np.zeros(0, dtype=np.uint16)
-    if deltas.max() <= np.uint64(MASK):
-        return deltas.astype(np.uint16)
-    nchunks = chunks_per_delta(deltas)
+    if nchunks is None:
+        if deltas.max() <= np.uint64(MASK):
+            return deltas.astype(np.uint16)
+        nchunks = chunks_per_delta(deltas)
     total = int(nchunks.sum())
     out = np.zeros(total, dtype=np.uint16)
     starts = np.cumsum(nchunks) - nchunks
@@ -130,6 +135,17 @@ def encode_blocks(coords: np.ndarray, offsets: np.ndarray):
     if coords.size == 0:
         return (np.zeros(0, dtype=np.uint16),
                 np.zeros(offsets.size, dtype=np.int64))
+    lib = _lib()
+    if lib is not None:
+        coords = np.ascontiguousarray(coords)
+        offsets = np.ascontiguousarray(offsets)
+        out = np.empty(coords.size * 5, dtype=np.uint16)  # <=5 chunks/u64
+        wstarts = np.empty(offsets.size, dtype=np.int64)
+        w = lib.docodo_varint_encode_blocks(
+            coords.ctypes.data, offsets.ctypes.data, offsets.size - 1,
+            out.ctypes.data, wstarts.ctypes.data,
+        )
+        return out[:w].copy(), wstarts
     deltas = np.empty_like(coords)
     deltas[0] = coords[0]
     np.subtract(coords[1:], coords[:-1], out=deltas[1:])
@@ -140,7 +156,7 @@ def encode_blocks(coords: np.ndarray, offsets: np.ndarray):
         return deltas.astype(np.uint16), offsets.copy()
     nchunks = chunks_per_delta(deltas)
     cum = np.concatenate([[0], np.cumsum(nchunks)])
-    return _encode_deltas(deltas), cum[offsets]
+    return _encode_deltas(deltas, nchunks), cum[offsets]
 
 
 def decode_deltas(stream: np.ndarray) -> np.ndarray:

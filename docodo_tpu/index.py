@@ -867,7 +867,13 @@ class IndexBuilder:
         self._terms: List[str] = []
         self._tmap: Dict[str, int] = {}
         self._word_tids: Dict[str, np.ndarray] = {}
-        self._id_tids: Dict[int, np.ndarray] = {}  # interner id -> tids
+        # interner id -> tid rows, stored densely (interner ids are
+        # dense): lens/offs LUT arrays + one flat tid array. -1 len =
+        # not yet expanded (reset on spill: tids renumber per spill)
+        self._code_lens = np.full(1024, -1, dtype=np.int64)
+        self._code_offs = np.zeros(1024, dtype=np.int64)
+        self._code_flat = np.empty(4096, dtype=np.int64)
+        self._code_flat_n = 0
         self._chunk_tids: List[np.ndarray] = []
         self._chunk_coords: List[np.ndarray] = []
         self._one_tids: List[int] = []
@@ -960,36 +966,63 @@ class IndexBuilder:
                 self.max_coord = int(coords[-1])
             return
         coder = self.parent.word_coder
-        cache = self._id_tids
-        uids = np.unique(ids)
-        new_ids = [i for i in uids.tolist() if i not in cache]
-        if new_ids:
+        hi = len(id_words)
+        if self._code_lens.size < hi:
+            grow = max(hi, 2 * self._code_lens.size)
+            lens2 = np.full(grow, -1, dtype=np.int64)
+            lens2[: self._code_lens.size] = self._code_lens
+            self._code_lens = lens2
+            offs2 = np.zeros(grow, dtype=np.int64)
+            offs2[: self._code_offs.size] = self._code_offs
+            self._code_offs = offs2
+        lens_lut = self._code_lens
+        offs_lut = self._code_offs
+        unseen = lens_lut[ids] < 0
+        if unseen.any():
+            new_ids = np.unique(ids[unseen]).tolist()
             coder.prime(id_words[i] for i in new_ids)  # one bulk stem
             code_rows = [coder.codes(id_words[i]) for i in new_ids]
-            tid = self._tid
-            flat = np.fromiter(
-                (tid(c) for row in code_rows for c in row), np.int64
+            # inline the _tid intern (dict get-or-append): a method call
+            # + np.fromiter generator per code measured ~2x the cost of
+            # this plain loop on the facade-build hot path
+            tmap = self._tmap
+            terms = self._terms
+            flat_list: List[int] = []
+            fl_append = flat_list.append
+            for row in code_rows:
+                for c in row:
+                    t = tmap.get(c)
+                    if t is None:
+                        t = len(terms)
+                        tmap[c] = t
+                        terms.append(c)
+                    fl_append(t)
+            pos = self._code_flat_n
+            need = pos + len(flat_list)
+            if need > self._code_flat.size:
+                flat2 = np.empty(
+                    max(need, 2 * self._code_flat.size), dtype=np.int64
+                )
+                flat2[:pos] = self._code_flat[:pos]
+                self._code_flat = flat2
+            self._code_flat[pos:need] = flat_list
+            self._code_flat_n = need
+            new_arr = np.asarray(new_ids, dtype=np.int64)
+            row_lens = np.fromiter(
+                (len(r) for r in code_rows), np.int64, len(code_rows)
             )
-            pos = 0
-            for i, row in zip(new_ids, code_rows):
-                cache[i] = flat[pos: pos + len(row)]
-                pos += len(row)
-        arrs = [cache[i] for i in uids.tolist()]
-        lens = np.fromiter((a.size for a in arrs), np.int64, uids.size)
-        flat_u = (
-            np.concatenate(arrs) if arrs else np.zeros(0, dtype=np.int64)
-        )
-        offs = np.concatenate([[0], np.cumsum(lens)])
-        inv = np.searchsorted(uids, ids)
-        counts = lens[inv]
+            offs_lut[new_arr] = pos + np.cumsum(row_lens) - row_lens
+            lens_lut[new_arr] = row_lens
+        counts = lens_lut[ids]
         total = int(counts.sum())
         if total:
+            starts = offs_lut[ids]
             gather = (
-                np.repeat(offs[inv], counts)
+                np.repeat(starts, counts)
                 + np.arange(total)
                 - np.repeat(np.cumsum(counts) - counts, counts)
             )
-            self._chunk_tids.append(flat_u[gather])
+            self._chunk_tids.append(self._code_flat[gather])
             self._chunk_coords.append(
                 np.repeat(np.asarray(coords, dtype=np.uint64), counts)
             )
@@ -1026,8 +1059,12 @@ class IndexBuilder:
         tids = np.concatenate(parts_t)
         coords = np.concatenate(parts_c)
         order_terms = sorted(range(len(self._terms)), key=self._terms.__getitem__)
-        rank = np.empty(len(self._terms), dtype=np.int64)
-        rank[np.array(order_terms, dtype=np.int64)] = np.arange(len(order_terms))
+        # int32 keys: numpy's stable argsort radix-sorts ints — half the
+        # passes of int64 (term count is bounded way below 2**31)
+        rank = np.empty(len(self._terms), dtype=np.int32)
+        rank[np.array(order_terms, dtype=np.int64)] = np.arange(
+            len(order_terms), dtype=np.int32
+        )
         keys = rank[tids]
         perm = np.argsort(keys, kind="stable")
         coords = coords[perm]

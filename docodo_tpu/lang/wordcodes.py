@@ -47,6 +47,9 @@ class WordCoder:
         self.stemmer_table = [
             (lang, fn, re.compile(f"[^{rng}]")) for lang, fn, rng in table
         ]
+        # the ASCII fast path in prime() is derived from the DEFAULT
+        # table's order/ranges; custom tables take the regex loop
+        self._is_default_table = list(table) == list(stemmers.KNOWN_STEMMERS)
         self._cache: dict[str, Tuple[str, ...]] = {}
 
     def clear_cache(self) -> None:
@@ -80,12 +83,24 @@ class WordCoder:
             return
         fns = []
         en_words = []
+        # fast path: a pure-ASCII lowercase-alpha word is all [a-z]; the
+        # table's only range it can match is "en" (digit-start excluded
+        # above, "ru" needs Cyrillic, "de"/"fr" come after "en"). Any
+        # other ASCII word matches no range at all. str.isascii/isalpha
+        # are C-speed vs 4 regex searches per word.
+        default_table = self._is_default_table
         for w in todo:
-            fn = None
-            for _lang, f, neg_re in self.stemmer_table:
-                if not neg_re.search(w):
-                    fn = f
-                    break
+            if default_table and w.isascii():
+                fn = (
+                    stemmers.stem_en
+                    if w.isalpha() and w.islower() else None
+                )
+            else:
+                fn = None
+                for _lang, f, neg_re in self.stemmer_table:
+                    if not neg_re.search(w):
+                        fn = f
+                        break
             fns.append(fn)
             if fn is stemmers.stem_en:
                 en_words.append(w)

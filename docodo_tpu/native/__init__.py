@@ -71,6 +71,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.docodo_varint_encode.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
     lib.docodo_varint_decode.restype = c.c_int64
     lib.docodo_varint_decode.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
+    lib.docodo_varint_encode_blocks.restype = c.c_int64
+    lib.docodo_varint_encode_blocks.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int64, c.c_void_p, c.c_void_p
+    ]
     lib.docodo_stem_en.restype = c.c_int64
     lib.docodo_stem_en.argtypes = [c.c_char_p, c.c_int64, c.c_char_p]
     lib.docodo_stem_en_bulk.restype = c.c_int64

@@ -216,6 +216,34 @@ int64_t docodo_varint_encode(
     return w;
 }
 
+// Encode MANY posting blocks in one pass: offsets[b]:offsets[b+1]
+// delimit block b in coords; each block's deltas restart (first delta
+// = its first absolute coordinate), matching per-block
+// docodo_varint_encode. word_starts[b] receives block b's first word
+// index (word_starts has nblocks+1 slots). Returns total word count.
+int64_t docodo_varint_encode_blocks(
+    const uint64_t* coords, const int64_t* offsets, int64_t nblocks,
+    uint16_t* out, int64_t* word_starts) {
+    int64_t w = 0;
+    for (int64_t b = 0; b < nblocks; b++) {
+        word_starts[b] = w;
+        uint64_t prev = 0;
+        for (int64_t i = offsets[b]; i < offsets[b + 1]; i++) {
+            uint64_t d = coords[i] - prev;
+            prev = coords[i];
+            do {
+                uint16_t chunk = (uint16_t)(d & 0x7FFF);
+                d >>= 15;
+                if (d) chunk |= 0x8000;
+                out[w] = chunk;
+                w++;
+            } while (d);
+        }
+    }
+    word_starts[nblocks] = w;
+    return w;
+}
+
 // Decode u16 varint stream back into ascending u64 coords.
 // Returns coordinate count; pass out=null to size.
 int64_t docodo_varint_decode(

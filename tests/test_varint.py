@@ -128,3 +128,28 @@ def test_native_and_numpy_paths_agree(rng, monkeypatch):
         np.testing.assert_array_equal(dec_nat, coords)
         np.testing.assert_array_equal(dec_np, coords)
         assert n_nat == enc_np.size
+
+
+def test_native_encode_blocks_agrees(rng, monkeypatch):
+    """The C blocks encoder (one pass, per-block delta reset) must be
+    byte-identical to the NumPy encode_blocks path, word starts
+    included — including empty blocks and multi-chunk deltas."""
+    from docodo_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    for _ in range(50):
+        nb = int(rng.integers(1, 40))
+        lens = rng.integers(0, 60, nb)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        step_hi = 1 << int(rng.integers(1, 40))
+        coords = np.cumsum(
+            rng.integers(1, step_hi, offsets[-1]).astype(np.uint64)
+        )
+        s_nat, w_nat = varint.encode_blocks(coords, offsets)
+        monkeypatch.setattr(varint, "_native", None)
+        monkeypatch.setattr(varint, "_native_tried", True)
+        s_np, w_np = varint.encode_blocks(coords, offsets)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(s_nat, s_np)
+        np.testing.assert_array_equal(w_nat, w_np)
