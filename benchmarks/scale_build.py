@@ -108,7 +108,14 @@ def main() -> int:
     # ---- device build --------------------------------------------------
     import jax.numpy as jnp
 
-    from docodo_tpu.ops.device_index import build_postings
+    from docodo_tpu.ops.device_index import (
+        PACK_PAD_ROW,
+        PACK_SENTINEL,
+        build_postings,
+        build_postings_packed,
+        pack_tokens,
+        pack_tokens_split,
+    )
     from docodo_tpu.ops.seqops import INF32
 
     slice_chars = 8_000_000
@@ -127,27 +134,37 @@ def main() -> int:
         import threading
 
         interner = npipe.make_interner()
-        # warm compile at a cap sized from slice 0 (synchronous)
+        # warm compile at a cap sized from slice 0 (synchronous).
+        # Tokens ship PACKED (one uint32 per token: 12-bit coord delta |
+        # 20-bit term id, device_index.pack_tokens) — host->device
+        # transfer is the pipelined build's bound over a remote device
+        # link, and packing halves its bytes.
         t_first0 = time.perf_counter()
         ids0, starts0 = npipe.tokenize_intern(parts[0], interner)
+        packed0 = pack_tokens(ids0, starts0)
         first_tok = time.perf_counter() - t_first0
         cap = 1
-        while cap < ids0.size * 5 // 4:
+        while cap < packed0.size * 5 // 4:
             cap <<= 1
 
-        def pad(ids, starts):
-            pt = np.full(cap, int(INF32), dtype=np.int32)
-            pc = np.full(cap, int(INF32), dtype=np.int32)
-            pt[: ids.size] = ids
-            pc[: ids.size] = starts
-            return jnp.asarray(pt), jnp.asarray(pc), ids.size
+        def pad(packed):
+            pt = np.full(cap, PACK_PAD_ROW, dtype=np.uint32)
+            pt[: packed.size] = packed
+            return jnp.asarray(pt)
+
+        def n_tokens(packed) -> int:
+            return int(np.count_nonzero(
+                (packed & np.uint32(PACK_SENTINEL)) != PACK_SENTINEL
+            ))
 
         # estimate T up front: term count stabilizes fast under Zipf; a
-        # fixed T keeps build_postings' shape static. Interning is global
+        # fixed T keeps the build shape static. Interning is global
         # and monotonic, so pad T generously and assert at the end.
         T = max(2 * len(interner), 1 << 18)
-        pt0, pc0, _ = pad(ids0, starts0)
-        st, sc, off = build_postings(pt0, pc0, T)
+        build = jax.jit(build_postings_packed,
+                        static_argnames=("num_terms",))
+        pt0 = pad(packed0)
+        st, sc, off = build(pt0, num_terms=T)
         assert int(off[T]) == ids0.size  # warm + force compile
 
         q: "_queue.Queue" = _queue.Queue(maxsize=4)
@@ -157,30 +174,28 @@ def main() -> int:
             for p in parts[1:]:
                 t1 = time.perf_counter()
                 ids, starts = npipe.tokenize_intern(p, interner)
+                packed_parts = pack_tokens_split(ids, starts, cap)
                 tok_busy.append(time.perf_counter() - t1)
-                while ids.size > cap:  # oversize slice: split rows
-                    q.put((ids[:cap], starts[:cap]))
-                    ids, starts = ids[cap:], starts[cap:]
-                q.put((ids, starts))
+                for pp in packed_parts:
+                    q.put(pp)
             q.put(None)
 
         t0 = time.perf_counter()
         th = threading.Thread(target=producer, daemon=True)
         th.start()
-        chain = jnp.int32(0)
+        chain = jnp.uint32(0)
         tot = last_nreal = ids0.size
-        st, sc, off = build_postings(pt0 + chain, pc0, T)
-        chain = (off[T] * 0).astype(jnp.int32)
+        st, sc, off = build(pt0 + chain, num_terms=T)
+        chain = (off[T] * 0).astype(jnp.uint32)
         n_chunks = 1
         while True:
             item = q.get()
             if item is None:
                 break
-            ids, starts = item
-            pt, pc, nreal = pad(ids, starts)
-            st, sc, off = build_postings(pt + chain, pc, T)
-            chain = (off[T] * 0).astype(jnp.int32)
-            tot += nreal
+            pt = pad(item)
+            st, sc, off = build(pt + chain, num_terms=T)
+            chain = (off[T] * 0).astype(jnp.uint32)
+            tot += (nreal := n_tokens(item))
             last_nreal = nreal
             n_chunks += 1
         last = int(off[T])  # single closing readback drains the chain

@@ -94,6 +94,80 @@ def build_postings(term_ids, coords, num_terms: int):
 
 
 # ---------------------------------------------------------------------------
+# packed token transfer: ONE uint32 per token (12-bit coord delta |
+# 20-bit term id) HALVES host->device bytes for the build stream — the
+# pipelined build over a remote device link is transfer-bound, and
+# token starts are ascending so deltas are tiny (median gap < 16 chars).
+# Rows whose term field is PACK_SENTINEL carry no posting: escape rows
+# advance the coordinate cursor by their delta (gaps >= PACK_DELTA_MAX),
+# padding rows have delta 0. Device-side reconstruction is one cumsum.
+# ---------------------------------------------------------------------------
+
+PACK_TERM_BITS = 20
+PACK_SENTINEL = (1 << PACK_TERM_BITS) - 1          # term ids must stay below
+PACK_DELTA_MAX = (1 << (32 - PACK_TERM_BITS)) - 1  # 4095
+
+
+def pack_tokens(ids: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Pack a (term_id, start) token stream into uint32 rows (host-side
+    numpy). `starts` must be ascending; `ids` must be < PACK_SENTINEL
+    (callers with >1M-term vocabularies use the unpacked path). Returns
+    the packed row array — len(ids) rows plus one escape row per
+    PACK_DELTA_MAX of gap overflow."""
+    n = ids.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint32)
+    assert int(ids.max()) < PACK_SENTINEL
+    deltas = np.diff(starts.astype(np.int64), prepend=np.int64(0))
+    n_esc = deltas // PACK_DELTA_MAX
+    rem = (deltas - n_esc * PACK_DELTA_MAX).astype(np.uint32)
+    token_pos = np.arange(n, dtype=np.int64) + np.cumsum(n_esc)
+    total = int(token_pos[-1]) + 1
+    esc_row = np.uint32((PACK_DELTA_MAX << PACK_TERM_BITS) | PACK_SENTINEL)
+    out = np.full(total, esc_row, dtype=np.uint32)
+    out[token_pos] = (rem << np.uint32(PACK_TERM_BITS)) | ids.astype(
+        np.uint32
+    )
+    return out
+
+
+PACK_PAD_ROW = np.uint32(PACK_SENTINEL)  # delta 0, no posting
+
+
+def pack_tokens_split(ids: np.ndarray, starts: np.ndarray,
+                      max_rows: int) -> List[np.ndarray]:
+    """pack_tokens, split into parts of <= max_rows packed rows. Each
+    part packs ABSOLUTE starts (the part's first delta escapes across
+    the preceding text), so parts build independently."""
+    out = []
+    while ids.size:
+        deltas = np.diff(starts.astype(np.int64), prepend=np.int64(0))
+        token_pos = (np.arange(ids.size, dtype=np.int64)
+                     + np.cumsum(deltas // PACK_DELTA_MAX))
+        if token_pos[-1] < max_rows:
+            out.append(pack_tokens(ids, starts))
+            break
+        k = int(np.searchsorted(token_pos, max_rows, side="left"))
+        out.append(pack_tokens(ids[:k], starts[:k]))
+        ids, starts = ids[k:], starts[k:]
+    return out
+
+
+def build_postings_packed(packed, num_terms: int):
+    """build_postings over a pack_tokens stream: unpack (mask + shift +
+    one cumsum, pure VPU work) then the same device sort. Padding rows
+    (PACK_PAD_ROW) and escape rows sort past every real term."""
+    v = packed.astype(jnp.uint32)
+    tid = (v & jnp.uint32(PACK_SENTINEL)).astype(jnp.int32)
+    delta = (v >> jnp.uint32(PACK_TERM_BITS)).astype(jnp.int32)
+    coords = jnp.cumsum(delta)
+    is_pad = tid == PACK_SENTINEL
+    tid = jnp.where(is_pad, INF32, tid)
+    coords = jnp.where(is_pad, INF32, coords)
+    return build_postings(tid, coords, num_terms)
+
+
+# ---------------------------------------------------------------------------
 # query: gather -> AND fold -> locate/rank -> top-k
 # ---------------------------------------------------------------------------
 
@@ -314,31 +388,100 @@ class LocateFull(NamedTuple):
     n_hits: jax.Array     # int32[] total kept hits
 
 
+# page-table size bound for the gather-free doc/header lookups in
+# doc_group_topk: beyond it the [topk, P] compare-all would dominate
+# and the plain table gathers take over (same crossover doctrine as
+# seqops' compare-all vs sort-merge)
+DOC_CA_MAX = int(_os.environ.get("DOCODO_DOC_CA_MAX", "4096"))
+_DOC_CA_CHUNK = 512
+
+
 def doc_group_topk(top_page, top_rank, page_doc, is_header):
     """Device doc grouping/ranking over a top-k page row: doc ordinal
     per slot, and doc rank = 1 + ln(sum of the doc's top-k page ranks),
     x10 when the doc's header page "0" is among them, emitted at each
-    doc's FIRST top-k slot (ref Search.cs:552-557). [topk, topk]
-    compares only — tiny."""
+    doc's FIRST top-k slot (ref Search.cs:552-557).
+
+    Formulated as ONE [topk] sort by (doc, k) + per-run prefix scans +
+    a [topk] un-sort by k — O(topk log topk) lanes. The naive same-doc
+    [topk, topk] mask costs 16-32x the lane area of an entire small-cap
+    query (at topk 64 it measured ~9 ms of the 35 ms 10k-mix batch);
+    this sort form removes that."""
     topk = top_page.shape[0]
     valid_top = top_rank > 0
-    docs = jnp.where(valid_top, page_doc[jnp.maximum(top_page, 0)], -1)
-    same = (
-        (docs[:, None] == docs[None, :])
-        & valid_top[:, None] & valid_top[None, :]
+    P = page_doc.shape[0]
+    if P <= DOC_CA_MAX:
+        # GATHER-FREE table lookups: page_doc is non-decreasing (docs
+        # occupy contiguous page ranges), so doc(page) = #{doc-start
+        # pages <= page} - 1 — a chunked compare-all against the
+        # doc-start page list (vmapped gathers serialize on TPU: the
+        # two [B, topk] table gathers measured 4.5 ms of the 10k-mix
+        # batch; this form 3.3x faster, identical results). The start
+        # list derives from page_doc with ONE [P] sort — unmapped under
+        # vmap, so it runs once per program.
+        pidx = jnp.arange(P, dtype=jnp.int32)
+        start_mask = jnp.concatenate(
+            [jnp.ones(1, bool), page_doc[1:] != page_doc[:-1]]
+        )
+        skey = jnp.where(start_mask, pidx, jnp.int32(INT32_MAX))
+        hpay = (start_mask & is_header).astype(jnp.int32)
+        starts_p, start_hdr = jax.lax.sort((skey, hpay), num_keys=1)
+        acc = jnp.zeros(top_page.shape, jnp.int32)
+        hdr = jnp.zeros(top_page.shape, bool)
+        for j0 in range(0, P, _DOC_CA_CHUNK):
+            blk = starts_p[j0: j0 + _DOC_CA_CHUNK]
+            bh = start_hdr[j0: j0 + _DOC_CA_CHUNK]
+            acc = acc + jnp.sum(
+                (blk[None, :] <= top_page[:, None]), axis=-1
+            ).astype(jnp.int32)
+            hdr = hdr | jnp.any(
+                (blk[None, :] == top_page[:, None]) & (bh[None, :] > 0),
+                axis=-1,
+            )
+        docs = jnp.where(valid_top, acc - 1, -1)
+        hdr = hdr & valid_top
+    else:
+        safe_page = jnp.maximum(top_page, 0)
+        docs = jnp.where(valid_top, page_doc[safe_page], -1)
+        hdr = jnp.where(valid_top, is_header[safe_page], False)
+
+    big = jnp.int32(INT32_MAX)
+    key = jnp.where(valid_top, docs, big)
+    kidx = jnp.arange(topk, dtype=jnp.int32)
+    skey, skidx, srank, shdr = jax.lax.sort(
+        (key, kidx, top_rank, hdr.astype(jnp.int32)), num_keys=2
     )
-    doc_sum = jnp.sum(jnp.where(same, top_rank[None, :], 0.0), axis=1)
-    k_idx = jnp.arange(topk, dtype=jnp.int32)
-    first_of_doc = valid_top & ~jnp.any(
-        same & (k_idx[None, :] < k_idx[:, None]), axis=1
+    start = jnp.concatenate(
+        [jnp.ones(1, bool), skey[1:] != skey[:-1]]
     )
-    top_is_header = jnp.where(
-        valid_top, is_header[jnp.maximum(top_page, 0)], False
-    )
-    doc_has_header = jnp.any(same & top_is_header[None, :], axis=1)
-    doc_rank = 1.0 + jnp.log(jnp.maximum(doc_sum, 1e-30))
-    doc_rank = jnp.where(doc_has_header, doc_rank * 10.0, doc_rank)
-    return docs, jnp.where(first_of_doc, doc_rank, 0.0)
+    # per-run totals at the run START via a reverse SEGMENTED
+    # Hillis-Steele sum: additions stay strictly within each run (tree-
+    # structured direct summation — prefix-sum DIFFERENCES lose a ulp
+    # and break the exact rank ties brief-mode ordering relies on)
+    run_sum, run_hdr = srank, shdr
+    d = 1
+    while d < topk:
+        same = jnp.concatenate(
+            [skey[d:], jnp.full(d, -7, jnp.int32)]
+        ) == skey
+        run_sum = run_sum + jnp.where(
+            same,
+            jnp.concatenate([run_sum[d:], jnp.zeros(d, jnp.float32)]),
+            0.0,
+        )
+        run_hdr = run_hdr + jnp.where(
+            same,
+            jnp.concatenate([run_hdr[d:], jnp.zeros(d, jnp.int32)]),
+            0,
+        )
+        d <<= 1
+    doc_rank = 1.0 + jnp.log(jnp.maximum(run_sum, 1e-30))
+    doc_rank = jnp.where(run_hdr > 0, doc_rank * 10.0, doc_rank)
+    # the secondary k key makes each run's first slot the doc's FIRST
+    # top-k slot; emit there, then un-sort the values back to k order
+    sval = jnp.where(start & (skey < big), doc_rank, 0.0)
+    _, out = jax.lax.sort((skidx, sval), num_keys=1)
+    return docs, out
 
 
 def locate_full(vals, keep, bounds, page_doc, is_header, topk: int,

@@ -498,3 +498,73 @@ def test_from_index_rejects_int32_coordinate_overflow():
     ind.arr = _FakeArr()
     with pytest.raises(ValueError, match="2\\^31-1"):
         DeviceIndex.from_index(ind)
+
+
+def test_packed_build_equals_plain():
+    """pack_tokens -> build_postings_packed reproduces build_postings on
+    the raw (term_id, start) stream: escape rows (gaps beyond
+    PACK_DELTA_MAX), padding rows, and split parts all reconstruct the
+    exact coordinates."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n, T = 5000, 700
+    ids = rng.integers(0, T, size=n).astype(np.int32)
+    gaps = rng.integers(1, 40, size=n).astype(np.int64)
+    # sprinkle huge gaps to force escape rows (incl. multi-escape)
+    big = rng.choice(n, size=12, replace=False)
+    gaps[big] = rng.integers(di.PACK_DELTA_MAX, 40 * di.PACK_DELTA_MAX,
+                             size=12)
+    starts = np.cumsum(gaps).astype(np.int64)
+
+    packed = di.pack_tokens(ids, starts)
+    assert packed.size >= n
+    # pad to a static cap like the pipelined build does
+    cap = 1 << (int(packed.size - 1).bit_length() + 1)
+    pt = np.full(cap, di.PACK_PAD_ROW, dtype=np.uint32)
+    pt[: packed.size] = packed
+    st_p, sc_p, off_p = di.build_postings_packed(
+        jnp.asarray(pt), num_terms=T
+    )
+
+    ref_ids = np.full(cap, int(INF32), dtype=np.int32)
+    ref_cs = np.full(cap, int(INF32), dtype=np.int32)
+    ref_ids[:n] = ids
+    ref_cs[:n] = starts.astype(np.int32)
+    st_r, sc_r, off_r = di.build_postings(
+        jnp.asarray(ref_ids), jnp.asarray(ref_cs), num_terms=T
+    )
+    assert int(off_p[T]) == n
+    np.testing.assert_array_equal(np.asarray(off_p), np.asarray(off_r))
+    np.testing.assert_array_equal(
+        np.asarray(st_p)[:n], np.asarray(st_r)[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sc_p)[:n], np.asarray(sc_r)[:n]
+    )
+
+
+def test_pack_tokens_split_parts_rebuild_absolute_coords():
+    """pack_tokens_split parts stay under max_rows and each part's
+    coordinates are ABSOLUTE (the first delta of a later part escapes
+    across all preceding text)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n, T = 4000, 300
+    ids = rng.integers(0, T, size=n).astype(np.int32)
+    starts = np.cumsum(rng.integers(1, 30, size=n)).astype(np.int64)
+    max_rows = 1024
+    parts = di.pack_tokens_split(ids, starts, max_rows)
+    assert len(parts) > 1
+    got_coords = []
+    for p in parts:
+        assert p.size <= max_rows
+        pt = np.full(max_rows, di.PACK_PAD_ROW, dtype=np.uint32)
+        pt[: p.size] = p
+        st, sc, off = di.build_postings_packed(jnp.asarray(pt),
+                                               num_terms=T)
+        k = int(off[T])
+        got_coords.append(np.sort(np.asarray(sc)[:k]))
+    got = np.concatenate(got_coords)
+    np.testing.assert_array_equal(np.sort(got), np.sort(starts))
