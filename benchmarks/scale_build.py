@@ -113,8 +113,7 @@ def main() -> int:
         PACK_SENTINEL,
         build_postings,
         build_postings_packed,
-        pack_tokens,
-        pack_tokens_split,
+        split_packed,
     )
     from docodo_tpu.ops.seqops import INF32
 
@@ -140,8 +139,10 @@ def main() -> int:
         # transfer is the pipelined build's bound over a remote device
         # link, and packing halves its bytes.
         t_first0 = time.perf_counter()
-        ids0, starts0 = npipe.tokenize_intern(parts[0], interner)
-        packed0 = pack_tokens(ids0, starts0)
+        packed0 = npipe.tokenize_intern_packed(parts[0], interner)
+        n_tok0 = int(np.count_nonzero(
+            (packed0 & np.uint32(PACK_SENTINEL)) != PACK_SENTINEL
+        ))
         first_tok = time.perf_counter() - t_first0
         cap = 1
         while cap < packed0.size * 5 // 4:
@@ -165,7 +166,7 @@ def main() -> int:
                         static_argnames=("num_terms",))
         pt0 = pad(packed0)
         st, sc, off = build(pt0, num_terms=T)
-        assert int(off[T]) == ids0.size  # warm + force compile
+        assert int(off[T]) == n_tok0  # warm + force compile
 
         q: "_queue.Queue" = _queue.Queue(maxsize=4)
         tok_busy = [first_tok]
@@ -173,8 +174,8 @@ def main() -> int:
         def producer():
             for p in parts[1:]:
                 t1 = time.perf_counter()
-                ids, starts = npipe.tokenize_intern(p, interner)
-                packed_parts = pack_tokens_split(ids, starts, cap)
+                packed = npipe.tokenize_intern_packed(p, interner)
+                packed_parts = split_packed(packed, cap)
                 tok_busy.append(time.perf_counter() - t1)
                 for pp in packed_parts:
                     q.put(pp)
@@ -184,7 +185,7 @@ def main() -> int:
         th = threading.Thread(target=producer, daemon=True)
         th.start()
         chain = jnp.uint32(0)
-        tot = last_nreal = ids0.size
+        tot = last_nreal = n_tok0
         st, sc, off = build(pt0 + chain, num_terms=T)
         chain = (off[T] * 0).astype(jnp.uint32)
         n_chunks = 1

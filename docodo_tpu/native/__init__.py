@@ -63,6 +63,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.docodo_tokenize_intern.argtypes = [
         c.c_void_p, c.c_void_p, c.c_int64, c.c_void_p, c.c_void_p,
         c.c_int32, c.c_int32, c.c_void_p, c.c_void_p, c.c_int64]
+    lib.docodo_tokenize_intern_packed.restype = c.c_int64
+    lib.docodo_tokenize_intern_packed.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int64, c.c_void_p, c.c_void_p,
+        c.c_int32, c.c_int32, c.c_void_p, c.c_int64]
     lib.docodo_tokenize.restype = c.c_int64
     lib.docodo_tokenize.argtypes = [
         c.c_void_p, c.c_int64, c.c_void_p, c.c_int32, c.c_int32,

@@ -119,6 +119,10 @@ def pack_tokens(ids: np.ndarray, starts: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.uint32)
     assert int(ids.max()) < PACK_SENTINEL
     deltas = np.diff(starts.astype(np.int64), prepend=np.int64(0))
+    if int(deltas.max()) < PACK_DELTA_MAX:
+        # no escape rows: one vectorized expression
+        return (deltas.astype(np.uint32) << np.uint32(PACK_TERM_BITS)
+                ) | ids.astype(np.uint32)
     n_esc = deltas // PACK_DELTA_MAX
     rem = (deltas - n_esc * PACK_DELTA_MAX).astype(np.uint32)
     token_pos = np.arange(n, dtype=np.int64) + np.cumsum(n_esc)
@@ -132,6 +136,32 @@ def pack_tokens(ids: np.ndarray, starts: np.ndarray) -> np.ndarray:
 
 
 PACK_PAD_ROW = np.uint32(PACK_SENTINEL)  # delta 0, no posting
+
+
+def split_packed(packed: np.ndarray, max_rows: int) -> List[np.ndarray]:
+    """Split an ALREADY-PACKED stream into parts of <= max_rows rows.
+    Later parts keep ABSOLUTE coordinates by prepending escape rows that
+    advance the cursor across everything the earlier parts covered (the
+    cut coordinate base = sum of the cut rows' delta fields)."""
+    esc_row = np.uint32((PACK_DELTA_MAX << PACK_TERM_BITS) | PACK_SENTINEL)
+    out = []
+    while packed.size > max_rows:
+        part = packed[:max_rows]
+        out.append(part)
+        base = int((part >> np.uint32(PACK_TERM_BITS))
+                   .astype(np.int64).sum())
+        n_esc, rem = divmod(base, PACK_DELTA_MAX)
+        assert n_esc + 1 < max_rows, \
+            "max_rows too small for the escape prefix (would not converge)"
+        prefix = np.full(n_esc + (1 if rem else 0), esc_row,
+                         dtype=np.uint32)
+        if rem:
+            prefix[-1] = np.uint32(
+                (rem << PACK_TERM_BITS) | PACK_SENTINEL
+            )
+        packed = np.concatenate([prefix, packed[max_rows:]])
+    out.append(packed)
+    return out
 
 
 def pack_tokens_split(ids: np.ndarray, starts: np.ndarray,
@@ -996,6 +1026,11 @@ class DeviceIndex:
         pt = ind.pages
         offsets_np = np.asarray(arr.offsets, dtype=np.int64)
         page_doc_np = np.asarray(pt.page_doc, dtype=np.int32)
+        # doc_group_topk's gather-free doc lookup derives doc-start
+        # pages from page_doc transitions — docs must occupy contiguous
+        # page ranges (PageTable appends per doc, so this always holds)
+        assert np.all(np.diff(page_doc_np) >= 0), \
+            "page_doc must be non-decreasing (contiguous doc page runs)"
         bounds_np = pt.bounds.astype(np.int64)
         # header pages (id "0") drive the x10 doc-rank boost on device
         # (ref Search.cs:554-557, Index.cs:115)

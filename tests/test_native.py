@@ -85,3 +85,48 @@ def test_parallel_tokenize_intern_matches_serial():
         np.testing.assert_array_equal(ps, ss)
         assert [terms_p[k] for k in pi] == [t_ser[k] for k in si]
     assert sorted(terms_p) == sorted(t_ser)
+
+
+def test_tokenize_intern_packed_matches_numpy_pack():
+    """The C packed emitter reproduces pack_tokens(tokenize_intern(...))
+    bit-for-bit, including escape rows across long token gaps."""
+    from docodo_tpu.ops.device_index import pack_tokens
+
+    text = ("The Pickwick Papers, " * 50
+            + " " * 9000                       # > 2 escape rows of gap
+            + "posthumous papers of the club " * 30)
+    i1 = npipe.make_interner()
+    ids, starts = npipe.tokenize_intern(text, i1)
+    want = pack_tokens(ids, starts)
+    i2 = npipe.make_interner()
+    got = npipe.tokenize_intern_packed(text, i2)
+    np.testing.assert_array_equal(got, want)
+    i1.close()
+    i2.close()
+
+
+def test_split_packed_equals_pack_tokens_split():
+    """split_packed (escape-prefix splitting of an already-packed
+    stream) rebuilds the same absolute coordinates as packing token
+    slices directly."""
+    import jax.numpy as jnp
+
+    from docodo_tpu.ops import device_index as di
+
+    rng = np.random.default_rng(5)
+    n, T = 3000, 200
+    ids = rng.integers(0, T, size=n).astype(np.int32)
+    starts = np.cumsum(rng.integers(1, 60, size=n)).astype(np.int64)
+    packed = di.pack_tokens(ids, starts)
+    parts = di.split_packed(packed, 1024)
+    assert len(parts) > 1 and all(p.size <= 1024 for p in parts)
+    got = []
+    for p in parts:
+        pt = np.full(1024, di.PACK_PAD_ROW, dtype=np.uint32)
+        pt[: p.size] = p
+        st, sc, off = di.build_postings_packed(jnp.asarray(pt),
+                                               num_terms=T)
+        got.append(np.sort(np.asarray(sc)[: int(off[T])]))
+    np.testing.assert_array_equal(
+        np.sort(np.concatenate(got)), np.sort(starts)
+    )
