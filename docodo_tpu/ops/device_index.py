@@ -59,6 +59,10 @@ import os as _os
 
 FULL_CA_MAX = int(_os.environ.get("DOCODO_FULL_CA_MAX", "512"))
 
+# posting-fetch strategy crossover (gather_term): element-index gather
+# below, one dynamic_slice block DMA per row at/above
+GATHER_SLICE_MIN = int(_os.environ.get("DOCODO_GATHER_SLICE_MIN", "256"))
+
 
 def _fold_select(skip, acc, keep_acc, n_acc, vals, keep):
     """Select between the previous fold state (padded up to the new
@@ -215,8 +219,25 @@ def gather_term(coords, term_offsets, term, cap: int):
     ln = term_offsets[safe + 1] - start
     ln = jnp.where(term >= 0, ln, 0)
     ln = jnp.minimum(ln, cap).astype(jnp.int32)
-    idx = start + jnp.arange(cap, dtype=jnp.int32)
-    vals = coords[jnp.minimum(idx, coords.shape[0] - 1)]
+    # Cap-adaptive fetch (measured on TPU v5e, min-of-3 chained):
+    # * cap >= 256: ONE contiguous dynamic_slice per term, NOT
+    #   coords[start + arange] — explicit per-element indices lower to
+    #   a general gather (~8 ns PER ELEMENT; the ru cap-1024 bucket
+    #   spent 76 of 94 ms just fetching postings). A vmapped
+    #   dynamic_slice keeps block-contiguity visible and fetches each
+    #   row as one DMA (5.5x at cap 1024, 1.5-2.4x at 256-512). The
+    #   INF32 tail pad makes every in-range start exact (start <= N, so
+    #   the slice never clamp-shifts); it hoists out of vmap.
+    # * cap <= 128: the element gather — the block-DMA row cost
+    #   (~1.3 us/row) exceeds 8 ns x cap there (2.3x at cap 64).
+    if cap >= GATHER_SLICE_MIN:
+        ext = jnp.concatenate(
+            [coords, jnp.full((cap,), INF32, coords.dtype)]
+        )
+        vals = jax.lax.dynamic_slice_in_dim(ext, start, cap)
+    else:
+        idx = start + jnp.arange(cap, dtype=jnp.int32)
+        vals = coords[jnp.minimum(idx, coords.shape[0] - 1)]
     vals = jnp.where(jnp.arange(cap, dtype=jnp.int32) < ln, vals, INF32)
     return vals, ln
 
