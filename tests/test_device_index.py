@@ -568,3 +568,36 @@ def test_pack_tokens_split_parts_rebuild_absolute_coords():
         got_coords.append(np.sort(np.asarray(sc)[:k]))
     got = np.concatenate(got_coords)
     np.testing.assert_array_equal(np.sort(got), np.sort(starts))
+
+
+def test_gather_term_strategies_agree():
+    """gather_term's two fetch strategies (element gather below
+    GATHER_SLICE_MIN, dynamic_slice block DMA at/above) return identical
+    padded blocks — including terms at the very end of the coords array
+    and query-padding terms (-1)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    T = 50
+    counts = rng.integers(1, 700, size=T)
+    coords_np = np.sort(rng.integers(0, 1 << 20, size=int(counts.sum()))
+                        ).astype(np.int32)
+    off_np = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    coords = jnp.asarray(coords_np)
+    off = jnp.asarray(off_np)
+    import docodo_tpu.ops.device_index as di_mod
+
+    orig = di_mod.GATHER_SLICE_MIN
+    try:
+        for term in [0, T - 1, 17, -1]:
+            for cap in (64, 256, 1024):
+                di_mod.GATHER_SLICE_MIN = 1  # force slice
+                v1, n1 = di_mod.gather_term(coords, off, term, cap)
+                di_mod.GATHER_SLICE_MIN = 1 << 30  # force element
+                v2, n2 = di_mod.gather_term(coords, off, term, cap)
+                assert int(n1) == int(n2)
+                np.testing.assert_array_equal(
+                    np.asarray(v1), np.asarray(v2)
+                )
+    finally:
+        di_mod.GATHER_SLICE_MIN = orig
