@@ -211,3 +211,31 @@ def test_fuzz_lazy_mode_matches_in_memory(tmp_path, round_i):
         assert _view(a) == _view(b), (round_i, req)
     lazy.dispose()
     ind.dispose()
+
+
+@pytest.mark.parametrize("round_i", range(2))
+def test_fuzz_block_dma_fetch_leg(tmp_path, round_i, monkeypatch):
+    """Device-vs-host fuzz with the dynamic_slice block-DMA posting
+    fetch forced for EVERY cap (GATHER_SLICE_MIN=1): the cap-adaptive
+    gather strategy must be invisible to results."""
+    from docodo_tpu.ops import device_index as di_mod
+
+    monkeypatch.setattr(di_mod, "GATHER_SLICE_MIN", 1)
+    rng = random.Random(7700 + round_i)
+    docs = _corpus(rng, rng.randrange(2, 7))
+    ind = docodo_tpu.Index(
+        path=str(tmp_path / f"g{round_i}"), in_memory=True
+    )
+    ind.max_degree_of_parallelism = 1
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile(f"d{i}", t, "") for i, t in enumerate(docs)
+    ]))
+    ind.create()
+    ex = BatchExecutor(ind, max_wait_ms=1.0, topk=64, hit_cap=1024)
+    try:
+        for req in _requests(rng, 16):
+            dev = ex.search(req)
+            host = ind.search(req)
+            assert _view(dev) == _view(host), (round_i, req)
+    finally:
+        ex.close()
