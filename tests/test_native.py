@@ -130,3 +130,16 @@ def test_split_packed_equals_pack_tokens_split():
     np.testing.assert_array_equal(
         np.sort(np.concatenate(got)), np.sort(starts)
     )
+
+
+def test_tokenize_intern_packed_python_fallback():
+    """tokenize_intern_packed's non-native path (pure-Python interner)
+    equals pack_tokens over the unpacked outputs."""
+    from docodo_tpu.native.pipeline import _PyInterner
+    from docodo_tpu.ops.device_index import pack_tokens
+
+    text = "alpha beta gamma " * 40 + " " * 5000 + "delta epsilon " * 20
+    i1, i2 = _PyInterner(), _PyInterner()
+    ids, starts = npipe.tokenize_intern(text, i1)
+    got = npipe.tokenize_intern_packed(text, i2)
+    np.testing.assert_array_equal(got, pack_tokens(ids, starts))
