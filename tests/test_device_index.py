@@ -601,3 +601,43 @@ def test_gather_term_strategies_agree():
                 )
     finally:
         di_mod.GATHER_SLICE_MIN = orig
+
+
+def test_doc_group_lookup_paths_agree():
+    """doc_group_topk's compare-all doc/header lookup (P <= DOC_CA_MAX)
+    and the table-gather fallback (huge page tables) produce identical
+    docs/doc_ranks."""
+    import jax.numpy as jnp
+    import docodo_tpu.ops.device_index as di_mod
+
+    rng = np.random.default_rng(9)
+    P, topk = 300, 32
+    # 40 docs with contiguous page runs; doc starts are header pages
+    # for even docs
+    doc_sizes = rng.integers(1, 15, size=40)
+    doc_sizes = doc_sizes[np.cumsum(doc_sizes) <= P]
+    page_doc_np = np.repeat(np.arange(doc_sizes.size), doc_sizes)
+    page_doc_np = np.pad(page_doc_np, (0, P - page_doc_np.size),
+                         constant_values=doc_sizes.size - 1)
+    starts = np.concatenate([[0], np.cumsum(doc_sizes)[:-1]])
+    hdr_np = np.zeros(P, dtype=bool)
+    hdr_np[starts[::2]] = True
+    page_doc = jnp.asarray(page_doc_np.astype(np.int32))
+    is_header = jnp.asarray(hdr_np)
+    top_page = jnp.asarray(rng.integers(-1, P, size=topk).astype(np.int32))
+    top_rank = jnp.asarray(
+        np.where(np.asarray(top_page) >= 0,
+                 rng.random(topk).astype(np.float32) + 0.1, 0.0))
+
+    orig = di_mod.DOC_CA_MAX
+    try:
+        di_mod.DOC_CA_MAX = 1 << 20
+        d1, r1 = di_mod.doc_group_topk(top_page, top_rank, page_doc,
+                                       is_header)
+        di_mod.DOC_CA_MAX = 0  # force the gather fallback
+        d2, r2 = di_mod.doc_group_topk(top_page, top_rank, page_doc,
+                                       is_header)
+    finally:
+        di_mod.DOC_CA_MAX = orig
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-6)
