@@ -46,9 +46,12 @@ from docodo_tpu.query.search import (
 )
 
 _DEFAULT_DIST = 255
-# only correction mode (~) stays host-bounced (it is a syntax-error
-# path host-side too); wildcards, field queries and -filter: regexes
-# all serve through the device path now
+# only `~` stays host-bounced — the REFERENCE gives it no semantics
+# either: it survives the sanitizer char class (Search.cs:325) but
+# IndexSequence overloads only & * + (IndexSequence.cs:205-286), so a
+# surviving ~ makes DynamicExpresso evaluation fail — our host parser's
+# syntax-error path is the parity behavior. Wildcards, field queries
+# and -filter: regexes all serve through the device path.
 _UNSUPPORTED = re.compile(r"~")
 _MAX_WORDS = 8
 # wildcard expansions OR up to MAX_LIKE_WORDS (=100) raw-form keys into
