@@ -111,6 +111,13 @@ def main() -> None:
     off_np = np.zeros(T + 1, dtype=np.int64)
     np.cumsum(counts, out=off_np[1:])
 
+    # small-term posting tables: row-gather fetch for caps below the
+    # block-DMA crossover (the cap-64 W2 bucket spent 6.9 of 8.8 ms in
+    # the element gather; the row gather runs it in ~0.7 ms)
+    small = di.build_small_tables(off_np, sc_host)
+    log(f"small tables: "
+        f"{[tuple(t.shape) for _, t in (small or ())]}")
+
     # ---- query set: mixed single/phrase/proximity over ALL terms -------
     # (term popularity follows the real corpus distribution: frequent
     # words get big posting lists, the bucketing keeps rare ones cheap)
@@ -173,7 +180,7 @@ def main() -> None:
     def step(chain):
         return di.multi_bucket_query_step_chained(
             off, sc, _bounds, _page_doc, terms_t, rs_t, chain, caps_t, TOPK,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, small=small,
         )
 
     outs, s = step(jnp.float32(0))  # compile + warm
@@ -236,7 +243,7 @@ def main() -> None:
     def fstep(chain):
         return di.multi_bucket_query_full_chained(
             off, sc, _bounds, _page_doc, _is_header, fterms, frs, chain,
-            fcaps, FULL_TOPK, fhcaps, use_pallas=use_pallas,
+            fcaps, FULL_TOPK, fhcaps, use_pallas=use_pallas, small=small,
         )
 
     fouts, fs = fstep(jnp.float32(0))

@@ -63,6 +63,72 @@ FULL_CA_MAX = int(_os.environ.get("DOCODO_FULL_CA_MAX", "512"))
 # below, one dynamic_slice block DMA per row at/above
 GATHER_SLICE_MIN = int(_os.environ.get("DOCODO_GATHER_SLICE_MIN", "256"))
 
+# SMALL-TERM POSTING TABLES: padded [Ts, width] per-term posting rows
+# staged next to the CSR for every term whose posting count fits the
+# width. Fetching a row from such a table is a ROW gather (contiguous
+# minor dim) which the TPU runs ~10x faster than the per-element gather
+# the CSR fetch lowers to below GATHER_SLICE_MIN (measured on v5e:
+# 11904 rows x 64 = 0.59 ms vs 6.2 ms — the dominant cap-64 W2 bucket
+# of the 10k mix spent 6.9 of its 8.8 ms in the fetch). Widths cover
+# exactly the element-gather regime; caps >= GATHER_SLICE_MIN already
+# ride the block-DMA path.
+SMALL_TAB_WIDTHS = (64, 128)
+
+
+def build_small_tables(offsets_np, coords_np,
+                       widths: Sequence[int] = SMALL_TAB_WIDTHS,
+                       max_bytes: Optional[int] = None):
+    """Build the small-term posting tables host-side and upload them.
+
+    offsets_np: int64[T+1] CSR offsets; coords_np: the HOST mirror of
+    the device coords array (per-term ascending). Returns a tuple of
+    (row_map int32[T] device, tab int32[Ts, width] device) pairs — the
+    `small` argument threaded through the query entry points — or None
+    when disabled/over budget (DOCODO_SMALL_TAB=0 disables,
+    DOCODO_SMALL_TAB_MB caps the total bytes, default 128 MB: large
+    vocabularies fall back to the element gather rather than ballooning
+    HBM).
+
+    Row-count shapes are padded to powers of two so repeated stagings
+    (tests, re-stage on index generation bump) reuse compiled programs.
+    """
+    if _os.environ.get("DOCODO_SMALL_TAB", "1") == "0":
+        return None
+    if max_bytes is None:
+        max_bytes = int(
+            _os.environ.get("DOCODO_SMALL_TAB_MB", "128")
+        ) * 1024 * 1024
+    counts = np.diff(np.asarray(offsets_np, dtype=np.int64))
+    t = counts.size
+    if t == 0:
+        return None
+    coords_np = np.asarray(coords_np)
+    n = coords_np.shape[0]
+    budget = max_bytes
+    out = []
+    for w in widths:
+        tids = np.flatnonzero(counts <= w).astype(np.int64)
+        if tids.size == 0:
+            continue
+        rows = _bucket(int(tids.size), lo=8)
+        nbytes = rows * w * 4
+        if nbytes > budget:
+            continue
+        budget -= nbytes
+        row_map = np.full(t, -1, dtype=np.int32)
+        row_map[tids] = np.arange(tids.size, dtype=np.int32)
+        starts = np.asarray(offsets_np, dtype=np.int64)[tids]
+        cnts = counts[tids].astype(np.int32)
+        idx = np.minimum(
+            starts[:, None] + np.arange(w, dtype=np.int64)[None, :], n - 1
+        )
+        tab = np.full((rows, w), INT32_MAX, dtype=np.int32)
+        vals = coords_np[idx].astype(np.int32) if n else tab[: tids.size]
+        lane = np.arange(w, dtype=np.int32)[None, :]
+        tab[: tids.size] = np.where(lane < cnts[:, None], vals, INT32_MAX)
+        out.append((jnp.asarray(row_map), jnp.asarray(tab)))
+    return tuple(out) or None
+
 
 def _fold_select(skip, acc, keep_acc, n_acc, vals, keep):
     """Select between the previous fold state (padded up to the new
@@ -205,13 +271,21 @@ def build_postings_packed(packed, num_terms: int):
 # query: gather -> AND fold -> locate/rank -> top-k
 # ---------------------------------------------------------------------------
 
-def gather_term(coords, term_offsets, term, cap: int):
+def gather_term(coords, term_offsets, term, cap: int, small=None):
     """Fetch one term's postings into a fixed [cap] buffer.
 
     term < 0 (query padding) yields an empty list. Lists longer than
     `cap` are truncated to their first `cap` coords (callers pick the
     bucket cap from real lengths, so truncation only guards compile-time
     shape reuse).
+
+    `small`: optional small-term posting tables (build_small_tables).
+    When a table of width == cap exists, the fetch is ONE row gather
+    from it (~10x the element gather below GATHER_SLICE_MIN, measured).
+    CONTRACT: callers may pass `small` only when every real term in the
+    batch has posting count <= cap (true for all bucketed entry points,
+    whose caps round UP from real posting counts) — a wider term has no
+    table row and would silently fetch garbage.
     """
     term = jnp.asarray(term, dtype=jnp.int32)
     safe = jnp.maximum(term, 0)
@@ -219,6 +293,15 @@ def gather_term(coords, term_offsets, term, cap: int):
     ln = term_offsets[safe + 1] - start
     ln = jnp.where(term >= 0, ln, 0)
     ln = jnp.minimum(ln, cap).astype(jnp.int32)
+    if small is not None:
+        for row_map, tab in small:
+            if tab.shape[1] == cap and tab.shape[0] > 0:
+                row = jnp.maximum(row_map[safe], 0)
+                vals = tab[row]
+                vals = jnp.where(
+                    jnp.arange(cap, dtype=jnp.int32) < ln, vals, INF32
+                )
+                return vals, ln
     # Cap-adaptive fetch (measured on TPU v5e, min-of-3 chained):
     # * cap >= 256: ONE contiguous dynamic_slice per term, NOT
     #   coords[start + arange] — explicit per-element indices lower to
@@ -243,7 +326,7 @@ def gather_term(coords, term_offsets, term, cap: int):
 
 
 def eval_and_query(coords, term_offsets, terms, rs, cap: int,
-                   ca_max: int = None):
+                   ca_max: int = None, small=None):
     """Left-fold proximity-AND over a query's terms (padded with -1).
 
     Mirrors the reference expression fold A*B*C (ref Search.cs:501 via
@@ -256,7 +339,7 @@ def eval_and_query(coords, term_offsets, terms, rs, cap: int,
     each to restore sortedness.
     """
     w = terms.shape[0]
-    acc, n_acc = gather_term(coords, term_offsets, terms[0], cap)
+    acc, n_acc = gather_term(coords, term_offsets, terms[0], cap, small)
     keep_acc = jnp.arange(cap, dtype=jnp.int32) < n_acc
     r_acc = rs[0]
     for q in range(1, w):
@@ -264,7 +347,7 @@ def eval_and_query(coords, term_offsets, terms, rs, cap: int,
             # mask must be recomputed — compaction reorders slots
             acc, n_acc = _compact(acc, keep_acc, out_cap=acc.shape[0])
             keep_acc = jnp.arange(acc.shape[0], dtype=jnp.int32) < n_acc
-        b, nb = gather_term(coords, term_offsets, terms[q], cap)
+        b, nb = gather_term(coords, term_offsets, terms[q], cap, small)
         vals, keep, r_out = and_masked(
             acc, n_acc, r_acc, b, nb, rs[q], ca_max
         )
@@ -277,7 +360,7 @@ def eval_and_query(coords, term_offsets, terms, rs, cap: int,
 
 
 def gather_word_variants(coords, term_offsets, variants, cap: int,
-                         ca_max: int = None):
+                         ca_max: int = None, small=None):
     """OR-combine a word's term-id variants (voc group code + raw form +
     stem code, ref Search.cs:226-247) into one dense posting operand.
 
@@ -285,7 +368,7 @@ def gather_word_variants(coords, term_offsets, variants, cap: int,
     ascending], n). V=1 short-circuits to a plain gather.
     """
     v = variants.shape[0]
-    acc, n_acc = gather_term(coords, term_offsets, variants[0], cap)
+    acc, n_acc = gather_term(coords, term_offsets, variants[0], cap, small)
     if v == 1:
         return acc, n_acc
     keep_acc = jnp.arange(cap, dtype=jnp.int32) < n_acc
@@ -293,7 +376,7 @@ def gather_word_variants(coords, term_offsets, variants, cap: int,
         if q > 1:  # first operand is already dense
             acc, n_acc = _compact(acc, keep_acc, out_cap=acc.shape[0])
             keep_acc = jnp.arange(acc.shape[0], dtype=jnp.int32) < n_acc
-        b, nb = gather_term(coords, term_offsets, variants[q], cap)
+        b, nb = gather_term(coords, term_offsets, variants[q], cap, small)
         vals, keep, _ = or_masked(
             acc, n_acc, jnp.int32(1), b, nb, jnp.int32(1), ca_max
         )
@@ -305,20 +388,20 @@ def gather_word_variants(coords, term_offsets, variants, cap: int,
 
 
 def eval_and_query_variants(coords, term_offsets, terms, rs, cap: int,
-                            ca_max: int = None):
+                            ca_max: int = None, small=None):
     """AND fold where each word is an OR of term variants.
 
     terms: int32[W, V] (-1 padded both ways); rs: int32[W].
     """
     w = terms.shape[0]
     acc, n_acc = gather_word_variants(
-        coords, term_offsets, terms[0], cap, ca_max
+        coords, term_offsets, terms[0], cap, ca_max, small
     )
     keep_acc = jnp.arange(acc.shape[0], dtype=jnp.int32) < n_acc
     r_acc = rs[0]
     for q in range(1, w):
         b, nb = gather_word_variants(
-            coords, term_offsets, terms[q], cap, ca_max
+            coords, term_offsets, terms[q], cap, ca_max, small
         )
         vals, keep, r_out = and_masked(
             acc, n_acc, r_acc, b, nb, rs[q], ca_max
@@ -336,12 +419,13 @@ def eval_and_query_variants(coords, term_offsets, terms, rs, cap: int,
 
 @functools.partial(jax.jit, static_argnames=("cap", "topk"))
 def batched_query_step_variants(term_offsets, coords, bounds, page_doc,
-                                terms, rs, cap: int, topk: int):
+                                terms, rs, cap: int, topk: int,
+                                small=None):
     """Variant-aware batch step: terms int32[B, W, V], rs int32[B, W]."""
 
     def one(tq, rq):
         vals, keep, _ = eval_and_query_variants(
-            coords, term_offsets, tq, rq, cap
+            coords, term_offsets, tq, rq, cap, small=small
         )
         return locate_topk_masked(vals, keep, bounds, topk)
 
@@ -575,16 +659,18 @@ def locate_topk(coords, n, bounds, page_doc, topk: int):
 
 
 def query_step(term_offsets, coords, bounds, page_doc, terms, rs,
-               cap: int, topk: int):
+               cap: int, topk: int, small=None):
     """One query end-to-end on device: AND fold -> top-k ranked pages.
     Zero sorts for 1- and 2-term queries (rank-scatter merge + masked
     locate)."""
-    vals, keep, _ = eval_and_query(coords, term_offsets, terms, rs, cap)
+    vals, keep, _ = eval_and_query(
+        coords, term_offsets, terms, rs, cap, small=small
+    )
     return locate_topk_masked(vals, keep, bounds, topk)
 
 
 def eval_query_masked(coords, term_offsets, terms, rs, cap: int,
-                      ca_max: int = None):
+                      ca_max: int = None, small=None):
     """Evaluate one query to a masked coordinate stream, dispatching on
     the terms layout: int32[W] = plain AND fold; int32[W, V] = AND fold
     of per-word variant ORs (the reference's multi-code words and
@@ -592,11 +678,11 @@ def eval_query_masked(coords, term_offsets, terms, rs, cap: int,
     if terms.ndim == 1 or terms.shape[1] == 1:
         t = terms if terms.ndim == 1 else terms[:, 0]
         vals, keep, _ = eval_and_query(
-            coords, term_offsets, t, rs, cap, ca_max
+            coords, term_offsets, t, rs, cap, ca_max, small
         )
         return vals, keep
     gather_v = jax.vmap(
-        lambda t: gather_term(coords, term_offsets, t, cap)
+        lambda t: gather_term(coords, term_offsets, t, cap, small)
     )
     if terms.shape[0] == 1:
         # one word, V variants: the union IS the result (empty AND fold)
@@ -615,18 +701,20 @@ def eval_query_masked(coords, term_offsets, terms, rs, cap: int,
         )
         return vals, keep
     vals, keep, _ = eval_and_query_variants(
-        coords, term_offsets, terms, rs, cap, ca_max
+        coords, term_offsets, terms, rs, cap, ca_max, small
     )
     return vals, keep
 
 
 def query_step_full(term_offsets, coords, bounds, page_doc, is_header,
                     terms, rs, cap: int, topk: int,
-                    hit_cap: int, with_docs: bool = True) -> LocateFull:
+                    hit_cap: int, with_docs: bool = True,
+                    small=None) -> LocateFull:
     """One query end-to-end with full result extraction: top-k pages,
     hit coordinate stream, device doc ranks. Variant-aware."""
     vals, keep = eval_query_masked(
-        coords, term_offsets, terms, rs, cap, ca_max=FULL_CA_MAX
+        coords, term_offsets, terms, rs, cap, ca_max=FULL_CA_MAX,
+        small=small,
     )
     return locate_full(vals, keep, bounds, page_doc, is_header, topk,
                        hit_cap, with_docs=with_docs)
@@ -634,7 +722,7 @@ def query_step_full(term_offsets, coords, bounds, page_doc, is_header,
 
 def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                  tq, rq, cap: int, topk: int, hit_cap: int,
-                 with_docs: bool, use_pallas: bool):
+                 with_docs: bool, use_pallas: bool, small=None):
     """One full-result bucket, routed to the hybrid Pallas kernels when
     the shape qualifies (W<=2, V=1, cap within the kernel budget), else
     the vmapped XLA program."""
@@ -642,12 +730,13 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
         out = _pallas_bucket_full(
             term_offsets, coords, bounds, page_doc, is_header, tq, rq,
             cap=cap, topk=topk, hit_cap=hit_cap, with_docs=with_docs,
+            small=small,
         )
         if out is not None:
             return out
     fn = functools.partial(
         query_step_full, cap=cap, topk=topk, hit_cap=hit_cap,
-        with_docs=with_docs,
+        with_docs=with_docs, small=small,
     )
     return jax.vmap(fn, in_axes=(None, None, None, None, None, 0, 0))(
         term_offsets, coords, bounds, page_doc, is_header, tq, rq
@@ -658,7 +747,8 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
     "cap", "topk", "hit_cap", "with_docs", "use_pallas"))
 def batched_query_full(term_offsets, coords, bounds, page_doc, is_header,
                        terms, rs, cap: int, topk: int, hit_cap: int,
-                       with_docs: bool = True, use_pallas: bool = False):
+                       with_docs: bool = True, use_pallas: bool = False,
+                       small=None):
     """One bucket of full-result queries ([B, W] or [B, W, V] terms) as
     its own cached jit — serving uses this instead of the fused
     multi-bucket program because batch COMPOSITIONS churn per request
@@ -668,7 +758,7 @@ def batched_query_full(term_offsets, coords, bounds, page_doc, is_header,
     return _bucket_full(
         term_offsets, coords, bounds, page_doc, is_header, terms, rs,
         cap=cap, topk=topk, hit_cap=hit_cap, with_docs=with_docs,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, small=small,
     )
 
 
@@ -678,7 +768,7 @@ def multi_bucket_query_full(term_offsets, coords, bounds, page_doc,
                             is_header, terms_list, rs_list, caps,
                             topk: int, hit_cap,
                             with_docs: bool = True,
-                            use_pallas: bool = False):
+                            use_pallas: bool = False, small=None):
     """Full-result twin of multi_bucket_query_step: every shape bucket
     (variant-aware, [Bi, Wi] or [Bi, Wi, Vi] terms) evaluates in ONE
     device program; each bucket yields a batched LocateFull.
@@ -693,7 +783,7 @@ def multi_bucket_query_full(term_offsets, coords, bounds, page_doc,
         outs.append(_bucket_full(
             term_offsets, coords, bounds, page_doc, is_header, tq, rq,
             cap=cap, topk=topk, hit_cap=hb, with_docs=with_docs,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, small=small,
         ))
     return tuple(outs)
 
@@ -704,7 +794,7 @@ def multi_bucket_query_full_chained(term_offsets, coords, bounds, page_doc,
                                     is_header, terms_list, rs_list, chain,
                                     caps, topk: int, hit_cap,
                                     with_docs: bool = True,
-                                    use_pallas: bool = False):
+                                    use_pallas: bool = False, small=None):
     """multi_bucket_query_full with the dependency-chain scalar trick of
     multi_bucket_query_step_chained (one final readback bounds the wall
     time of a rep sequence on async/tunnelled dispatch layers)."""
@@ -713,7 +803,7 @@ def multi_bucket_query_full_chained(term_offsets, coords, bounds, page_doc,
     outs = multi_bucket_query_full(
         term_offsets, coords, bounds, page_doc, is_header,
         terms_list, rs_list, caps, topk, hit_cap,
-        with_docs=with_docs, use_pallas=use_pallas,
+        with_docs=with_docs, use_pallas=use_pallas, small=small,
     )
     s = jnp.float32(0)
     for o in outs:
@@ -722,7 +812,7 @@ def multi_bucket_query_full_chained(term_offsets, coords, bounds, page_doc,
 
 
 def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
-                   topk: int):
+                   topk: int, small=None):
     """Route one (cap, W<=2) bucket through the fused Pallas kernels
     (ops/pallas_query): gather the posting blocks, evaluate the whole
     bucket as ONE kernel launch. Single-word buckets take the merge-free
@@ -745,7 +835,7 @@ def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
         )
         rq = jnp.concatenate([rq, jnp.ones((pad, rq.shape[1]), jnp.int32)])
     gather = jax.vmap(
-        lambda t: gather_term(coords, term_offsets, t, cap)
+        lambda t: gather_term(coords, term_offsets, t, cap, small)
     )
     a, na = gather(tq[:, 0])
     interpret = jax.default_backend() != "tpu"
@@ -764,7 +854,7 @@ def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
 
 def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                         tq, rq, *, cap: int, topk: int, hit_cap: int,
-                        with_docs: bool):
+                        with_docs: bool, small=None):
     """Full-result Pallas routing for one bucket: W<=2, V=1 shapes
     within the kernel cap budget evaluate through the hybrid kernels
     (pallas_query.pallas_single_locate_full / pallas_sorted_and_locate_
@@ -807,7 +897,7 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                 [rq, jnp.ones((pad, rq.shape[1]), jnp.int32)]
             )
         gather_v = jax.vmap(jax.vmap(
-            lambda t: gather_term(coords, term_offsets, t, cap)
+            lambda t: gather_term(coords, term_offsets, t, cap, small)
         ))
         a3, na2 = gather_v(tq[:, 0])
         # variant buckets are small-B in real mixes — kernel-topk mode
@@ -866,7 +956,7 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
         )
         rq = jnp.concatenate([rq, jnp.ones((pad, rq.shape[1]), jnp.int32)])
     gather = jax.vmap(
-        lambda t: gather_term(coords, term_offsets, t, cap)
+        lambda t: gather_term(coords, term_offsets, t, cap, small)
     )
     a, na = gather(tq[:, 0])
     interpret = jax.default_backend() != "tpu"
@@ -906,7 +996,7 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
 @functools.partial(jax.jit, static_argnames=("caps", "topk", "use_pallas"))
 def multi_bucket_query_step(term_offsets, coords, bounds, page_doc,
                             terms_list, rs_list, caps, topk: int,
-                            use_pallas: bool = False):
+                            use_pallas: bool = False, small=None):
     """Evaluate EVERY shape bucket in one device program (one dispatch,
     one launch RTT): terms_list/rs_list are tuples of [Bi, Wi] arrays,
     caps the matching static posting caps. Returns a tuple of
@@ -926,10 +1016,11 @@ def multi_bucket_query_step(term_offsets, coords, bounds, page_doc,
         limit = MAX_PALLAS_CAP if tq.shape[1] == 1 else MAX_SORTED_PALLAS_CAP
         if use_pallas and cap <= limit and tq.shape[1] <= 2:
             outs.append(_pallas_bucket(
-                term_offsets, coords, bounds, tq, rq, cap, topk
+                term_offsets, coords, bounds, tq, rq, cap, topk,
+                small=small,
             ))
             continue
-        fn = functools.partial(query_step, cap=cap, topk=topk)
+        fn = functools.partial(query_step, cap=cap, topk=topk, small=small)
         outs.append(jax.vmap(fn, in_axes=(None, None, None, None, 0, 0))(
             term_offsets, coords, bounds, page_doc, tq, rq
         ))
@@ -941,7 +1032,8 @@ def multi_bucket_query_step(term_offsets, coords, bounds, page_doc,
 )
 def multi_bucket_query_step_chained(term_offsets, coords, bounds, page_doc,
                                     terms_list, rs_list, chain, caps,
-                                    topk: int, use_pallas: bool = False):
+                                    topk: int, use_pallas: bool = False,
+                                    small=None):
     """multi_bucket_query_step plus a dependency-chain scalar: `chain`
     (f32[]) is mixed (x0) into the inputs and a ranks checksum is
     returned, so successive calls chained through it execute strictly
@@ -952,7 +1044,7 @@ def multi_bucket_query_step_chained(term_offsets, coords, bounds, page_doc,
     terms_list = tuple(t + zero for t in terms_list)
     outs = multi_bucket_query_step(
         term_offsets, coords, bounds, page_doc, terms_list, rs_list,
-        caps, topk, use_pallas=use_pallas,
+        caps, topk, use_pallas=use_pallas, small=small,
     )
     s = jnp.float32(0)
     for _, ranks, _ in outs:
@@ -962,7 +1054,7 @@ def multi_bucket_query_step_chained(term_offsets, coords, bounds, page_doc,
 
 @functools.partial(jax.jit, static_argnames=("cap", "topk"))
 def batched_query_step(term_offsets, coords, bounds, page_doc,
-                       terms, rs, cap: int, topk: int):
+                       terms, rs, cap: int, topk: int, small=None):
     """The flagship device program: a [B, W] batch of proximity/phrase
     queries evaluated in one XLA computation.
 
@@ -970,7 +1062,7 @@ def batched_query_step(term_offsets, coords, bounds, page_doc,
     rs    : int32[B, W] per-term windows (negative = ordered/exact)
     Returns (pages int32[B, topk], ranks f32[B, topk], counts int32[B, topk]).
     """
-    fn = functools.partial(query_step, cap=cap, topk=topk)
+    fn = functools.partial(query_step, cap=cap, topk=topk, small=small)
     return jax.vmap(fn, in_axes=(None, None, None, None, 0, 0))(
         term_offsets, coords, bounds, page_doc, terms, rs
     )
@@ -1020,6 +1112,9 @@ class DeviceIndex:
     # header-page ("0") mask for the device doc-rank boost; derived from
     # page_ids when absent (ref Search.cs:554-557)
     is_header: Optional[jax.Array] = None
+    # small-term posting tables (build_small_tables): row-gather fetch
+    # for caps below GATHER_SLICE_MIN — ~10x the element gather
+    small: Optional[tuple] = None
 
     def header_mask(self) -> jax.Array:
         if self.is_header is None:
@@ -1072,6 +1167,9 @@ class DeviceIndex:
             offsets_np=offsets_np,
             page_doc_np=page_doc_np,
             bounds_np=bounds_np,
+            small=build_small_tables(
+                offsets_np, arr.coords.astype(np.int64)
+            ),
         )
 
     def term_id(self, term: str) -> int:
@@ -1179,6 +1277,9 @@ class DeviceIndex:
             self.term_offsets, self.coords, self.bounds, self.page_doc,
             tuple(terms_list), tuple(rs_list), tuple(caps_list), topk,
             use_pallas=use_pallas,
+            # an explicit cap override may TRUNCATE long posting lists,
+            # which the small tables cannot serve (no row for count>cap)
+            small=self.small if cap is None else None,
         )
         for idxs, (p, r_, c) in zip(idx_list, outs):
             n = len(idxs)
@@ -1380,12 +1481,15 @@ class DeviceIndex:
 
         if not idx_list:
             return (lambda: out) if deferred else out
+        # an explicit cap override may TRUNCATE long posting lists,
+        # which the small tables cannot serve (no row for count>cap)
+        small = self.small if cap is None else None
         if fused and not clamp_budgets:
             outs = multi_bucket_query_full(
                 self.term_offsets, self.coords, self.bounds, self.page_doc,
                 self.header_mask(), tuple(terms_list), tuple(rs_list),
                 tuple(caps_list), topk, tuple(hcaps_list),
-                with_docs=want_docs, use_pallas=use_pallas,
+                with_docs=want_docs, use_pallas=use_pallas, small=small,
             )
         else:
             # per-bucket cached jits: serving batch compositions churn,
@@ -1397,6 +1501,7 @@ class DeviceIndex:
                     self.page_doc, self.header_mask(), tq, rq,
                     cap=qcap, topk=tk, hit_cap=hb,
                     with_docs=want_docs, use_pallas=use_pallas,
+                    small=small,
                 )
                 for tq, rq, qcap, hb, tk in zip(
                     terms_list, rs_list, caps_list, hcaps_list,

@@ -641,3 +641,77 @@ def test_doc_group_lookup_paths_agree():
         di_mod.DOC_CA_MAX = orig
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-6)
+
+
+def test_small_table_fetch_parity():
+    """The small-term posting tables (row-gather fetch for caps below
+    GATHER_SLICE_MIN) return exactly the CSR element-gather results —
+    per term and through the bucketed full-result path."""
+    import jax.numpy as jnp
+    import docodo_tpu.ops.device_index as di_mod
+
+    rng = np.random.default_rng(21)
+    T = 60
+    counts = rng.integers(0, 200, size=T)
+    counts[5] = 0       # empty term
+    counts[7] = 64      # exactly at the narrow width
+    counts[9] = 128     # exactly at the wide width
+    off_np = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    coords_np = np.empty(off_np[-1], dtype=np.int32)
+    for t in range(T):
+        coords_np[off_np[t]:off_np[t + 1]] = np.sort(
+            rng.choice(10 ** 6, counts[t], replace=False)
+        ).astype(np.int32)
+    coords = jnp.asarray(coords_np)
+    off = jnp.asarray(off_np.astype(np.int32))
+
+    small = di_mod.build_small_tables(off_np, coords_np)
+    assert small is not None and len(small) == 2
+    widths = sorted(t.shape[1] for _, t in small)
+    assert widths == [64, 128]
+
+    for cap in (64, 128):
+        for term in [t for t in range(T) if counts[t] <= cap][:12] + [-1]:
+            v1, n1 = di_mod.gather_term(coords, off, term, cap)
+            v2, n2 = di_mod.gather_term(coords, off, term, cap, small)
+            assert int(n1) == int(n2), (term, cap)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+    # bucketed full-result program: identical outputs with tables on/off
+    ok = [t for t in range(T) if 0 < counts[t] <= 64]
+    terms = np.array(
+        [[a, b] for a in ok[:6] for b in ok[6:12]], np.int32
+    )
+    rs = np.full(terms.shape, 400, np.int32)
+    rs[::3] = -400  # some ordered/phrase rows
+    bounds = jnp.asarray(
+        np.arange(3000, 10 ** 6 + 3000, 3000, dtype=np.int32))
+    pd = jnp.zeros(bounds.shape[0], jnp.int32)
+    hdr = jnp.zeros(bounds.shape[0], dtype=bool)
+    kw = dict(cap=64, topk=16, hit_cap=128, with_docs=True)
+    o1 = di_mod.batched_query_full(
+        off, coords, bounds, pd, hdr, jnp.asarray(terms),
+        jnp.asarray(rs), **kw)
+    o2 = di_mod.batched_query_full(
+        off, coords, bounds, pd, hdr, jnp.asarray(terms),
+        jnp.asarray(rs), small=small, **kw)
+    for a, b in zip(o1, o2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_small_table_budget_and_disable():
+    """DOCODO_SMALL_TAB=0 disables the tables; a zero byte budget skips
+    every width."""
+    import docodo_tpu.ops.device_index as di_mod
+
+    off_np = np.array([0, 3, 10], dtype=np.int64)
+    coords_np = np.arange(10, dtype=np.int32)
+    assert di_mod.build_small_tables(off_np, coords_np, max_bytes=0) is None
+    import os
+    os.environ["DOCODO_SMALL_TAB"] = "0"
+    try:
+        assert di_mod.build_small_tables(off_np, coords_np) is None
+    finally:
+        del os.environ["DOCODO_SMALL_TAB"]
+    tabs = di_mod.build_small_tables(off_np, coords_np)
+    assert tabs is not None
