@@ -53,19 +53,33 @@ def full_buckets(terms: np.ndarray, rs: np.ndarray, counts: np.ndarray,
     tuples of jnp arrays / ints."""
     import jax.numpy as jnp
 
+    from docodo_tpu.ops.device_index import (
+        ASYM_CAP_MIN, _asym_enabled, _bucket_sort_key,
+    )
+
+    def pow2(n: int) -> int:
+        c = 64
+        while c < n:
+            c <<= 1
+        return c
+
     buckets = {}
     for i in range(terms.shape[0]):
         w = int((terms[i] >= 0).sum()) or 1
         need = int(counts[terms[i, :w]].max())
         min_need = int(counts[terms[i, :w]].min())
-        c = 64
-        while c < need:
-            c <<= 1
+        c = pow2(need)
+        if w == 2 and c >= ASYM_CAP_MIN and _asym_enabled():
+            c0, c1 = pow2(int(counts[terms[i, 0]])), pow2(
+                int(counts[terms[i, 1]]))
+            if min(c0, c1) <= max(c0, c1) // 4:
+                c = (c0, c1)
         buckets.setdefault(
             (c, w, tier_of(min_need, hit_cap)), []
         ).append(i)
     terms_t, rs_t, caps_t, hcaps_t = [], [], [], []
-    for (qcap, w, hb), idxs in sorted(buckets.items()):
+    for (qcap, w, hb), idxs in sorted(
+            buckets.items(), key=_bucket_sort_key):
         terms_t.append(jnp.asarray(terms[idxs, :w]))
         rs_t.append(jnp.asarray(rs[idxs, :w]))
         caps_t.append(qcap)

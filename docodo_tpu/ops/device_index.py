@@ -74,6 +74,25 @@ GATHER_SLICE_MIN = int(_os.environ.get("DOCODO_GATHER_SLICE_MIN", "256"))
 # ride the block-DMA path.
 SMALL_TAB_WIDTHS = (64, 128)
 
+# ASYMMETRIC W=2 buckets: a phrase pairing a frequent word (cap >= this)
+# with a much rarer one (cap_lo <= cap_hi/4) fetches each word at its
+# own pow2 cap instead of padding both to cap_hi — the tagged merge
+# sort and the whole locate tail shrink from 2*cap_hi toward cap_hi.
+# Applies past the Pallas W2 kernel budget (symmetric cap 512 = 1024
+# lanes rides the kernels). DOCODO_ASYM=0 disables for A/B runs.
+ASYM_CAP_MIN = int(_os.environ.get("DOCODO_ASYM_CAP_MIN", "1024"))
+
+
+def _asym_enabled() -> bool:
+    return _os.environ.get("DOCODO_ASYM", "1") == "1"
+
+
+def _bucket_sort_key(kv):
+    """Deterministic bucket ordering when cap keys mix ints and
+    asymmetric (c0, c1) tuples."""
+    qcap = kv[0][0]
+    return ((qcap,) if isinstance(qcap, int) else qcap, kv[0][1:])
+
 
 def build_small_tables(offsets_np, coords_np,
                        widths: Sequence[int] = SMALL_TAB_WIDTHS,
@@ -337,17 +356,23 @@ def eval_and_query(coords, term_offsets, terms, rs, cap: int,
     the final compaction sort is skipped — locate_topk_masked consumes
     the mask directly. Intermediate folds (w >= 3) pay one compaction
     each to restore sortedness.
+
+    `cap` may be a TUPLE of per-word caps (the ASYMMETRIC buckets: a
+    phrase pairing a frequent word with a rare one fetches each at its
+    own width, halving the merge/locate stream vs padding both to the
+    larger cap — the merge machinery is width-agnostic).
     """
     w = terms.shape[0]
-    acc, n_acc = gather_term(coords, term_offsets, terms[0], cap, small)
-    keep_acc = jnp.arange(cap, dtype=jnp.int32) < n_acc
+    caps = cap if isinstance(cap, tuple) else (cap,) * w
+    acc, n_acc = gather_term(coords, term_offsets, terms[0], caps[0], small)
+    keep_acc = jnp.arange(caps[0], dtype=jnp.int32) < n_acc
     r_acc = rs[0]
     for q in range(1, w):
         if q > 1:  # re-sort the masked stream into a dense operand; the
             # mask must be recomputed — compaction reorders slots
             acc, n_acc = _compact(acc, keep_acc, out_cap=acc.shape[0])
             keep_acc = jnp.arange(acc.shape[0], dtype=jnp.int32) < n_acc
-        b, nb = gather_term(coords, term_offsets, terms[q], cap, small)
+        b, nb = gather_term(coords, term_offsets, terms[q], caps[q], small)
         vals, keep, r_out = and_masked(
             acc, n_acc, r_acc, b, nb, rs[q], ca_max
         )
@@ -681,6 +706,8 @@ def eval_query_masked(coords, term_offsets, terms, rs, cap: int,
             coords, term_offsets, t, rs, cap, ca_max, small
         )
         return vals, keep
+    if isinstance(cap, tuple):  # asymmetric caps are a V=1 feature;
+        cap = max(cap)          # variant shapes fall back to the max
     gather_v = jax.vmap(
         lambda t: gather_term(coords, term_offsets, t, cap, small)
     )
@@ -720,12 +747,54 @@ def query_step_full(term_offsets, coords, bounds, page_doc, is_header,
                        hit_cap, with_docs=with_docs)
 
 
+def _chunked_mode() -> str:
+    """DOCODO_CHUNKED: "1" (default — chunked locate on real TPU),
+    "0" (off), "force" (on with interpret=True — CPU tests)."""
+    return _os.environ.get("DOCODO_CHUNKED", "1")
+
+
+def _locate_full_chunked(vals, keep, bounds, page_doc, is_header,
+                         topk: int, hit_cap: int, with_docs: bool,
+                         interpret: bool = False) -> LocateFull:
+    """Batched locate_full whose page/rank/top-k leg rides the CHUNKED
+    Pallas locate kernel (ops/pallas_query.pallas_chunked_locate): one
+    sequential-grid kernel launch replaces the ~40 log-step scan
+    launches of the vmapped XLA _locate_core on streams past the
+    resident-kernel budget (measured 1.3-1.8x on v5e at n>=2048, B>=4).
+    hits/n_hits/doc grouping stay on their XLA legs (unchanged ops)."""
+    from docodo_tpu.ops.pallas_query import pallas_chunked_locate
+
+    hv = jnp.where(keep, vals, INF32)
+    pages, ranks, counts, n_pages = pallas_chunked_locate(
+        hv, bounds, topk=topk, interpret=interpret
+    )
+    n_hits = jnp.sum(keep.astype(jnp.int32), axis=1)
+    hits = jax.vmap(
+        lambda v, k: compact_mask(v, k, hit_cap, ca_max=FULL_CA_MAX)
+    )(vals, keep)
+    docs = doc_ranks = None
+    if with_docs:
+        docs, doc_ranks = jax.vmap(
+            doc_group_topk, in_axes=(0, 0, None, None)
+        )(pages, ranks, page_doc, is_header)
+    return LocateFull(
+        pages=pages, ranks=ranks, counts=counts, n_pages=n_pages,
+        docs=docs, doc_ranks=doc_ranks, hits=hits, n_hits=n_hits,
+    )
+
+
 def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                  tq, rq, cap: int, topk: int, hit_cap: int,
-                 with_docs: bool, use_pallas: bool, small=None):
+                 with_docs: bool, use_pallas: bool, small=None,
+                 chunked: Optional[str] = None):
     """One full-result bucket, routed to the hybrid Pallas kernels when
     the shape qualifies (W<=2, V=1, cap within the kernel budget), else
-    the vmapped XLA program."""
+    the vmapped XLA program (whose locate leg rides the chunked Pallas
+    kernel for big streams with enough rows).
+
+    `chunked`: the DOCODO_CHUNKED mode, threaded as a STATIC arg by
+    jitted callers so the jit cache keys on it (None = read the env at
+    trace time)."""
     if use_pallas:
         out = _pallas_bucket_full(
             term_offsets, coords, bounds, page_doc, is_header, tq, rq,
@@ -734,6 +803,35 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
         )
         if out is not None:
             return out
+        mode = chunked if chunked is not None else _chunked_mode()
+        chunked_ok = (
+            mode == "force"
+            or (mode == "1" and jax.default_backend() == "tpu")
+        )
+        if chunked_ok:
+            from docodo_tpu.ops.pallas_query import CHUNK_LANES
+
+            gm = functools.partial(
+                eval_query_masked, ca_max=FULL_CA_MAX, small=small
+            )
+            vals, keep = jax.vmap(
+                lambda t, r: gm(coords, term_offsets, t, r, cap)
+            )(tq, rq)
+            n_stream = vals.shape[1]
+            if (n_stream >= 2048 and n_stream % CHUNK_LANES == 0
+                    and tq.shape[0] >= 4):
+                return _locate_full_chunked(
+                    vals, keep, bounds, page_doc, is_header,
+                    topk=topk, hit_cap=hit_cap, with_docs=with_docs,
+                    interpret=mode == "force",
+                )
+            lf = functools.partial(
+                locate_full, topk=topk, hit_cap=hit_cap,
+                with_docs=with_docs,
+            )
+            return jax.vmap(lf, in_axes=(0, 0, None, None, None))(
+                vals, keep, bounds, page_doc, is_header
+            )
     fn = functools.partial(
         query_step_full, cap=cap, topk=topk, hit_cap=hit_cap,
         with_docs=with_docs, small=small,
@@ -744,11 +842,11 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cap", "topk", "hit_cap", "with_docs", "use_pallas"))
+    "cap", "topk", "hit_cap", "with_docs", "use_pallas", "chunked"))
 def batched_query_full(term_offsets, coords, bounds, page_doc, is_header,
                        terms, rs, cap: int, topk: int, hit_cap: int,
                        with_docs: bool = True, use_pallas: bool = False,
-                       small=None):
+                       small=None, chunked: Optional[str] = None):
     """One bucket of full-result queries ([B, W] or [B, W, V] terms) as
     its own cached jit — serving uses this instead of the fused
     multi-bucket program because batch COMPOSITIONS churn per request
@@ -758,17 +856,18 @@ def batched_query_full(term_offsets, coords, bounds, page_doc, is_header,
     return _bucket_full(
         term_offsets, coords, bounds, page_doc, is_header, terms, rs,
         cap=cap, topk=topk, hit_cap=hit_cap, with_docs=with_docs,
-        use_pallas=use_pallas, small=small,
+        use_pallas=use_pallas, small=small, chunked=chunked,
     )
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "caps", "topk", "hit_cap", "with_docs", "use_pallas"))
+    "caps", "topk", "hit_cap", "with_docs", "use_pallas", "chunked"))
 def multi_bucket_query_full(term_offsets, coords, bounds, page_doc,
                             is_header, terms_list, rs_list, caps,
                             topk: int, hit_cap,
                             with_docs: bool = True,
-                            use_pallas: bool = False, small=None):
+                            use_pallas: bool = False, small=None,
+                            chunked: Optional[str] = None):
     """Full-result twin of multi_bucket_query_step: every shape bucket
     (variant-aware, [Bi, Wi] or [Bi, Wi, Vi] terms) evaluates in ONE
     device program; each bucket yields a batched LocateFull.
@@ -783,18 +882,19 @@ def multi_bucket_query_full(term_offsets, coords, bounds, page_doc,
         outs.append(_bucket_full(
             term_offsets, coords, bounds, page_doc, is_header, tq, rq,
             cap=cap, topk=topk, hit_cap=hb, with_docs=with_docs,
-            use_pallas=use_pallas, small=small,
+            use_pallas=use_pallas, small=small, chunked=chunked,
         ))
     return tuple(outs)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "caps", "topk", "hit_cap", "with_docs", "use_pallas"))
+    "caps", "topk", "hit_cap", "with_docs", "use_pallas", "chunked"))
 def multi_bucket_query_full_chained(term_offsets, coords, bounds, page_doc,
                                     is_header, terms_list, rs_list, chain,
                                     caps, topk: int, hit_cap,
                                     with_docs: bool = True,
-                                    use_pallas: bool = False, small=None):
+                                    use_pallas: bool = False, small=None,
+                                    chunked: Optional[str] = None):
     """multi_bucket_query_full with the dependency-chain scalar trick of
     multi_bucket_query_step_chained (one final readback bounds the wall
     time of a rep sequence on async/tunnelled dispatch layers)."""
@@ -804,6 +904,7 @@ def multi_bucket_query_full_chained(term_offsets, coords, bounds, page_doc,
         term_offsets, coords, bounds, page_doc, is_header,
         terms_list, rs_list, caps, topk, hit_cap,
         with_docs=with_docs, use_pallas=use_pallas, small=small,
+        chunked=chunked,
     )
     s = jnp.float32(0)
     for o in outs:
@@ -874,6 +975,10 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
         q_for_stream,
     )
 
+    if isinstance(cap, tuple):
+        # asymmetric per-word caps: the XLA sort path (tuple caps are
+        # only built for buckets past the kernel budget)
+        return None
     interpret = jax.default_backend() != "tpu"
     if tq.ndim == 3 and tq.shape[2] > 1:
         # VARIANT-OR shapes (morphological code sets, a|b alternations,
@@ -1323,7 +1428,7 @@ class DeviceIndex:
         return out
 
     def _compile_group_query_uncached(self, query):
-        rows, rvals = [], []
+        rows, rvals, needs = [], [], []
         need = 1
         min_need = None
         for codes, r in query:
@@ -1331,12 +1436,14 @@ class DeviceIndex:
                 codes = (codes,)
             ids = []
             group_vol = 0
+            group_max = 1
             for c in codes:
                 tid = self.term_id(c)
                 if tid >= 0:
                     ids.append(tid)
                     cnt = self.posting_count(c)
                     need = max(need, cnt)
+                    group_max = max(group_max, cnt)
                     group_vol += cnt
             if not ids:
                 return None
@@ -1345,9 +1452,10 @@ class DeviceIndex:
             )
             rows.append(ids)
             rvals.append(r)
+            needs.append(group_max)
         w = max(len(rows), 1)
         v = max((len(ids) for ids in rows), default=1)
-        return rows, rvals, w, v, need, min_need or 1
+        return rows, rvals, w, v, need, min_need or 1, tuple(needs)
 
     def search_batch_full(
         self, queries, topk: int = 64, hit_cap: int = 512,
@@ -1439,21 +1547,37 @@ class DeviceIndex:
             compiled.append(cg)
             if cg is None:
                 continue
-            rows, rvals, w, v, need, min_need = cg
+            rows, rvals, w, v, need, min_need, needs = cg
             vb = _bucket(v, lo=1)
+            qcap = round_cap(need)
+            if (w == 2 and vb == 1 and cap is None
+                    and isinstance(qcap, int) and qcap >= ASYM_CAP_MIN
+                    and _asym_enabled()):
+                # ASYMMETRIC bucket: a skewed W=2 pair (frequent word x
+                # rare word) fetches each word at its own cap — the
+                # merged stream shrinks from 2*cap_hi toward cap_hi,
+                # halving the tagged sort and the whole locate tail
+                c0, c1 = round_cap(needs[0]), round_cap(needs[1])
+                if min(c0, c1) <= max(c0, c1) // 4:
+                    qcap = (c0, c1)
             buckets.setdefault(
-                (round_cap(need), w, vb, hit_tier(min_need)), []
+                (qcap, w, vb, hit_tier(min_need)), []
             ).append(i)
 
         terms_list, rs_list, caps_list, hcaps_list, idx_list = (
             [], [], [], [], []
         )
         topks_list = []
-        for (qcap, w, vb, hb), idxs in sorted(buckets.items()):
+        for (qcap, w, vb, hb), idxs in sorted(
+                buckets.items(), key=_bucket_sort_key):
             topk_b = topk
             if clamp_budgets:
-                topk_b = min(topk, qcap)
-                hb = min(hit_cap, qcap * max(2, 2 * vb))
+                stream_n = (sum(qcap) if isinstance(qcap, tuple)
+                            else qcap * max(2, 2 * vb))
+                topk_b = min(
+                    topk, qcap if isinstance(qcap, int) else stream_n
+                )
+                hb = min(hit_cap, stream_n)
                 out["topk_eff"][idxs] = topk_b
                 out["hit_cap_eff"][idxs] = hb
             topks_list.append(topk_b)
@@ -1484,12 +1608,14 @@ class DeviceIndex:
         # an explicit cap override may TRUNCATE long posting lists,
         # which the small tables cannot serve (no row for count>cap)
         small = self.small if cap is None else None
+        chunked = _chunked_mode()
         if fused and not clamp_budgets:
             outs = multi_bucket_query_full(
                 self.term_offsets, self.coords, self.bounds, self.page_doc,
                 self.header_mask(), tuple(terms_list), tuple(rs_list),
                 tuple(caps_list), topk, tuple(hcaps_list),
                 with_docs=want_docs, use_pallas=use_pallas, small=small,
+                chunked=chunked,
             )
         else:
             # per-bucket cached jits: serving batch compositions churn,
@@ -1501,7 +1627,7 @@ class DeviceIndex:
                     self.page_doc, self.header_mask(), tq, rq,
                     cap=qcap, topk=tk, hit_cap=hb,
                     with_docs=want_docs, use_pallas=use_pallas,
-                    small=small,
+                    small=small, chunked=chunked,
                 )
                 for tq, rq, qcap, hb, tk in zip(
                     terms_list, rs_list, caps_list, hcaps_list,

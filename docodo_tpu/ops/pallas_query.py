@@ -1127,3 +1127,257 @@ def pallas_batched_single_locate(a, na, bounds, cap: int, topk: int,
         ],
         interpret=interpret,
     )(a, na2, bounds2)
+
+
+# ---------------------------------------------------------------------------
+# CHUNKED locate: streams past the 1024-lane scoped-vmem budget
+# ---------------------------------------------------------------------------
+#
+# The big-cap buckets (n = 2cap up to 65536) cannot hold a whole query
+# row in VMEM, and Mosaic compilation of the unrolled log-step scans
+# explodes past ~1024 lanes (measured round 3: >10 min at 2048). The
+# chunked kernels iterate a SEQUENTIAL grid over fixed-width chunks of
+# the stream, carrying per-row scalar state (previous kept value, open
+# page run) in VMEM scratch across grid steps — Blelloch-style scan
+# decomposition of ops/device_index._locate_core. One kernel launch
+# replaces the XLA path's ~90 log-step scan launches per bucket
+# (measured: the cap-1024 W2 bucket spent 1.2 of its 1.33 ms there).
+#
+# Page-run rank emission is START-anchored like _locate_core, with two
+# twists that keep every decision chunk-local:
+#  * a run still OPEN at chunk end is never emitted locally — it rides
+#    the carry and is emitted by the chunk that closes it (side column,
+#    ordered BEFORE that chunk's own slots: run starts ascend, so the
+#    assembled slot order preserves _locate_core's tie-break order);
+#  * the globally-last run flushes into a final side column.
+# The assembled [B, K*(C+1) + 1] slot streams feed the same outside
+# top-k extraction as the XLA path (lax.top_k picks lowest slot among
+# rank ties — identical ordering).
+#
+# f32 prefix sums here are EXACT (counts and 30//gap bonuses are small
+# integers, far below 2^24), so chunked accumulation is bit-identical
+# to _locate_core's whole-stream cumsum.
+
+
+def _chunked_locate_kernel(hv_ref, pg_ref, page_ref, rank_ref, cnt_ref,
+                           sp_ref, sr_ref, sc_ref, ival_ref, fval_ref,
+                           *, n_chunks: int):
+    """One grid step: chunk c of the INF-masked kept stream.
+
+    hv_ref: (Q, C) kept coordinate block (INF32 at dropped slots);
+    pg_ref: (Q, C) page index per slot (computed OUTSIDE by one shared
+    compare-all — in-kernel page lookup re-paid the [Q, C, P] compare
+    per chunk and dominated at large n, measured 0.21x at n=65536).
+    Outputs: per-slot (page, rank, count) for runs that start AND close
+    in this chunk; side block (Q, 128): col 0 = carried-run close,
+    col 1 = final flush (last chunk only).
+    Scratch: ival (Q, 128) i32 [col 0 = prev kept val, col 1 = open
+    page]; fval (Q, 128) f32 [col 0 = open count, col 1 = open bonus].
+    """
+    c = pl.program_id(1)
+    q, C = hv_ref.shape
+    lane = _iota((q, C), 1)
+
+    @pl.when(c == 0)
+    def _init():
+        ival_ref[...] = jnp.full(ival_ref.shape, -1, jnp.int32)
+        fval_ref[...] = jnp.zeros(fval_ref.shape, jnp.float32)
+
+    hv = hv_ref[...]
+    keep = hv < INF32
+    page = pg_ref[...]
+
+    carry_pv = ival_ref[:, 0][:, None]
+    carry_op = ival_ref[:, 1][:, None]
+    carry_cnt = fval_ref[:, 0][:, None]
+    carry_bon = fval_ref[:, 1][:, None]
+
+    # previous kept value/page (carry fills until the first local kept)
+    pv_l = _shift_right_fill(_cummax(jnp.where(keep, hv, -1)),
+                             np.int32(-1))
+    has_l = pv_l >= 0
+    pv = jnp.where(has_l, pv_l, carry_pv)
+    pp_l = _shift_right_fill(_cummax(jnp.where(keep, page, -1)),
+                             np.int32(-1))
+    pp = jnp.where(has_l, pp_l, carry_op)
+
+    first = jnp.logical_and(keep, page != pp)
+    gap = jnp.where(pv >= 0, hv - pv, 0)
+    bonus = jnp.where(
+        jnp.logical_and(keep, ~first), 30 // jnp.maximum(5, gap), 0
+    ).astype(jnp.float32)
+    cbon = _cumsum(bonus)
+    ccnt = _cumsum(keep.astype(jnp.float32))
+    cbon_prev = _shift_right_fill(cbon, jnp.float32(0))
+    ccnt_prev = _shift_right_fill(ccnt, jnp.float32(0))
+
+    nf = _cumsum(first.astype(jnp.int32))
+    # row tails of non-decreasing cumsums read as row maxes (a [:, -1]
+    # column read lowers to an unsupported dynamic_slice in Mosaic)
+    total_f = jnp.max(nf, axis=1, keepdims=True)
+    f1 = jnp.logical_and(first, nf == 1)
+    fl = jnp.logical_and(first, nf == total_f)
+
+    # local terminals: slot before the next run start (the lane C-1
+    # wrap is masked; the open run never emits locally anyway)
+    term = _roll(first.astype(jnp.int32), -1) > 0
+    term = jnp.logical_and(term, lane < C - 1)
+    bigf = jnp.float32(3.4e38)
+    cbon_end = _rev_cummin(jnp.where(term, cbon, bigf), bigf)
+    ccnt_end = _rev_cummin(jnp.where(term, ccnt, bigf), bigf)
+
+    emit = jnp.logical_and(first, nf < total_f)
+    run_bon = cbon_end - cbon
+    run_cnt = ccnt_end - ccnt_prev
+    page_ref[...] = jnp.where(emit, page, -1)
+    rank_ref[...] = jnp.where(
+        emit, 1.0 + run_bon + jnp.log(jnp.maximum(run_cnt, 1.0)), 0.0
+    )
+    cnt_ref[...] = jnp.where(emit, run_cnt, 0.0)
+
+    # side col 0: the carried-in run closes at the first local start
+    has_first = total_f > 0
+    close_ok = jnp.logical_and(carry_op >= 0, has_first)
+    cb1 = jnp.sum(jnp.where(f1, cbon_prev, 0.0), axis=1, keepdims=True)
+    cc1 = jnp.sum(jnp.where(f1, ccnt_prev, 0.0), axis=1, keepdims=True)
+    close_cnt = carry_cnt + cc1
+    close_bon = carry_bon + cb1
+    close_page = jnp.where(close_ok, carry_op, -1)
+    close_rank = jnp.where(
+        close_ok,
+        1.0 + close_bon + jnp.log(jnp.maximum(close_cnt, 1.0)), 0.0
+    )
+    close_cnt_o = jnp.where(close_ok, close_cnt, 0.0)
+
+    # carry update: the open run = last locally-started run, or the
+    # incoming run extended (no local starts)
+    cb_end = jnp.max(cbon, axis=1, keepdims=True)
+    cc_end = jnp.max(ccnt, axis=1, keepdims=True)
+    cb_l = jnp.sum(jnp.where(fl, cbon, 0.0), axis=1, keepdims=True)
+    ccp_l = jnp.sum(jnp.where(fl, ccnt_prev, 0.0), axis=1, keepdims=True)
+    pg_l = jnp.sum(jnp.where(fl, page, 0), axis=1, keepdims=True)
+    new_op = jnp.where(has_first, pg_l, carry_op)
+    new_cnt = jnp.where(has_first, cc_end - ccp_l, carry_cnt + cc_end)
+    new_bon = jnp.where(has_first, cb_end - cb_l, carry_bon + cb_end)
+    new_pv = jnp.maximum(
+        carry_pv, jnp.max(jnp.where(keep, hv, -1), axis=1, keepdims=True)
+    )
+    ival_ref[:, 0] = new_pv[:, 0]
+    ival_ref[:, 1] = new_op[:, 0]
+    fval_ref[:, 0] = new_cnt[:, 0]
+    fval_ref[:, 1] = new_bon[:, 0]
+
+    # side col 1: final flush of the globally-last run. The side block
+    # is (Q, 128) — Mosaic requires 128-lane output blocks — with only
+    # cols 0 (carry close) and 1 (flush) meaningful
+    is_last = c == n_chunks - 1
+    flush_ok = jnp.logical_and(is_last, new_op >= 0)
+    flush_page = jnp.where(flush_ok, new_op, -1)
+    flush_rank = jnp.where(
+        flush_ok,
+        1.0 + new_bon + jnp.log(jnp.maximum(new_cnt, 1.0)), 0.0
+    )
+    flush_cnt = jnp.where(flush_ok, new_cnt, 0.0)
+    slane = _iota((q, 128), 1)
+    sp_ref[...] = jnp.where(
+        slane == 0, close_page, jnp.where(slane == 1, flush_page, -1)
+    )
+    sr_ref[...] = jnp.where(
+        slane == 0, close_rank, jnp.where(slane == 1, flush_rank, 0.0)
+    )
+    sc_ref[...] = jnp.where(
+        slane == 0, close_cnt_o, jnp.where(slane == 1, flush_cnt, 0.0)
+    )
+
+
+CHUNK_LANES = 512   # chunk width: full VMEM residency per grid step
+CHUNK_Q = 8         # rows per program (sublane tile)
+
+
+@functools.partial(jax.jit, static_argnames=("topk", "chunk", "interpret"))
+def pallas_chunked_locate(hv, bounds, *, topk: int,
+                          chunk: int = CHUNK_LANES,
+                          interpret: bool = False):
+    """Locate+rank+topk over an INF-masked kept stream of ANY width
+    (chunked sequential grid). Returns (pages, ranks, counts, n_pages)
+    — the caller owns hits/n_hits (for a dense W=1 stream they are the
+    stream itself; for an AND output the caller compacts).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from docodo_tpu.ops.seqops import _rank_in_sorted
+
+    bsz, n = hv.shape
+    assert n % chunk == 0, (n, chunk)
+    k = n // chunk
+    # page per slot: ONE shared compare-all over the un-padded rows
+    pg = jax.vmap(
+        lambda row: _rank_in_sorted(row, bounds, strict=False)
+    )(hv)
+    pg = jnp.minimum(pg, bounds.shape[0] - 1)
+    q = CHUNK_Q
+    pad = (-bsz) % q
+    if pad:
+        hv = jnp.concatenate(
+            [hv, jnp.full((pad, n), INF32, jnp.int32)]
+        )
+        pg = jnp.concatenate(
+            [pg, jnp.full((pad, n), bounds.shape[0] - 1, jnp.int32)]
+        )
+    b = hv.shape[0]
+    grid = (b // q, k)
+    kernel = functools.partial(_chunked_locate_kernel, n_chunks=k)
+    page_s, rank_s, cnt_s, sp, sr, sc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, chunk), lambda i, c: (i, c)),
+            pl.BlockSpec((q, chunk), lambda i, c: (i, c)),
+        ],
+        out_specs=[
+            pl.BlockSpec((q, chunk), lambda i, c: (i, c)),
+            pl.BlockSpec((q, chunk), lambda i, c: (i, c)),
+            pl.BlockSpec((q, chunk), lambda i, c: (i, c)),
+            pl.BlockSpec((q, 128), lambda i, c: (i, c)),
+            pl.BlockSpec((q, 128), lambda i, c: (i, c)),
+            pl.BlockSpec((q, 128), lambda i, c: (i, c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n), jnp.int32),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 128 * k), jnp.int32),
+            jax.ShapeDtypeStruct((b, 128 * k), jnp.float32),
+            jax.ShapeDtypeStruct((b, 128 * k), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q, 128), jnp.int32),
+            pltpu.VMEM((q, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(hv, pg)
+
+    # assemble in _locate_core slot order: [carry-close_c | chunk_c]...
+    # then the final flush — run starts ascend, so rank ties break
+    # identically to the XLA stream order
+    def weave(main, side, fillv):
+        m = main.reshape(b, k, chunk)
+        s = side[:, 0::128].reshape(b, k, 1)
+        out = jnp.concatenate([s, m], axis=2).reshape(b, k * (chunk + 1))
+        flush = side[:, (k - 1) * 128 + 1:(k - 1) * 128 + 2]
+        return jnp.concatenate([out, flush], axis=1)
+
+    pages_all = weave(page_s, sp, -1)
+    ranks_all = weave(rank_s, sr, 0.0)
+    cnts_all = weave(cnt_s, sc, 0.0)
+    top_rank, top_slot = jax.lax.top_k(ranks_all, topk)
+    valid_top = top_rank > 0
+    top_page = jnp.where(
+        valid_top, jnp.take_along_axis(pages_all, top_slot, axis=1), -1
+    )
+    top_cnt = jnp.where(
+        valid_top,
+        jnp.take_along_axis(cnts_all, top_slot, axis=1), 0.0
+    ).astype(jnp.int32)
+    n_pages = jnp.sum((ranks_all > 0).astype(jnp.int32), axis=1)
+    return (top_page[:bsz], top_rank[:bsz], top_cnt[:bsz], n_pages[:bsz])

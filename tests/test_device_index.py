@@ -715,3 +715,71 @@ def test_small_table_budget_and_disable():
         del os.environ["DOCODO_SMALL_TAB"]
     tabs = di_mod.build_small_tables(off_np, coords_np)
     assert tabs is not None
+
+
+def test_asymmetric_caps_equal_symmetric():
+    """Asymmetric per-word-cap W=2 buckets (frequent x rare pairs fetch
+    each word at its own pow2 cap) return bit-identical results to the
+    symmetric padding path — proximity AND ordered-phrase modes, every
+    full-result field."""
+    import os
+
+    import jax.numpy as jnp
+
+    import docodo_tpu.ops.device_index as di_mod
+    from docodo_tpu.ops.device_index import DeviceIndex
+
+    rng = np.random.default_rng(17)
+    # term 0: frequent (600 postings); terms 1..6: rare (3..40)
+    counts = np.array([600, 3, 7, 12, 25, 40, 33])
+    T = counts.size
+    tids = np.repeat(np.arange(T), counts).astype(np.int32)
+    coords = np.sort(rng.choice(90_000, size=counts.sum(), replace=False)
+                     ).astype(np.int32)
+    rng.shuffle(tids)
+    st, sc, off = di.build_postings(
+        jnp.asarray(tids), jnp.asarray(coords), T)
+    bounds = np.arange(3000, 93_000 + 3000, 3000, dtype=np.int32)
+    page_doc = np.zeros(bounds.size, dtype=np.int32)
+    names = [f"t{i}" for i in range(T)]
+    dix = DeviceIndex(
+        term_offsets=off, coords=sc, bounds=jnp.asarray(bounds),
+        page_doc=jnp.asarray(page_doc),
+        terms=names, page_ids=[str(i + 1) for i in range(bounds.size)],
+        doc_names=["d0"], _tmap={n: i for i, n in enumerate(names)},
+        offsets_np=np.asarray(off, dtype=np.int64), page_doc_np=page_doc,
+        bounds_np=bounds.astype(np.int64),
+    )
+    queries = []
+    for t in range(1, T):
+        queries.append([(names[0], 300), (names[t], 300)])   # proximity
+        queries.append([(names[t], -300), (names[0], -300)]) # ordered
+        queries.append([(names[0], -300), (names[t], -300)]) # ordered rev
+
+    seen_caps = []
+    orig_mb = di_mod.multi_bucket_query_full
+
+    def spy(*a, **kw):
+        seen_caps.append(a[7])  # caps tuple
+        return orig_mb(*a, **kw)
+
+    orig_min = di_mod.ASYM_CAP_MIN
+    try:
+        di_mod.ASYM_CAP_MIN = 256  # the frequent term caps at 1024 -> 1024>=256
+        di_mod.multi_bucket_query_full = spy
+        os.environ["DOCODO_ASYM"] = "1"
+        asym = dix.search_batch_full(queries, topk=8, hit_cap=256)
+        os.environ["DOCODO_ASYM"] = "0"
+        sym = dix.search_batch_full(queries, topk=8, hit_cap=256)
+    finally:
+        di_mod.ASYM_CAP_MIN = orig_min
+        di_mod.multi_bucket_query_full = orig_mb
+        os.environ.pop("DOCODO_ASYM", None)
+    # the asym run really bucketed (1024, 64); the control stayed int
+    assert any(isinstance(c, tuple) for c in seen_caps[0])
+    assert all(isinstance(c, int) for c in seen_caps[1])
+    assert set(asym) == set(sym)
+    for k in asym:
+        np.testing.assert_array_equal(
+            np.asarray(asym[k]), np.asarray(sym[k]), err_msg=k
+        )

@@ -307,3 +307,96 @@ def test_full_result_variant_kernels_match_xla(rng):
                                       np.asarray(pls.hits))
         np.testing.assert_allclose(np.asarray(xla.doc_ranks),
                                    np.asarray(pls.doc_ranks), atol=1e-4)
+
+
+def test_chunked_locate_matches_locate_core(rng):
+    """The CHUNKED locate kernel (sequential grid + per-row carries,
+    interpret mode) matches the XLA _locate_core + top_k pipeline on
+    random masked streams — including page runs spanning several
+    chunks, empty rows and single-hit-page rank ties."""
+    from docodo_tpu.ops import device_index as di
+    from docodo_tpu.ops.pallas_query import pallas_chunked_locate
+    from docodo_tpu.ops.seqops import INF32
+
+    nprng = np.random.default_rng(23)
+    B, n, chunk, topk = 11, 2048, 512, 16
+    P = 41
+    bounds = np.sort(
+        nprng.choice(120_000, P, replace=False)).astype(np.int32)
+    bounds[-1] = 120_000
+    cases = []
+    for density, hi in ((0.03, 120_000), (0.5, 120_000), (0.9, 2500)):
+        vals = np.sort(
+            nprng.integers(0, hi, size=(B, n)), axis=1).astype(np.int32)
+        keep = nprng.random((B, n)) < density
+        cases.append((vals, keep))
+    vals, keep = cases[0][0].copy(), np.ones((B, n), bool)
+    keep[0] = False  # empty row
+    cases.append((vals, keep))
+    bj = jnp.asarray(bounds)
+    for vals, keep in cases:
+        hv = jnp.asarray(np.where(keep, vals, np.int32(INF32)))
+
+        def one(v, k):
+            page, first, slot_rank, slot_count = di._locate_core(
+                v, k, bj)
+            tr, ts = jax.lax.top_k(slot_rank, topk)
+            tp = jnp.where(tr > 0, page[ts], -1)
+            tc = jnp.where(tr > 0, slot_count[ts].astype(jnp.int32), 0)
+            return tp, tr, tc, jnp.sum(first.astype(jnp.int32))
+
+        want = jax.vmap(one)(jnp.asarray(vals), jnp.asarray(keep))
+        got = pallas_chunked_locate(
+            hv, bj, topk=topk, chunk=chunk, interpret=True)
+        np.testing.assert_array_equal(np.asarray(want[0]),
+                                      np.asarray(got[0]))
+        np.testing.assert_allclose(np.asarray(want[1]),
+                                   np.asarray(got[1]), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(want[2]),
+                                      np.asarray(got[2]))
+        np.testing.assert_array_equal(np.asarray(want[3]),
+                                      np.asarray(got[3]))
+
+
+def test_chunked_bucket_routing_matches_xla(rng):
+    """DOCODO_CHUNKED=force routes admissible XLA full-result buckets
+    (n >= 2048, B >= 4) through the chunked locate; results equal the
+    plain XLA program field-for-field."""
+    import os
+
+    from docodo_tpu.ops import device_index as di
+
+    nprng = np.random.default_rng(31)
+    T = 10
+    counts = nprng.integers(600, 1000, size=T)
+    tids = np.repeat(np.arange(T), counts).astype(np.int32)
+    coords_np = np.sort(nprng.choice(
+        500_000, size=int(counts.sum()), replace=False)).astype(np.int32)
+    nprng.shuffle(tids)
+    st, sc, off = di.build_postings(
+        jnp.asarray(tids), jnp.asarray(coords_np), T)
+    bounds = jnp.asarray(
+        np.arange(3000, 503_000, 3000, dtype=np.int32))
+    pd = jnp.zeros(bounds.shape[0], jnp.int32)
+    hdr = jnp.zeros(bounds.shape[0], dtype=bool)
+    tq = jnp.asarray(nprng.integers(0, T, (8, 2)).astype(np.int32))
+    rq = jnp.asarray(
+        np.where(np.arange(8)[:, None] % 2, 300, -300).astype(np.int32))
+    kw = dict(cap=1024, topk=16, hit_cap=256, with_docs=True)
+    xla = di.batched_query_full(
+        off, sc, bounds, pd, hdr, tq, rq, use_pallas=False, **kw)
+    os.environ["DOCODO_CHUNKED"] = "force"
+    try:
+        chk = di.batched_query_full(
+            off, sc, bounds, pd, hdr, tq, rq, use_pallas=True, **kw)
+    finally:
+        os.environ.pop("DOCODO_CHUNKED", None)
+    for name in ("pages", "counts", "n_pages", "n_hits", "hits",
+                 "docs"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(xla, name)),
+            np.asarray(getattr(chk, name)), err_msg=name)
+    np.testing.assert_allclose(np.asarray(xla.ranks),
+                               np.asarray(chk.ranks), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(xla.doc_ranks),
+                               np.asarray(chk.doc_ranks), atol=1e-4)
