@@ -79,12 +79,17 @@ SMALL_TAB_WIDTHS = (64, 128)
 # own pow2 cap instead of padding both to cap_hi — the tagged merge
 # sort and the whole locate tail shrink from 2*cap_hi toward cap_hi.
 # Applies past the Pallas W2 kernel budget (symmetric cap 512 = 1024
-# lanes rides the kernels). DOCODO_ASYM=0 disables for A/B runs.
+# lanes rides the kernels). DEFAULT OFF: measured NEUTRAL-to-slightly-
+# negative on the 10k mix (v5e, min-of-4 interleaved: 12.57 vs 12.42 ms
+# with the chunked locate, 12.75 vs 12.89 without) — the tail buckets
+# are launch/chain-bound, not width-bound, and the extra bucket keys
+# fragment the program. Kept behind DOCODO_ASYM=1 with bit-parity tests
+# for workloads where width dominates (huge single-shard indexes).
 ASYM_CAP_MIN = int(_os.environ.get("DOCODO_ASYM_CAP_MIN", "1024"))
 
 
 def _asym_enabled() -> bool:
-    return _os.environ.get("DOCODO_ASYM", "1") == "1"
+    return _os.environ.get("DOCODO_ASYM", "0") == "1"
 
 
 def _bucket_sort_key(kv):
@@ -809,8 +814,6 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             or (mode == "1" and jax.default_backend() == "tpu")
         )
         if chunked_ok:
-            from docodo_tpu.ops.pallas_query import CHUNK_LANES
-
             gm = functools.partial(
                 eval_query_masked, ca_max=FULL_CA_MAX, small=small
             )
@@ -818,8 +821,7 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                 lambda t, r: gm(coords, term_offsets, t, r, cap)
             )(tq, rq)
             n_stream = vals.shape[1]
-            if (n_stream >= 2048 and n_stream % CHUNK_LANES == 0
-                    and tq.shape[0] >= 4):
+            if n_stream >= 2048 and tq.shape[0] >= 4:
                 return _locate_full_chunked(
                     vals, keep, bounds, page_doc, is_header,
                     topk=topk, hit_cap=hit_cap, with_docs=with_docs,

@@ -1308,7 +1308,12 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
     from docodo_tpu.ops.seqops import _rank_in_sorted
 
     bsz, n = hv.shape
-    assert n % chunk == 0, (n, chunk)
+    cpad = (-n) % chunk  # asymmetric-cap streams are not pow2 sums
+    if cpad:
+        hv = jnp.concatenate(
+            [hv, jnp.full((bsz, cpad), INF32, jnp.int32)], axis=1
+        )
+        n += cpad
     k = n // chunk
     # page per slot: ONE shared compare-all over the un-padded rows
     pg = jax.vmap(
