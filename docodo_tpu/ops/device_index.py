@@ -758,25 +758,33 @@ def _chunked_mode() -> str:
     return _os.environ.get("DOCODO_CHUNKED", "1")
 
 
-def _locate_full_chunked(vals, keep, bounds, page_doc, is_header,
+def _locate_full_chunked(hv, bounds, page_doc, is_header,
                          topk: int, hit_cap: int, with_docs: bool,
                          interpret: bool = False) -> LocateFull:
-    """Batched locate_full whose page/rank/top-k leg rides the CHUNKED
-    Pallas locate kernel (ops/pallas_query.pallas_chunked_locate): one
-    sequential-grid kernel launch replaces the ~40 log-step scan
-    launches of the vmapped XLA _locate_core on streams past the
-    resident-kernel budget (measured 1.3-1.8x on v5e at n>=2048, B>=4).
-    hits/n_hits/doc grouping stay on their XLA legs (unchanged ops)."""
+    """Batched locate_full over an INF-masked kept stream whose
+    page/rank/top-k leg rides the CHUNKED Pallas locate kernel
+    (ops/pallas_query.pallas_chunked_locate): one sequential-grid
+    kernel launch replaces the ~40 log-step scan launches of the
+    vmapped XLA _locate_core on streams past the resident-kernel budget
+    (measured 1.3-1.8x on v5e at n>=2048, B>=4). Hit compaction is one
+    lax.sort (ascending kept stream: mask+sort = stable partition, the
+    same branch compact_mask takes at these widths); doc grouping stays
+    on its XLA leg."""
     from docodo_tpu.ops.pallas_query import pallas_chunked_locate
 
-    hv = jnp.where(keep, vals, INF32)
     pages, ranks, counts, n_pages = pallas_chunked_locate(
         hv, bounds, topk=topk, interpret=interpret
     )
-    n_hits = jnp.sum(keep.astype(jnp.int32), axis=1)
-    hits = jax.vmap(
-        lambda v, k: compact_mask(v, k, hit_cap, ca_max=FULL_CA_MAX)
-    )(vals, keep)
+    n_hits = jnp.sum((hv < INF32).astype(jnp.int32), axis=1)
+    hits = jax.lax.sort(hv)
+    if hit_cap <= hits.shape[1]:
+        hits = hits[:, :hit_cap]
+    else:
+        hits = jnp.concatenate([
+            hits,
+            jnp.full((hv.shape[0], hit_cap - hits.shape[1]), INF32,
+                     jnp.int32),
+        ], axis=1)
     docs = doc_ranks = None
     if with_docs:
         docs, doc_ranks = jax.vmap(
@@ -785,6 +793,46 @@ def _locate_full_chunked(vals, keep, bounds, page_doc, is_header,
     return LocateFull(
         pages=pages, ranks=ranks, counts=counts, n_pages=n_pages,
         docs=docs, doc_ranks=doc_ranks, hits=hits, n_hits=n_hits,
+    )
+
+
+def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
+                      tq, rq, caps, topk: int, hit_cap: int,
+                      with_docs: bool, small=None,
+                      interpret: bool = False) -> LocateFull:
+    """W=2 V=1 big-bucket pipeline, fully chunk-streamed: per-word
+    gathers -> ONE vmapped tagged lax.sort (the merge) -> the two-pass
+    chunked AND (keep resolution) -> the chunked locate. Replaces the
+    ~90-launch XLA scan chain per bucket with 3 kernel launches + the
+    sort (ref IndexSequence.cs:218-284 + Search.cs:365-420 semantics,
+    bit-identical to ops/seqops.and_masked + locate_full)."""
+    from docodo_tpu.ops.pallas_query import pallas_chunked_and
+
+    c0, c1 = caps
+    g0 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c0,
+                                        small))
+    g1 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c1,
+                                        small))
+    a, na = g0(tq[:, 0])
+    b, nb = g1(tq[:, 1])
+    bsz = tq.shape[0]
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (bsz, c0), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (bsz, c1), 1)
+    av = jnp.where(lane0 < na[:, None], a, INF32)
+    bv = jnp.where(lane1 < nb[:, None], b, INF32)
+    tag = jnp.concatenate([
+        jnp.where(lane0 < na[:, None], 0, 2),
+        jnp.where(lane1 < nb[:, None], 1, 2),
+    ], axis=1).astype(jnp.int32)
+    vals, tag = jax.vmap(
+        lambda v, t: jax.lax.sort((v, t), num_keys=2)
+    )(jnp.concatenate([av, bv], axis=1), tag)
+    hv = pallas_chunked_and(
+        vals, tag, rq[:, :1], rq[:, 1:2], interpret=interpret
+    )
+    return _locate_full_chunked(
+        hv, bounds, page_doc, is_header, topk=topk, hit_cap=hit_cap,
+        with_docs=with_docs, interpret=interpret,
     )
 
 
@@ -813,19 +861,29 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             mode == "force"
             or (mode == "1" and jax.default_backend() == "tpu")
         )
-        if chunked_ok:
+        if chunked_ok and tq.shape[0] >= 4:
+            interp = mode == "force"
+            w = tq.shape[1]
+            v = tq.shape[2] if tq.ndim == 3 else 1
+            caps = cap if isinstance(cap, tuple) else (cap,) * w
+            if w == 2 and v == 1 and sum(caps) >= 2048:
+                t2 = tq if tq.ndim == 2 else tq[:, :, 0]
+                return _chunked_and_full(
+                    term_offsets, coords, bounds, page_doc, is_header,
+                    t2, rq, caps, topk=topk, hit_cap=hit_cap,
+                    with_docs=with_docs, small=small, interpret=interp,
+                )
             gm = functools.partial(
                 eval_query_masked, ca_max=FULL_CA_MAX, small=small
             )
             vals, keep = jax.vmap(
                 lambda t, r: gm(coords, term_offsets, t, r, cap)
             )(tq, rq)
-            n_stream = vals.shape[1]
-            if n_stream >= 2048 and tq.shape[0] >= 4:
+            if vals.shape[1] >= 2048:
                 return _locate_full_chunked(
-                    vals, keep, bounds, page_doc, is_header,
-                    topk=topk, hit_cap=hit_cap, with_docs=with_docs,
-                    interpret=mode == "force",
+                    jnp.where(keep, vals, INF32), bounds, page_doc,
+                    is_header, topk=topk, hit_cap=hit_cap,
+                    with_docs=with_docs, interpret=interp,
                 )
             lf = functools.partial(
                 locate_full, topk=topk, hit_cap=hit_cap,

@@ -1290,7 +1290,9 @@ def _chunked_locate_kernel(hv_ref, pg_ref, page_ref, rank_ref, cnt_ref,
     )
 
 
-CHUNK_LANES = 512   # chunk width: full VMEM residency per grid step
+import os as _os
+
+CHUNK_LANES = int(_os.environ.get("DOCODO_CHUNK_LANES", "1024"))
 CHUNK_Q = 8         # rows per program (sublane tile)
 
 
@@ -1386,3 +1388,282 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
     ).astype(jnp.int32)
     n_pages = jnp.sum((ranks_all > 0).astype(jnp.int32), axis=1)
     return (top_page[:bsz], top_rank[:bsz], top_cnt[:bsz], n_pages[:bsz])
+
+
+# ---------------------------------------------------------------------------
+# CHUNKED proximity-AND: the _sorted_and_keep scans, chunk-streamed
+# ---------------------------------------------------------------------------
+#
+# The keep decision for a segment needs the WHOLE segment (has_a & has_b
+# at its end), so the chunked AND is two passes: a FORWARD kernel
+# computing the prefix quantities (dup folding, gap + ordered-cut
+# segmentation, operand-count prefixes and their values at segment
+# starts) with per-row carries, and a BACKWARD kernel (reverse chunk
+# order) resolving the value-at-next-terminal reverse mins and emitting
+# the kept-hit stream. Mirrors ops/seqops.and_masked's sort branch +
+# _segment_and bit-for-bit (prefix sums of 0/1 flags are exact in i32).
+
+
+def _chunked_and_fwd_kernel(vals_ref, tag_ref, vals_r_ref, tag_r_ref,
+                            ra_ref, rb_ref, flags_ref, cum_a_ref,
+                            cum_b_ref, bef_a_ref, bef_b_ref, icar_ref,
+                            *, n_total: int):
+    """Forward pass over chunk c: emits per-slot flags (bit0 seg_start2,
+    bit1 eff = valid & ~ghost), operand-count prefixes cum_a/cum_b and
+    the prefix values at the enclosing segment start bef_a/bef_b.
+
+    vals_r/tag_r: the stream rolled LEFT one lane (outside), giving the
+    next-slot value without cross-block reads.
+    icar scratch (Q, 128) i32: col 0 last val, 1 cum_a, 2 cum_b,
+    3 before_at_start (ordered cut), 4 bef_a, 5 bef_b, 6 start idx."""
+    c = pl.program_id(1)
+    q, C = vals_ref.shape
+    lane = _iota((q, C), 1)
+    glane = lane + c * C
+
+    @pl.when(c == 0)
+    def _init():
+        sl = _iota(icar_ref.shape, 1)
+        icar_ref[...] = jnp.where(sl < 3, 0, -1)
+
+    vals = vals_ref[...]
+    tag = tag_ref[...]
+    valid = vals < INF32
+    isa = jnp.logical_and(tag == 0, valid)
+    isb = jnp.logical_and(tag == 1, valid)
+
+    carry_lv = icar_ref[:, 0][:, None]
+    carry_ca = icar_ref[:, 1][:, None]
+    carry_cb = icar_ref[:, 2][:, None]
+    carry_bas = icar_ref[:, 3][:, None]
+    carry_ba = icar_ref[:, 4][:, None]
+    carry_bb = icar_ref[:, 5][:, None]
+    carry_si = icar_ref[:, 6][:, None]
+
+    prev_vals = _shift_right_fill(vals, np.int32(0))
+    prev_vals = jnp.where(lane == 0, carry_lv, prev_vals)
+    nxt_vals = vals_r_ref[...]
+    nxt_vals = jnp.where(glane == n_total - 1, INF32, nxt_vals)
+    nxt_tag = tag_r_ref[...]
+
+    # cross-operand duplicate folding onto the first of the pair
+    dup_prev = jnp.logical_and(vals == prev_vals, valid)
+    dup_prev = jnp.logical_and(dup_prev, glane > 0)
+    dup_next = jnp.logical_and(vals == nxt_vals, valid)
+    nxt_valid = nxt_vals < INF32
+    isa_next = jnp.logical_and(nxt_tag == 0, nxt_valid)
+    isb_next = jnp.logical_and(nxt_tag == 1, nxt_valid)
+    isa2 = jnp.logical_and(
+        jnp.logical_or(isa, jnp.logical_and(dup_next, isa_next)),
+        ~dup_prev,
+    )
+    isb2 = jnp.logical_and(
+        jnp.logical_or(isb, jnp.logical_and(dup_next, isb_next)),
+        ~dup_prev,
+    )
+
+    r1 = ra_ref[:, 0][:, None]
+    r2 = rb_ref[:, 0][:, None]
+    abs_r = jnp.maximum(jnp.abs(r1), jnp.abs(r2))
+    ordered = jnp.logical_and(r1 < 0, r2 < 0)
+
+    gap_prev = vals - jnp.where(glane == 0, 0, prev_vals)
+    gap_cut = jnp.logical_and(abs_r != 0, gap_prev > abs_r)
+    seg_start = jnp.logical_or(
+        glane == 0, jnp.logical_and(gap_cut, valid)
+    )
+
+    cum_a = _cumsum(isa2.astype(jnp.int32)) + carry_ca
+    cum_b = _cumsum(isb2.astype(jnp.int32)) + carry_cb
+
+    # ordered-mode extra cut at the first A of each gap segment
+    start_idx = jnp.maximum(
+        _cummax(jnp.where(seg_start, glane, -1)), carry_si
+    )
+    before = cum_a - isa2.astype(jnp.int32)
+    before_at_start = jnp.maximum(
+        _cummax(jnp.where(seg_start, before, -1)), carry_bas
+    )
+    ordered_cut = jnp.logical_and(
+        jnp.logical_and(isa2, (before - before_at_start) == 0),
+        glane != start_idx,
+    )
+    seg_start2 = jnp.logical_or(
+        seg_start, jnp.logical_and(ordered, ordered_cut)
+    )
+
+    prev_cum_a = _shift_right_fill(cum_a, np.int32(0))
+    prev_cum_a = jnp.where(lane == 0, carry_ca, prev_cum_a)
+    prev_cum_b = _shift_right_fill(cum_b, np.int32(0))
+    prev_cum_b = jnp.where(lane == 0, carry_cb, prev_cum_b)
+    bef_a = jnp.maximum(
+        _cummax(jnp.where(seg_start2, prev_cum_a, -1)), carry_ba
+    )
+    bef_b = jnp.maximum(
+        _cummax(jnp.where(seg_start2, prev_cum_b, -1)), carry_bb
+    )
+
+    eff = jnp.logical_and(valid, ~dup_prev)
+    flags_ref[...] = (
+        seg_start2.astype(jnp.int32) + 2 * eff.astype(jnp.int32)
+    )
+    cum_a_ref[...] = cum_a
+    cum_b_ref[...] = cum_b
+    bef_a_ref[...] = bef_a
+    bef_b_ref[...] = bef_b
+
+    slane = _iota((q, 128), 1)
+    new = jnp.where(
+        slane == 0,
+        jnp.max(jnp.where(lane == C - 1, vals, np.int32(-(2 ** 31))),
+                axis=1, keepdims=True),
+        jnp.where(
+            slane == 1, jnp.max(cum_a, axis=1, keepdims=True),
+            jnp.where(
+                slane == 2, jnp.max(cum_b, axis=1, keepdims=True),
+                jnp.where(
+                    slane == 3,
+                    jnp.max(before_at_start, axis=1, keepdims=True),
+                    jnp.where(
+                        slane == 4,
+                        jnp.max(bef_a, axis=1, keepdims=True),
+                        jnp.where(
+                            slane == 5,
+                            jnp.max(bef_b, axis=1, keepdims=True),
+                            jnp.max(start_idx, axis=1, keepdims=True),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    )
+    icar_ref[...] = new
+
+
+def _chunked_and_bwd_kernel(vals_ref, flags_ref, cum_a_ref, cum_b_ref,
+                            bef_a_ref, bef_b_ref, hits_ref, icar_ref,
+                            *, n_chunks: int):
+    """Backward pass (chunks visited right-to-left): resolves the
+    value-at-next-terminal reverse mins for cum_a/cum_b and emits the
+    kept-hit stream (INF at dropped slots).
+    icar scratch (Q, 128) i32: col 0 end_a-from-right, 1 end_b,
+    2 seg_start2 of the right neighbour chunk's first lane."""
+    g = pl.program_id(1)
+    q, C = vals_ref.shape
+    lane = _iota((q, C), 1)
+    bigi = jnp.int32(np.iinfo(np.int32).max)
+
+    @pl.when(g == 0)
+    def _init():
+        sl = _iota(icar_ref.shape, 1)
+        # col 2 = 1: a virtual terminal after the global last lane
+        icar_ref[...] = jnp.where(sl == 2, 1, bigi)
+
+    carry_ea = icar_ref[:, 0][:, None]
+    carry_eb = icar_ref[:, 1][:, None]
+    carry_ss = icar_ref[:, 2][:, None]
+
+    vals = vals_ref[...]
+    flags = flags_ref[...]
+    seg_start2 = (flags & 1) > 0
+    eff = (flags & 2) > 0
+    cum_a = cum_a_ref[...]
+    cum_b = cum_b_ref[...]
+
+    # terminal(i) = next slot is a segment start (right-carry at C-1;
+    # selected in i32 — an i1-valued where trips Mosaic's truncation)
+    nxt_ss = _roll(seg_start2.astype(jnp.int32), -1)
+    terminal = jnp.where(lane == C - 1, carry_ss, nxt_ss) > 0
+    end_a = jnp.minimum(
+        _rev_cummin(jnp.where(terminal, cum_a, bigi), bigi), carry_ea
+    )
+    end_b = jnp.minimum(
+        _rev_cummin(jnp.where(terminal, cum_b, bigi), bigi), carry_eb
+    )
+    keep = jnp.logical_and(
+        jnp.logical_and(end_a - bef_a_ref[...] > 0,
+                        end_b - bef_b_ref[...] > 0),
+        eff,
+    )
+    hits_ref[...] = jnp.where(keep, vals, INF32)
+
+    slane = _iota((q, 128), 1)
+    ea0 = jnp.min(
+        jnp.where(lane == 0, end_a, bigi), axis=1, keepdims=True
+    )
+    eb0 = jnp.min(
+        jnp.where(lane == 0, end_b, bigi), axis=1, keepdims=True
+    )
+    ss0 = jnp.max(
+        jnp.where(lane == 0, seg_start2.astype(jnp.int32), 0),
+        axis=1, keepdims=True,
+    )
+    icar_ref[...] = jnp.where(
+        slane == 0, ea0, jnp.where(slane == 1, eb0, ss0)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def pallas_chunked_and(vals, tag, ra, rb, *, chunk: int = CHUNK_LANES,
+                       interpret: bool = False):
+    """Proximity-AND keep over a PRE-MERGED tagged stream of any width
+    (two chunk-streamed kernel passes). Returns the kept-hit stream
+    (INF32 at dropped slots) — the input to pallas_chunked_locate and
+    the hits compaction."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, n = vals.shape
+    cpad = (-n) % chunk
+    if cpad:
+        vals = jnp.concatenate(
+            [vals, jnp.full((bsz, cpad), INF32, jnp.int32)], axis=1
+        )
+        tag = jnp.concatenate(
+            [tag, jnp.full((bsz, cpad), 2, jnp.int32)], axis=1
+        )
+        n += cpad
+    k = n // chunk
+    q = CHUNK_Q
+    pad = (-bsz) % q
+    if pad:
+        vals = jnp.concatenate(
+            [vals, jnp.full((pad, n), INF32, jnp.int32)]
+        )
+        tag = jnp.concatenate([tag, jnp.full((pad, n), 2, jnp.int32)])
+        ra = jnp.concatenate([ra, jnp.ones((pad, 1), jnp.int32)])
+        rb = jnp.concatenate([rb, jnp.ones((pad, 1), jnp.int32)])
+    b = vals.shape[0]
+    vals_r = jnp.roll(vals, -1, axis=1)
+    tag_r = jnp.roll(tag, -1, axis=1)
+    grid = (b // q, k)
+    fwd = functools.partial(_chunked_and_fwd_kernel, n_total=n)
+    blk = lambda i, c: (i, c)
+    flags, cum_a, cum_b, bef_a, bef_b = pl.pallas_call(
+        fwd,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, chunk), blk),
+            pl.BlockSpec((q, chunk), blk),
+            pl.BlockSpec((q, chunk), blk),
+            pl.BlockSpec((q, chunk), blk),
+            pl.BlockSpec((q, 1), lambda i, c: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i, c: (i, 0)),
+        ],
+        out_specs=[pl.BlockSpec((q, chunk), blk)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((b, n), jnp.int32)] * 5,
+        scratch_shapes=[pltpu.VMEM((q, 128), jnp.int32)],
+        interpret=interpret,
+    )(vals, tag, vals_r, tag_r, ra, rb)
+
+    bwd = functools.partial(_chunked_and_bwd_kernel, n_chunks=k)
+    rblk = lambda i, c: (i, k - 1 - c)
+    hits = pl.pallas_call(
+        bwd,
+        grid=grid,
+        in_specs=[pl.BlockSpec((q, chunk), rblk)] * 6,
+        out_specs=pl.BlockSpec((q, chunk), rblk),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((q, 128), jnp.int32)],
+        interpret=interpret,
+    )(vals, flags, cum_a, cum_b, bef_a, bef_b)
+    return hits[:bsz]

@@ -380,8 +380,9 @@ def test_chunked_bucket_routing_matches_xla(rng):
     pd = jnp.zeros(bounds.shape[0], jnp.int32)
     hdr = jnp.zeros(bounds.shape[0], dtype=bool)
     tq = jnp.asarray(nprng.integers(0, T, (8, 2)).astype(np.int32))
-    rq = jnp.asarray(
-        np.where(np.arange(8)[:, None] % 2, 300, -300).astype(np.int32))
+    rq = jnp.asarray(np.broadcast_to(
+        np.where(np.arange(8)[:, None] % 2, 300, -300), (8, 2)
+    ).astype(np.int32))
     kw = dict(cap=1024, topk=16, hit_cap=256, with_docs=True)
     xla = di.batched_query_full(
         off, sc, bounds, pd, hdr, tq, rq, use_pallas=False, **kw)
