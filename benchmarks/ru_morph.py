@@ -121,7 +121,7 @@ def main() -> int:
     for i, cg in enumerate(comp):
         if cg is None:
             continue
-        rows, rvals, w, v, need, min_need = cg
+        rows, rvals, w, v, need, min_need = cg[:6]
         buckets.setdefault(
             (_bucket(need), w, _bucket(v, lo=1)), []
         ).append(i)

@@ -752,6 +752,14 @@ def query_step_full(term_offsets, coords, bounds, page_doc, is_header,
                        hit_cap, with_docs=with_docs)
 
 
+def _chunk_min_b() -> int:
+    """DOCODO_CHUNK_MIN_B: smallest bucket batch admitted to the chunked
+    kernels (rows pad to CHUNK_Q=8 inside, so tiny batches pay 8-row
+    kernel work — but the XLA scan chain they replace pays ~90 launches;
+    measured on the ru mix's B=1-2 big-cap tail)."""
+    return int(_os.environ.get("DOCODO_CHUNK_MIN_B", "4"))
+
+
 def _chunked_mode() -> str:
     """DOCODO_CHUNKED: "1" (default — chunked locate on real TPU),
     "0" (off), "force" (on with interpret=True — CPU tests)."""
@@ -861,7 +869,7 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             mode == "force"
             or (mode == "1" and jax.default_backend() == "tpu")
         )
-        if chunked_ok and tq.shape[0] >= 4:
+        if chunked_ok and tq.shape[0] >= _chunk_min_b():
             interp = mode == "force"
             w = tq.shape[1]
             v = tq.shape[2] if tq.ndim == 3 else 1
