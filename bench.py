@@ -111,12 +111,22 @@ def main() -> None:
     off_np = np.zeros(T + 1, dtype=np.int64)
     np.cumsum(counts, out=off_np[1:])
 
+    # page table must exist before the small tables: the combined
+    # coords||page_of rows carry the precomputed page stream into the
+    # kernels (no in-kernel compare-all locate)
+    page_len = 3000
+    n_pages_pre = (len(text) + page_len - 1) // page_len
+    bounds_pre = np.minimum(
+        np.arange(1, n_pages_pre + 1, dtype=np.int64) * page_len, len(text))
+    pages_np = di.build_page_of(bounds_pre, sc_host)
+    page_of = jnp.asarray(pages_np)
+
     # small-term posting tables: row-gather fetch for caps below the
     # block-DMA crossover (the cap-64 W2 bucket spent 6.9 of 8.8 ms in
     # the element gather; the row gather runs it in ~0.7 ms)
-    small = di.build_small_tables(off_np, sc_host)
+    small = di.build_small_tables(off_np, sc_host, pages_np=pages_np)
     log(f"small tables: "
-        f"{[tuple(t.shape) for _, t in (small or ())]}")
+        f"{[tuple(t.shape) for _, _, t in (small or ())]}")
 
     # ---- query set: mixed single/phrase/proximity over ALL terms -------
     # (term popularity follows the real corpus distribution: frequent
@@ -244,6 +254,7 @@ def main() -> None:
         return di.multi_bucket_query_full_chained(
             off, sc, _bounds, _page_doc, _is_header, fterms, frs, chain,
             fcaps, FULL_TOPK, fhcaps, use_pallas=use_pallas, small=small,
+            page_of=page_of,
         )
 
     fouts, fs = fstep(jnp.float32(0))

@@ -88,8 +88,11 @@ def main() -> None:
     log(f"bucket B={bsz0} padded to {bsz}, Q/program={pqn}, "
         f"grid={bsz // pqn}")
 
+    small = di.build_small_tables(np.asarray(off), np.asarray(sc))
+    log(f"small tables: {[tuple(t.shape) for _, t in (small or ())]}")
+
     def gather(tqz):
-        g = jax.vmap(lambda t: di.gather_term(sc, off, t, CAP))
+        g = jax.vmap(lambda t: di.gather_term(sc, off, t, CAP, small))
         a, na = g(tqz[:, 0])
         b, nb = g(tqz[:, 1])
         return a, na, b, nb
@@ -185,7 +188,7 @@ def main() -> None:
         outs = di._bucket_full(
             off, sc, bounds, page_doc, is_header, tqz, rq,
             cap=CAP, topk=FULL_TOPK, hit_cap=HIT_CAP, with_docs=True,
-            use_pallas=True,
+            use_pallas=True, small=small,
         )
         return (jnp.sum(outs.ranks)
                 + jnp.sum(outs.n_hits.astype(jnp.float32)))
@@ -194,7 +197,7 @@ def main() -> None:
         outs = di._bucket_full(
             off, sc, bounds, page_doc, is_header, tqz, rq,
             cap=CAP, topk=FULL_TOPK, hit_cap=HIT_CAP, with_docs=False,
-            use_pallas=True,
+            use_pallas=True, small=small,
         )
         return (jnp.sum(outs.ranks)
                 + jnp.sum(outs.n_hits.astype(jnp.float32)))

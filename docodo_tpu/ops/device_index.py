@@ -99,19 +99,60 @@ def _bucket_sort_key(kv):
     return ((qcap,) if isinstance(qcap, int) else qcap, kv[0][1:])
 
 
+def build_page_of(bounds_np, coords_np):
+    """page_of[i] = page index of posting coordinate i (the device
+    twin of the kernels' compare-all right-bisect: #bounds <= coord,
+    clamped to P-1). Staged ONCE per index generation and carried
+    through the posting fetch + merge sorts, it removes the in-kernel
+    page locate entirely (measured ~65% of the dominant full-result
+    kernel at P=578 pages)."""
+    bounds_np = np.asarray(bounds_np, dtype=np.int64)
+    pages = np.searchsorted(
+        bounds_np, np.asarray(coords_np, dtype=np.int64), side="right"
+    )
+    p = max(int(bounds_np.shape[0]), 1)
+    return np.minimum(pages, p - 1).astype(np.int32)
+
+
+@jax.tree_util.register_pytree_node_class
+class SmallTab:
+    """One small-term posting table: `w` is the posting-cap width it
+    serves (STATIC jit metadata — jit args must not trace it), `tab`
+    is [rows, w] (coords) or [rows, 2w] (coords || page_of)."""
+
+    def __init__(self, w: int, row_map, tab):
+        self.w = w
+        self.row_map = row_map
+        self.tab = tab
+
+    def __iter__(self):  # (w, row_map, tab) unpacking convenience
+        return iter((self.w, self.row_map, self.tab))
+
+    def tree_flatten(self):
+        return (self.row_map, self.tab), self.w
+
+    @classmethod
+    def tree_unflatten(cls, w, children):
+        return cls(w, *children)
+
+
 def build_small_tables(offsets_np, coords_np,
                        widths: Sequence[int] = SMALL_TAB_WIDTHS,
-                       max_bytes: Optional[int] = None):
+                       max_bytes: Optional[int] = None, pages_np=None):
     """Build the small-term posting tables host-side and upload them.
 
     offsets_np: int64[T+1] CSR offsets; coords_np: the HOST mirror of
     the device coords array (per-term ascending). Returns a tuple of
-    (row_map int32[T] device, tab int32[Ts, width] device) pairs — the
-    `small` argument threaded through the query entry points — or None
-    when disabled/over budget (DOCODO_SMALL_TAB=0 disables,
+    (width, row_map int32[T] device, tab device) triples — the `small`
+    argument threaded through the query entry points — or None when
+    disabled/over budget (DOCODO_SMALL_TAB=0 disables,
     DOCODO_SMALL_TAB_MB caps the total bytes, default 128 MB: large
     vocabularies fall back to the element gather rather than ballooning
     HBM).
+
+    With `pages_np` (build_page_of), tab is [Ts, 2*width]: the coords
+    row followed by its page_of twin — ONE row gather fetches both
+    (row gathers measured latency-bound, so the doubled width is free).
 
     Row-count shapes are padded to powers of two so repeated stagings
     (tests, re-stage on index generation bump) reuse compiled programs.
@@ -135,7 +176,7 @@ def build_small_tables(offsets_np, coords_np,
         if tids.size == 0:
             continue
         rows = _bucket(int(tids.size), lo=8)
-        nbytes = rows * w * 4
+        nbytes = rows * w * 4 * (2 if pages_np is not None else 1)
         if nbytes > budget:
             continue
         budget -= nbytes
@@ -146,11 +187,17 @@ def build_small_tables(offsets_np, coords_np,
         idx = np.minimum(
             starts[:, None] + np.arange(w, dtype=np.int64)[None, :], n - 1
         )
-        tab = np.full((rows, w), INT32_MAX, dtype=np.int32)
-        vals = coords_np[idx].astype(np.int32) if n else tab[: tids.size]
         lane = np.arange(w, dtype=np.int32)[None, :]
-        tab[: tids.size] = np.where(lane < cnts[:, None], vals, INT32_MAX)
-        out.append((jnp.asarray(row_map), jnp.asarray(tab)))
+        cols = 2 * w if pages_np is not None else w
+        tab = np.full((rows, cols), INT32_MAX, dtype=np.int32)
+        vals = coords_np[idx].astype(np.int32) if n else tab[: tids.size, :w]
+        tab[: tids.size, :w] = np.where(
+            lane < cnts[:, None], vals, INT32_MAX)
+        if pages_np is not None and n:
+            pgs = np.asarray(pages_np)[idx].astype(np.int32)
+            tab[: tids.size, w:] = np.where(
+                lane < cnts[:, None], pgs, INT32_MAX)
+        out.append(SmallTab(w, jnp.asarray(row_map), jnp.asarray(tab)))
     return tuple(out) or None
 
 
@@ -318,10 +365,10 @@ def gather_term(coords, term_offsets, term, cap: int, small=None):
     ln = jnp.where(term >= 0, ln, 0)
     ln = jnp.minimum(ln, cap).astype(jnp.int32)
     if small is not None:
-        for row_map, tab in small:
-            if tab.shape[1] == cap and tab.shape[0] > 0:
+        for w, row_map, tab in small:
+            if w == cap and tab.shape[0] > 0:
                 row = jnp.maximum(row_map[safe], 0)
-                vals = tab[row]
+                vals = tab[row][:cap]
                 vals = jnp.where(
                     jnp.arange(cap, dtype=jnp.int32) < ln, vals, INF32
                 )
@@ -347,6 +394,46 @@ def gather_term(coords, term_offsets, term, cap: int, small=None):
         vals = coords[jnp.minimum(idx, coords.shape[0] - 1)]
     vals = jnp.where(jnp.arange(cap, dtype=jnp.int32) < ln, vals, INF32)
     return vals, ln
+
+
+def gather_term_paged(coords, page_of, term_offsets, term, cap: int,
+                      small=None):
+    """gather_term plus the term's page_of stream (build_page_of),
+    aligned lane-for-lane with the coords. With a combined small table
+    (build_small_tables(..., pages_np=...)) both halves come from the
+    SAME row gather; otherwise page_of is fetched with the coords'
+    own cap-adaptive strategy. Padding lanes carry INF32 in both."""
+    term = jnp.asarray(term, dtype=jnp.int32)
+    safe = jnp.maximum(term, 0)
+    start = term_offsets[safe]
+    ln = term_offsets[safe + 1] - start
+    ln = jnp.where(term >= 0, ln, 0)
+    ln = jnp.minimum(ln, cap).astype(jnp.int32)
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    if small is not None:
+        for w, row_map, tab in small:
+            if w == cap and tab.shape[0] > 0 and tab.shape[1] == 2 * cap:
+                row = jnp.maximum(row_map[safe], 0)
+                both = tab[row]
+                vals = jnp.where(lane < ln, both[:cap], INF32)
+                pgs = jnp.where(lane < ln, both[cap:], INF32)
+                return vals, pgs, ln
+    if cap >= GATHER_SLICE_MIN:
+        ext = jnp.concatenate(
+            [coords, jnp.full((cap,), INF32, coords.dtype)]
+        )
+        vals = jax.lax.dynamic_slice_in_dim(ext, start, cap)
+        extp = jnp.concatenate(
+            [page_of, jnp.full((cap,), INF32, page_of.dtype)]
+        )
+        pgs = jax.lax.dynamic_slice_in_dim(extp, start, cap)
+    else:
+        idx = jnp.minimum(start + lane, coords.shape[0] - 1)
+        vals = coords[idx]
+        pgs = page_of[idx]
+    vals = jnp.where(lane < ln, vals, INF32)
+    pgs = jnp.where(lane < ln, pgs, INF32)
+    return vals, pgs, ln
 
 
 def eval_and_query(coords, term_offsets, terms, rs, cap: int,
@@ -847,7 +934,7 @@ def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
 def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                  tq, rq, cap: int, topk: int, hit_cap: int,
                  with_docs: bool, use_pallas: bool, small=None,
-                 chunked: Optional[str] = None):
+                 chunked: Optional[str] = None, page_of=None):
     """One full-result bucket, routed to the hybrid Pallas kernels when
     the shape qualifies (W<=2, V=1, cap within the kernel budget), else
     the vmapped XLA program (whose locate leg rides the chunked Pallas
@@ -860,7 +947,7 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
         out = _pallas_bucket_full(
             term_offsets, coords, bounds, page_doc, is_header, tq, rq,
             cap=cap, topk=topk, hit_cap=hit_cap, with_docs=with_docs,
-            small=small,
+            small=small, page_of=page_of,
         )
         if out is not None:
             return out
@@ -914,7 +1001,8 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
 def batched_query_full(term_offsets, coords, bounds, page_doc, is_header,
                        terms, rs, cap: int, topk: int, hit_cap: int,
                        with_docs: bool = True, use_pallas: bool = False,
-                       small=None, chunked: Optional[str] = None):
+                       small=None, chunked: Optional[str] = None,
+                       page_of=None):
     """One bucket of full-result queries ([B, W] or [B, W, V] terms) as
     its own cached jit — serving uses this instead of the fused
     multi-bucket program because batch COMPOSITIONS churn per request
@@ -925,6 +1013,7 @@ def batched_query_full(term_offsets, coords, bounds, page_doc, is_header,
         term_offsets, coords, bounds, page_doc, is_header, terms, rs,
         cap=cap, topk=topk, hit_cap=hit_cap, with_docs=with_docs,
         use_pallas=use_pallas, small=small, chunked=chunked,
+        page_of=page_of,
     )
 
 
@@ -935,7 +1024,7 @@ def multi_bucket_query_full(term_offsets, coords, bounds, page_doc,
                             topk: int, hit_cap,
                             with_docs: bool = True,
                             use_pallas: bool = False, small=None,
-                            chunked: Optional[str] = None):
+                            chunked: Optional[str] = None, page_of=None):
     """Full-result twin of multi_bucket_query_step: every shape bucket
     (variant-aware, [Bi, Wi] or [Bi, Wi, Vi] terms) evaluates in ONE
     device program; each bucket yields a batched LocateFull.
@@ -951,6 +1040,7 @@ def multi_bucket_query_full(term_offsets, coords, bounds, page_doc,
             term_offsets, coords, bounds, page_doc, is_header, tq, rq,
             cap=cap, topk=topk, hit_cap=hb, with_docs=with_docs,
             use_pallas=use_pallas, small=small, chunked=chunked,
+            page_of=page_of,
         ))
     return tuple(outs)
 
@@ -962,7 +1052,8 @@ def multi_bucket_query_full_chained(term_offsets, coords, bounds, page_doc,
                                     caps, topk: int, hit_cap,
                                     with_docs: bool = True,
                                     use_pallas: bool = False, small=None,
-                                    chunked: Optional[str] = None):
+                                    chunked: Optional[str] = None,
+                                    page_of=None):
     """multi_bucket_query_full with the dependency-chain scalar trick of
     multi_bucket_query_step_chained (one final readback bounds the wall
     time of a rep sequence on async/tunnelled dispatch layers)."""
@@ -972,7 +1063,7 @@ def multi_bucket_query_full_chained(term_offsets, coords, bounds, page_doc,
         term_offsets, coords, bounds, page_doc, is_header,
         terms_list, rs_list, caps, topk, hit_cap,
         with_docs=with_docs, use_pallas=use_pallas, small=small,
-        chunked=chunked,
+        chunked=chunked, page_of=page_of,
     )
     s = jnp.float32(0)
     for o in outs:
@@ -1023,12 +1114,16 @@ def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
 
 def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                         tq, rq, *, cap: int, topk: int, hit_cap: int,
-                        with_docs: bool, small=None):
+                        with_docs: bool, small=None, page_of=None):
     """Full-result Pallas routing for one bucket: W<=2, V=1 shapes
     within the kernel cap budget evaluate through the hybrid kernels
     (pallas_query.pallas_single_locate_full / pallas_sorted_and_locate_
     full); other shapes return None and stay on the XLA program. Doc
-    grouping (tiny [topk, topk] work) runs as vmapped XLA either way."""
+    grouping (tiny [topk, topk] work) runs as vmapped XLA either way.
+
+    With `page_of` (build_page_of), the posting fetch also carries the
+    precomputed page stream into the kernels, replacing their in-kernel
+    compare-all locate (~65% of the dominant kernel's time)."""
     from docodo_tpu.ops.pallas_query import (
         MAX_PALLAS_CAP,
         MAX_SORTED_PALLAS_CAP,
@@ -1069,23 +1164,36 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             rq = jnp.concatenate(
                 [rq, jnp.ones((pad, rq.shape[1]), jnp.int32)]
             )
-        gather_v = jax.vmap(jax.vmap(
-            lambda t: gather_term(coords, term_offsets, t, cap, small)
-        ))
-        a3, na2 = gather_v(tq[:, 0])
+        if page_of is not None:
+            gather_v = jax.vmap(jax.vmap(
+                lambda t: gather_term_paged(
+                    coords, page_of, term_offsets, t, cap, small)
+            ))
+            a3, apg3, na2 = gather_v(tq[:, 0])
+        else:
+            gather_v = jax.vmap(jax.vmap(
+                lambda t: gather_term(coords, term_offsets, t, cap, small)
+            ))
+            a3, na2 = gather_v(tq[:, 0])
+            apg3 = None
         # variant buckets are small-B in real mixes — kernel-topk mode
         # (slots mode measured a loss on the small-B union bucket)
         if w == 1:
             pg, rk, ct, npg, nht, hits = pallas_union_locate_full(
                 a3, na2, bounds, topk=topk, hit_cap=hit_cap,
-                interpret=interpret, sort_topk=False,
+                interpret=interpret, sort_topk=False, a_pg=apg3,
             )
         else:
-            b3, nb2 = gather_v(tq[:, 1])
+            if page_of is not None:
+                b3, bpg3, nb2 = gather_v(tq[:, 1])
+            else:
+                b3, nb2 = gather_v(tq[:, 1])
+                bpg3 = None
             pg, rk, ct, npg, nht, hits = pallas_variants_and_locate_full(
                 a3, na2, rq[:, 0], b3, nb2, rq[:, 1],
                 tq[:, 1, 0] < 0, bounds, topk=topk, hit_cap=hit_cap,
                 interpret=interpret, sort_topk=False,
+                a_pg=apg3, b_pg=bpg3,
             )
         docs = doc_ranks = None
         if with_docs:
@@ -1128,10 +1236,18 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             [tq, jnp.full((pad, tq.shape[1]), -1, jnp.int32)]
         )
         rq = jnp.concatenate([rq, jnp.ones((pad, rq.shape[1]), jnp.int32)])
-    gather = jax.vmap(
-        lambda t: gather_term(coords, term_offsets, t, cap, small)
-    )
-    a, na = gather(tq[:, 0])
+    if page_of is not None:
+        gather = jax.vmap(
+            lambda t: gather_term_paged(
+                coords, page_of, term_offsets, t, cap, small)
+        )
+        a, apg, na = gather(tq[:, 0])
+    else:
+        gather = jax.vmap(
+            lambda t: gather_term(coords, term_offsets, t, cap, small)
+        )
+        a, na = gather(tq[:, 0])
+        apg = None
     interpret = jax.default_backend() != "tpu"
     # slots-mode (outside-sort) top-k where measured faster on v5e:
     # merge-free W1 1.18x, sorted W2 1.20x/1.08x/1.06x at caps
@@ -1141,17 +1257,23 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
         pg, rk, ct, npg, nht, hits = pallas_union_locate_full(
             a[:, None, :], na[:, None], bounds, topk=topk,
             hit_cap=hit_cap, interpret=interpret, sort_topk=False,
+            a_pg=None if apg is None else apg[:, None, :],
         )
     elif single:
         pg, rk, ct, npg, nht, hits = pallas_single_locate_full(
             a, na, bounds, cap=cap, topk=topk, hit_cap=hit_cap,
-            interpret=interpret, sort_topk=True,
+            interpret=interpret, sort_topk=True, a_pg=apg,
         )
     else:
-        b, nb = gather(tq[:, 1])
+        if page_of is not None:
+            b, bpg, nb = gather(tq[:, 1])
+        else:
+            b, nb = gather(tq[:, 1])
+            bpg = None
         pg, rk, ct, npg, nht, hits = pallas_sorted_and_locate_full(
             a, na, rq[:, 0], b, nb, rq[:, 1], bounds, cap=cap, topk=topk,
             hit_cap=hit_cap, interpret=interpret, sort_topk=cap <= 256,
+            a_pg=apg, b_pg=bpg,
         )
     docs = doc_ranks = None
     if with_docs:
@@ -1288,6 +1410,9 @@ class DeviceIndex:
     # small-term posting tables (build_small_tables): row-gather fetch
     # for caps below GATHER_SLICE_MIN — ~10x the element gather
     small: Optional[tuple] = None
+    # per-posting page indices (build_page_of): carried through the
+    # fetch + merge sorts so kernels skip the compare-all page locate
+    page_of: Optional[jax.Array] = None
 
     def header_mask(self) -> jax.Array:
         if self.is_header is None:
@@ -1327,9 +1452,11 @@ class DeviceIndex:
             (pid == "0" for pid in pt.page_ids), dtype=bool,
             count=len(pt.page_ids),
         )
+        coords64 = arr.coords.astype(np.int64)
+        pages_np = build_page_of(bounds_np, coords64)
         return cls(
             term_offsets=jnp.asarray(arr.offsets, dtype=jnp.int32),
-            coords=jnp.asarray(arr.coords.astype(np.int64), dtype=jnp.int32),
+            coords=jnp.asarray(coords64, dtype=jnp.int32),
             bounds=jnp.asarray(bounds_np, dtype=jnp.int32),
             page_doc=jnp.asarray(page_doc_np),
             is_header=jnp.asarray(header_np),
@@ -1341,8 +1468,9 @@ class DeviceIndex:
             page_doc_np=page_doc_np,
             bounds_np=bounds_np,
             small=build_small_tables(
-                offsets_np, arr.coords.astype(np.int64)
+                offsets_np, coords64, pages_np=pages_np
             ),
+            page_of=jnp.asarray(pages_np),
         )
 
     def term_id(self, term: str) -> int:
@@ -1676,6 +1804,7 @@ class DeviceIndex:
         # an explicit cap override may TRUNCATE long posting lists,
         # which the small tables cannot serve (no row for count>cap)
         small = self.small if cap is None else None
+        page_of = self.page_of if cap is None else None
         chunked = _chunked_mode()
         if fused and not clamp_budgets:
             outs = multi_bucket_query_full(
@@ -1683,7 +1812,7 @@ class DeviceIndex:
                 self.header_mask(), tuple(terms_list), tuple(rs_list),
                 tuple(caps_list), topk, tuple(hcaps_list),
                 with_docs=want_docs, use_pallas=use_pallas, small=small,
-                chunked=chunked,
+                chunked=chunked, page_of=page_of,
             )
         else:
             # per-bucket cached jits: serving batch compositions churn,
@@ -1695,7 +1824,7 @@ class DeviceIndex:
                     self.page_doc, self.header_mask(), tq, rq,
                     cap=qcap, topk=tk, hit_cap=hb,
                     with_docs=want_docs, use_pallas=use_pallas,
-                    small=small, chunked=chunked,
+                    small=small, chunked=chunked, page_of=page_of,
                 )
                 for tq, rq, qcap, hb, tk in zip(
                     terms_list, rs_list, caps_list, hcaps_list,

@@ -61,6 +61,14 @@ def q_for_cap(cap: int) -> int:
 MAX_PALLAS_CAP = 128
 
 
+# Packing base for fusing two small non-negative monotone integer
+# streams into one int32 scan: both components must stay < _PACK.
+# Stream widths the resident kernels admit are <= 1024 lanes, so lane
+# indices, segment counts, and run counts all fit; the packed value is
+# bounded by (max_lane + max_bonus_sum) * _PACK + 1024 < 2^31.
+_PACK = 2048
+
+
 def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
@@ -179,47 +187,8 @@ def _and_locate_kernel(a_ref, na_ref, ra_ref, b_ref, nb_ref, rb_ref,
     isb2 = jnp.logical_and(
         jnp.logical_or(isb, jnp.logical_and(dup_next, isb_next)), ~dup_prev
     )
-    ghost = dup_prev
-
-    # gap segmentation (ref IndexSequence.cs:218-284 group semantics)
-    gap_prev = vals - jnp.where(lane == 0, 0, prev_vals)
-    # (bool selects don't lower in Mosaic — express as logical ops)
-    gap_cut = jnp.logical_and(abs_r != 0, gap_prev > abs_r)
-    seg_start = jnp.logical_or(lane == 0, jnp.logical_and(gap_cut, valid))
-
-    # ordered mode: cut before each segment's first a-tagged element.
-    # `before` (a-count before this slot) is NON-DECREASING, so its
-    # value at the latest segment start is a running max — no gather
-    start_idx = _cummax(jnp.where(seg_start, lane, -1))
-    cum_a = _cumsum(isa2.astype(jnp.int32))
-    before = cum_a - isa2.astype(jnp.int32)
-    before_at_start = _cummax(jnp.where(seg_start, before, -1))
-    ordered_cut = jnp.logical_and(
-        jnp.logical_and(isa2, (before - before_at_start) == 0),
-        lane != start_idx,
-    )
-    seg_start = jnp.logical_or(
-        seg_start, jnp.logical_and(ordered, ordered_cut)
-    )
-
-    # segment containment: prefix sums are NON-DECREASING and segments
-    # CONTIGUOUS, so "prefix at segment end" is a reverse running min
-    # over terminal slots and "prefix before segment start" a running
-    # max of the shifted prefix at starts (ops/seqops.py and_masked)
-    bigi = jnp.int32(np.iinfo(np.int32).max)
-    terminal = _roll(seg_start.astype(jnp.int32), -1) > 0
-    terminal = jnp.logical_or(terminal, lane == n - 1)
-    cum_b = _cumsum(isb2.astype(jnp.int32))
-    prev_cum_a = _shift_right_fill(cum_a, np.int32(0))
-    prev_cum_b = _shift_right_fill(cum_b, np.int32(0))
-    before_start_a = _cummax(jnp.where(seg_start, prev_cum_a, -1))
-    before_start_b = _cummax(jnp.where(seg_start, prev_cum_b, -1))
-    end_a = _rev_cummin(jnp.where(terminal, cum_a, bigi), bigi)
-    end_b = _rev_cummin(jnp.where(terminal, cum_b, bigi), bigi)
-    has_a = (end_a - before_start_a) > 0
-    has_b = (end_b - before_start_b) > 0
-    keep = jnp.logical_and(
-        jnp.logical_and(has_a, has_b), jnp.logical_and(valid, ~ghost)
+    keep = _segment_and_k(
+        vals, isa2, isb2, dup_prev, valid, ra_ref, rb_ref, lane, n
     )
 
     _locate_rank_topk(
@@ -244,9 +213,9 @@ def _single_word_kernel(a_ref, na_ref, bounds_ref, pages_ref, ranks_ref,
     )
 
 
-def _single_word_full_kernel(a_ref, na_ref, bounds_ref, pages_ref,
+def _single_word_full_kernel(a_ref, na_ref, loc_ref, pages_ref,
                              ranks_ref, counts_ref, npages_ref,
-                             *, cap: int, topk: int):
+                             *, cap: int, topk: int, paged: bool = False):
     """FULL-RESULT W=1 kernel: the posting block IS the (already
     compacted) hit stream, so only n_pages needs the kernel — hits and
     n_hits come straight from the gathered block and its length."""
@@ -256,19 +225,25 @@ def _single_word_full_kernel(a_ref, na_ref, bounds_ref, pages_ref,
     keep = lane < na
     vals = jnp.where(keep, a_ref[...], INF32)
     _locate_rank_topk(
-        vals, keep, lane, cap, bounds_ref, pages_ref, ranks_ref,
-        counts_ref, topk=topk, npages_ref=npages_ref,
+        vals, keep, lane, cap, None if paged else loc_ref, pages_ref,
+        ranks_ref, counts_ref, topk=topk, npages_ref=npages_ref,
+        page=loc_ref[...] if paged else None,
     )
 
 
-def _locate_rank_core(vals, keep, lane, n, bounds_ref):
+def _locate_rank_core(vals, keep, lane, n, bounds_ref, page=None):
     """Coords+mask -> (page, first, slot_rank, slot_count) per slot.
 
-    page = #bounds <= val (right bisect) by compare-all."""
-    nb_pages = bounds_ref.shape[-1]
-    cmp = bounds_ref[0, :][None, None, :] <= vals[:, :, None]
-    page = jnp.sum(cmp, axis=2).astype(jnp.int32)
-    page = jnp.minimum(page, nb_pages - 1)
+    page = #bounds <= val (right bisect) by compare-all — unless a
+    precomputed per-slot `page` stream is given (the PAGED kernels:
+    page_of[coord] is staged once per index generation and carried
+    through the posting fetch + merge sort, because this compare-all
+    measured ~65% of the dominant kernel's time at P=578 pages)."""
+    if page is None:
+        nb_pages = bounds_ref.shape[-1]
+        cmp = bounds_ref[0, :][None, None, :] <= vals[:, :, None]
+        page = jnp.sum(cmp, axis=2).astype(jnp.int32)
+        page = jnp.minimum(page, nb_pages - 1)
 
     # page runs over kept slots: vals (and thus page) are non-decreasing
     # over kept slots, so the previous kept value/page is a shifted
@@ -284,23 +259,25 @@ def _locate_rank_core(vals, keep, lane, n, bounds_ref):
     gap = jnp.where(has_prev, vals - prev_val, 0)
     bonus = jnp.where(
         jnp.logical_and(keep, ~first), 30 // jnp.maximum(5, gap), 0
-    ).astype(jnp.float32)
+    )
 
     # prefix value at each run's terminal slot = reverse running min
-    # over terminals; prefix before the run = shifted prefix
-    bigf = jnp.float32(3.4e38)
+    # over terminals; prefix before the run = shifted prefix. Bonus and
+    # count prefixes are PACKED into one int32 cumsum (bonus*_PACK +
+    # keep; per-slot bonus <= 6, run counts <= n <= 1024 < _PACK, both
+    # non-decreasing) — exact integer run totals, one scan pair for two
+    bigi = jnp.int32(np.iinfo(np.int32).max)
     terminal_p = _roll(first.astype(jnp.int32), -1) > 0
     terminal_p = jnp.logical_or(terminal_p, lane == n - 1)
-    cbon = _cumsum(bonus)
-    ccnt = _cumsum(keep.astype(jnp.float32))
-    cbon_end = _rev_cummin(jnp.where(terminal_p, cbon, bigf), bigf)
-    ccnt_end = _rev_cummin(jnp.where(terminal_p, ccnt, bigf), bigf)
-    ccnt_prev = _shift_right_fill(ccnt, jnp.float32(0))
-    run_bonus = cbon_end - cbon  # bonus at the first slot is 0
-    run_count = ccnt_end - ccnt_prev
+    cbc = _cumsum(bonus * _PACK + keep.astype(jnp.int32))
+    cbc_end = _rev_cummin(jnp.where(terminal_p, cbc, bigi), bigi)
+    cbc_prev = _shift_right_fill(cbc, np.int32(0))
+    run_bonus = cbc_end // _PACK - cbc // _PACK  # first slot's bonus is 0
+    run_count = (cbc_end % _PACK - cbc_prev % _PACK).astype(jnp.float32)
     slot_rank = jnp.where(
         first,
-        1.0 + run_bonus + jnp.log(jnp.maximum(run_count, 1.0)),
+        1.0 + run_bonus.astype(jnp.float32)
+        + jnp.log(jnp.maximum(run_count, 1.0)),
         0.0,
     )
     slot_count = jnp.where(first, run_count, 0.0)
@@ -309,13 +286,13 @@ def _locate_rank_core(vals, keep, lane, n, bounds_ref):
 
 def _locate_rank_topk(vals, keep, lane, n, bounds_ref, pages_ref,
                       ranks_ref, counts_ref, *, topk: int,
-                      npages_ref=None):
+                      npages_ref=None, page=None):
     """Shared result tail: coords+mask -> per-page runs -> rank -> topk.
 
     With `npages_ref`, also writes the UNtruncated page-run count (the
     full-result truncation flag)."""
     page, first, slot_rank, slot_count = _locate_rank_core(
-        vals, keep, lane, n, bounds_ref
+        vals, keep, lane, n, bounds_ref, page=page
     )
     if npages_ref is not None:
         npages_ref[:, 0] = jnp.sum(first.astype(jnp.int32), axis=-1)
@@ -343,7 +320,13 @@ def _segment_and_k(vals, isa2, isb2, ghost, valid, ra_ref, rb_ref,
     """Gap segmentation + ordered cut + per-segment both-operands
     containment over a merged tagged stream whose representative tags
     (isa2/isb2) and ghosts are already folded. Pure log-depth scans —
-    the kernel twin of ops/seqops._segment_and."""
+    the kernel twin of ops/seqops._segment_and.
+
+    The a/b prefix sums (and the scans over them) are PACKED into one
+    int32 stream (cum_a + _PACK*cum_b, both <= n < _PACK): both
+    components are non-decreasing, so the packed stream is too, and
+    every running max / reverse running min commutes with the packing —
+    one scan replaces two (exact integer arithmetic throughout)."""
     r1 = ra_ref[:, 0][:, None]
     r2 = rb_ref[:, 0][:, None]
     abs_r = jnp.maximum(jnp.abs(r1), jnp.abs(r2))
@@ -355,10 +338,16 @@ def _segment_and_k(vals, isa2, isb2, ghost, valid, ra_ref, rb_ref,
     gap_cut = jnp.logical_and(abs_r != 0, gap_prev > abs_r)
     seg_start = jnp.logical_or(lane == 0, jnp.logical_and(gap_cut, valid))
 
-    start_idx = _cummax(jnp.where(seg_start, lane, -1))
-    cum_a = _cumsum(isa2.astype(jnp.int32))
-    before = cum_a - isa2.astype(jnp.int32)
-    before_at_start = _cummax(jnp.where(seg_start, before, -1))
+    isa_i = isa2.astype(jnp.int32)
+    cum_ab = _cumsum(isa_i + _PACK * isb2.astype(jnp.int32))
+    cum_a = cum_ab % _PACK
+    before = cum_a - isa_i
+    # (start_idx, before_at_start) packed: lane strictly increases, so
+    # the running max of lane*_PACK + before picks the LATEST segment
+    # start's pair regardless of `before`'s own ordering
+    k_sb = _cummax(jnp.where(seg_start, lane * _PACK + before, -1))
+    start_idx = k_sb // _PACK
+    before_at_start = k_sb % _PACK
     ordered_cut = jnp.logical_and(
         jnp.logical_and(isa2, (before - before_at_start) == 0),
         lane != start_idx,
@@ -370,15 +359,11 @@ def _segment_and_k(vals, isa2, isb2, ghost, valid, ra_ref, rb_ref,
     bigi = jnp.int32(np.iinfo(np.int32).max)
     terminal = _roll(seg_start.astype(jnp.int32), -1) > 0
     terminal = jnp.logical_or(terminal, lane == n - 1)
-    cum_b = _cumsum(isb2.astype(jnp.int32))
-    prev_cum_a = _shift_right_fill(cum_a, np.int32(0))
-    prev_cum_b = _shift_right_fill(cum_b, np.int32(0))
-    before_start_a = _cummax(jnp.where(seg_start, prev_cum_a, -1))
-    before_start_b = _cummax(jnp.where(seg_start, prev_cum_b, -1))
-    end_a = _rev_cummin(jnp.where(terminal, cum_a, bigi), bigi)
-    end_b = _rev_cummin(jnp.where(terminal, cum_b, bigi), bigi)
-    has_a = (end_a - before_start_a) > 0
-    has_b = (end_b - before_start_b) > 0
+    prev_cum_ab = _shift_right_fill(cum_ab, np.int32(0))
+    before_start = _cummax(jnp.where(seg_start, prev_cum_ab, -1))
+    end_ab = _rev_cummin(jnp.where(terminal, cum_ab, bigi), bigi)
+    has_a = (end_ab % _PACK - before_start % _PACK) > 0
+    has_b = (end_ab // _PACK - before_start // _PACK) > 0
     return jnp.logical_and(
         jnp.logical_and(has_a, has_b), jnp.logical_and(valid, ~ghost)
     )
@@ -424,6 +409,21 @@ def _span_contains_k(marks, starts, terminals, lane):
     return (end - before) > 0
 
 
+def _span_contains2_k(marks0, marks1, starts, terminals, lane):
+    """Two _span_contains_k queries sharing starts/terminals, PACKED
+    into one scan set (both prefix sums non-decreasing and < _PACK)."""
+    bigi = jnp.int32(np.iinfo(np.int32).max)
+    cum = _cumsum(marks0.astype(jnp.int32) + _PACK * marks1.astype(jnp.int32))
+    prev = _shift_right_fill(cum, np.int32(0))
+    before = _cummax(jnp.where(starts, prev, -1))
+    end = _rev_cummin(jnp.where(terminals, cum, bigi), bigi)
+    # lane 0 is always a span start, so `before` >= 0 everywhere
+    return (
+        (end % _PACK - before % _PACK) > 0,
+        (end // _PACK - before // _PACK) > 0,
+    )
+
+
 def _variants_and_keep(vals, tag, ra_ref, rb_ref, bpad_ref, lane, n):
     """Keep mask for a PRE-MERGED stream of MANY variant substreams of
     two words (tag 0 = word A variants, 1 = B, 2 = padding): run-dedupe
@@ -442,12 +442,9 @@ def _variants_and_keep(vals, tag, ra_ref, rb_ref, bpad_ref, lane, n):
     nxt_valid = _roll(valid.astype(jnp.int32), -1) > 0
     terminal = jnp.logical_or(nxt_rs, ~nxt_valid)
     terminal = jnp.logical_or(terminal, lane == n - 1)
-    isa = jnp.logical_and(
-        run_start, _span_contains_k(is0, run_start, terminal, lane)
-    )
-    isb = jnp.logical_and(
-        run_start, _span_contains_k(is1, run_start, terminal, lane)
-    )
+    span0, span1 = _span_contains2_k(is0, is1, run_start, terminal, lane)
+    isa = jnp.logical_and(run_start, span0)
+    isb = jnp.logical_and(run_start, span1)
     ghost = jnp.logical_and(valid, ~run_start)
     keep = _segment_and_k(
         vals, isa, isb, ghost, valid, ra_ref, rb_ref, lane, n
@@ -476,14 +473,19 @@ def _sorted_and_locate_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
 
 
 def _sorted_and_locate_full_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
-                                   bounds_ref, pages_ref, ranks_ref,
+                                   loc_ref, pages_ref, ranks_ref,
                                    counts_ref, npages_ref, nhits_ref,
-                                   hits_ref, *, cap: int, topk: int):
+                                   hits_ref, *, cap: int, topk: int,
+                                   paged: bool = False):
     """FULL-RESULT twin of _sorted_and_locate_kernel: additionally emits
     the kept hit stream (INF-masked, compacted OUTSIDE by one vmapped
     lax.sort — ascending order makes mask+sort a stable partition), the
     untruncated n_pages/n_hits totals (the rank-truncation flags, ref
-    Search.cs:365-420)."""
+    Search.cs:365-420).
+
+    loc_ref: the [1, P] page bounds (compare-all locate), or with
+    `paged` the [Q, n] precomputed page stream carried through the
+    merge sort."""
     n = 2 * cap
     q = vals_ref.shape[0]
     lane = _iota((q, n), 1)
@@ -492,16 +494,18 @@ def _sorted_and_locate_full_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
     nhits_ref[:, 0] = jnp.sum(keep.astype(jnp.int32), axis=-1)
     hits_ref[...] = jnp.where(keep, vals, INF32)
     _locate_rank_topk(
-        vals, keep, lane, n, bounds_ref, pages_ref, ranks_ref, counts_ref,
-        topk=topk, npages_ref=npages_ref,
+        vals, keep, lane, n, None if paged else loc_ref, pages_ref,
+        ranks_ref, counts_ref, topk=topk, npages_ref=npages_ref,
+        page=loc_ref[...] if paged else None,
     )
 
 
 def _variants_and_locate_full_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
-                                     bpad_ref, bounds_ref, pages_ref,
+                                     bpad_ref, loc_ref, pages_ref,
                                      ranks_ref, counts_ref, npages_ref,
                                      nhits_ref, hits_ref,
-                                     *, n: int, topk: int):
+                                     *, n: int, topk: int,
+                                     paged: bool = False):
     """FULL-RESULT kernel over a pre-merged VARIANT stream (W=2 words,
     each an OR of variants): run-dedupe + AND segmentation + the shared
     locate/rank/top-k tail + kept-hit stream and untruncated totals."""
@@ -514,14 +518,15 @@ def _variants_and_locate_full_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
     nhits_ref[:, 0] = jnp.sum(keep.astype(jnp.int32), axis=-1)
     hits_ref[...] = jnp.where(keep, vals, INF32)
     _locate_rank_topk(
-        vals, keep, lane, n, bounds_ref, pages_ref, ranks_ref, counts_ref,
-        topk=topk, npages_ref=npages_ref,
+        vals, keep, lane, n, None if paged else loc_ref, pages_ref,
+        ranks_ref, counts_ref, topk=topk, npages_ref=npages_ref,
+        page=loc_ref[...] if paged else None,
     )
 
 
-def _union_locate_full_kernel(vals_ref, bounds_ref, pages_ref, ranks_ref,
+def _union_locate_full_kernel(vals_ref, loc_ref, pages_ref, ranks_ref,
                               counts_ref, npages_ref, nhits_ref, hits_ref,
-                              *, n: int, topk: int):
+                              *, n: int, topk: int, paged: bool = False):
     """FULL-RESULT kernel for ONE word's variant union (W=1, V>1): the
     sorted concatenation deduped by run starts IS the result stream
     (ops/seqops.or_variants_sorted), then the locate tail."""
@@ -534,13 +539,14 @@ def _union_locate_full_kernel(vals_ref, bounds_ref, pages_ref, ranks_ref,
     nhits_ref[:, 0] = jnp.sum(keep.astype(jnp.int32), axis=-1)
     hits_ref[...] = jnp.where(keep, vals, INF32)
     _locate_rank_topk(
-        vals, keep, lane, n, bounds_ref, pages_ref, ranks_ref, counts_ref,
-        topk=topk, npages_ref=npages_ref,
+        vals, keep, lane, n, None if paged else loc_ref, pages_ref,
+        ranks_ref, counts_ref, topk=topk, npages_ref=npages_ref,
+        page=loc_ref[...] if paged else None,
     )
 
 
 def _locate_rank_slots(vals, keep, lane, n, bounds_ref, page_ref,
-                       rank_ref, cnt_ref, npages_ref):
+                       rank_ref, cnt_ref, npages_ref, page=None):
     """SLOT-MODE result tail: emits the per-slot (page, rank, count)
     streams instead of running the in-kernel top-k — ONE stable vmapped
     lax.sort outside the kernel (key = -rank) extracts the ordered
@@ -549,7 +555,7 @@ def _locate_rank_slots(vals, keep, lane, n, bounds_ref, page_ref,
     (topk=64); the stable sort preserves the ascending-lane tie-break
     of the argmax loop exactly."""
     page, first, slot_rank, slot_count = _locate_rank_core(
-        vals, keep, lane, n, bounds_ref
+        vals, keep, lane, n, bounds_ref, page=page
     )
     npages_ref[:, 0] = jnp.sum(first.astype(jnp.int32), axis=-1)
     page_ref[...] = page
@@ -558,9 +564,10 @@ def _locate_rank_slots(vals, keep, lane, n, bounds_ref, page_ref,
 
 
 def _sorted_and_locate_full_slots_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
-                                         bounds_ref, page_ref, rank_ref,
+                                         loc_ref, page_ref, rank_ref,
                                          cnt_ref, npages_ref, nhits_ref,
-                                         hits_ref, *, cap: int):
+                                         hits_ref, *, cap: int,
+                                         paged: bool = False):
     """SLOT-MODE twin of _sorted_and_locate_full_kernel."""
     n = 2 * cap
     q = vals_ref.shape[0]
@@ -570,16 +577,17 @@ def _sorted_and_locate_full_slots_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
     nhits_ref[:, 0] = jnp.sum(keep.astype(jnp.int32), axis=-1)
     hits_ref[...] = jnp.where(keep, vals, INF32)
     _locate_rank_slots(
-        vals, keep, lane, n, bounds_ref, page_ref, rank_ref, cnt_ref,
-        npages_ref,
+        vals, keep, lane, n, None if paged else loc_ref, page_ref,
+        rank_ref, cnt_ref, npages_ref,
+        page=loc_ref[...] if paged else None,
     )
 
 
 def _variants_and_locate_full_slots_kernel(vals_ref, tag_ref, ra_ref,
-                                           rb_ref, bpad_ref, bounds_ref,
+                                           rb_ref, bpad_ref, loc_ref,
                                            page_ref, rank_ref, cnt_ref,
                                            npages_ref, nhits_ref, hits_ref,
-                                           *, n: int):
+                                           *, n: int, paged: bool = False):
     """SLOT-MODE twin of _variants_and_locate_full_kernel."""
     q = vals_ref.shape[0]
     lane = _iota((q, n), 1)
@@ -590,14 +598,16 @@ def _variants_and_locate_full_slots_kernel(vals_ref, tag_ref, ra_ref,
     nhits_ref[:, 0] = jnp.sum(keep.astype(jnp.int32), axis=-1)
     hits_ref[...] = jnp.where(keep, vals, INF32)
     _locate_rank_slots(
-        vals, keep, lane, n, bounds_ref, page_ref, rank_ref, cnt_ref,
-        npages_ref,
+        vals, keep, lane, n, None if paged else loc_ref, page_ref,
+        rank_ref, cnt_ref, npages_ref,
+        page=loc_ref[...] if paged else None,
     )
 
 
-def _union_locate_full_slots_kernel(vals_ref, bounds_ref, page_ref,
+def _union_locate_full_slots_kernel(vals_ref, loc_ref, page_ref,
                                     rank_ref, cnt_ref, npages_ref,
-                                    nhits_ref, hits_ref, *, n: int):
+                                    nhits_ref, hits_ref, *, n: int,
+                                    paged: bool = False):
     """SLOT-MODE twin of _union_locate_full_kernel."""
     q = vals_ref.shape[0]
     lane = _iota((q, n), 1)
@@ -608,14 +618,15 @@ def _union_locate_full_slots_kernel(vals_ref, bounds_ref, page_ref,
     nhits_ref[:, 0] = jnp.sum(keep.astype(jnp.int32), axis=-1)
     hits_ref[...] = jnp.where(keep, vals, INF32)
     _locate_rank_slots(
-        vals, keep, lane, n, bounds_ref, page_ref, rank_ref, cnt_ref,
-        npages_ref,
+        vals, keep, lane, n, None if paged else loc_ref, page_ref,
+        rank_ref, cnt_ref, npages_ref,
+        page=loc_ref[...] if paged else None,
     )
 
 
-def _single_word_full_slots_kernel(a_ref, na_ref, bounds_ref, page_ref,
+def _single_word_full_slots_kernel(a_ref, na_ref, loc_ref, page_ref,
                                    rank_ref, cnt_ref, npages_ref,
-                                   *, cap: int):
+                                   *, cap: int, paged: bool = False):
     """SLOT-MODE twin of _single_word_full_kernel (hits and n_hits come
     from the gathered block outside, as in the topk-mode wrapper)."""
     q = a_ref.shape[0]
@@ -624,8 +635,9 @@ def _single_word_full_slots_kernel(a_ref, na_ref, bounds_ref, page_ref,
     keep = lane < na
     vals = jnp.where(keep, a_ref[...], INF32)
     _locate_rank_slots(
-        vals, keep, lane, cap, bounds_ref, page_ref, rank_ref, cnt_ref,
-        npages_ref,
+        vals, keep, lane, cap, None if paged else loc_ref, page_ref,
+        rank_ref, cnt_ref, npages_ref,
+        page=loc_ref[...] if paged else None,
     )
 
 
@@ -769,17 +781,20 @@ def _full_stream_call_slots(kernel, bsz: int, q: int, n: int, topk: int,
 def pallas_variants_and_locate_full(a, na, ra, b, nb, rb, b_pad, bounds,
                                     topk: int, hit_cap: int,
                                     interpret: bool = False,
-                                    sort_topk: bool = True):
+                                    sort_topk: bool = True,
+                                    a_pg=None, b_pg=None):
     """Hybrid FULL-RESULT variant AND: a [B, Va, cap] / [B, Vb, cap]
     pair of variant posting blocks merges in ONE vmapped lax.sort of
     the word-tagged concatenation; the Pallas kernel run-dedupes and
     evaluates the AND + locate (the kernel twin of the XLA
-    and_variants_sorted path, numerically identical)."""
+    and_variants_sorted path, numerically identical). a_pg/b_pg:
+    optional precomputed page streams (see pallas_sorted_and_locate_full)."""
     bsz, va, cap = a.shape
     vb = b.shape[1]
     n = (va + vb) * cap
     q = min(q_for_stream(n), bsz)
     assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
+    paged = a_pg is not None
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, va, cap), 2)
     av = jnp.where(lane_c < na[:, :, None], a, INF32).reshape(bsz, -1)
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, vb, cap), 2)
@@ -787,29 +802,41 @@ def pallas_variants_and_locate_full(a, na, ra, b, nb, rb, b_pad, bounds,
     tag = jnp.concatenate([
         jnp.where(av < INF32, 0, 2), jnp.where(bv < INF32, 1, 2)
     ], axis=1).astype(jnp.int32)
-    vals, tag = jax.vmap(
-        lambda v, t: jax.lax.sort((v, t), num_keys=2)
-    )(jnp.concatenate([av, bv], axis=1), tag)
+    cat = jnp.concatenate([av, bv], axis=1)
+    if paged:
+        pgc = jnp.concatenate([
+            a_pg.reshape(bsz, -1), b_pg.reshape(bsz, -1)
+        ], axis=1)
+        vals, tag, pg = jax.vmap(
+            lambda v2, t, p: jax.lax.sort((v2, t, p), num_keys=2)
+        )(cat, tag, pgc)
+        loc = pg
+        loc_spec = pl.BlockSpec((q, n), lambda i: (i, 0))
+    else:
+        vals, tag = jax.vmap(
+            lambda v2, t: jax.lax.sort((v2, t), num_keys=2)
+        )(cat, tag)
+        loc = bounds.reshape(1, -1)
+        loc_spec = pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0))
     in_specs = [
         pl.BlockSpec((q, n), lambda i: (i, 0)),
         pl.BlockSpec((q, n), lambda i: (i, 0)),
         pl.BlockSpec((q, 1), lambda i: (i, 0)),
         pl.BlockSpec((q, 1), lambda i: (i, 0)),
         pl.BlockSpec((q, 1), lambda i: (i, 0)),
-        pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+        loc_spec,
     ]
     inputs = (vals, tag, ra.reshape(bsz, 1), rb.reshape(bsz, 1),
-              b_pad.astype(jnp.int32).reshape(bsz, 1),
-              bounds.reshape(1, -1))
+              b_pad.astype(jnp.int32).reshape(bsz, 1), loc)
     if sort_topk:
         kernel = functools.partial(
-            _variants_and_locate_full_slots_kernel, n=n
+            _variants_and_locate_full_slots_kernel, n=n, paged=paged
         )
         return _full_stream_call_slots(
             kernel, bsz, q, n, topk, hit_cap, interpret, inputs, in_specs
         )
     kernel = functools.partial(
-        _variants_and_locate_full_kernel, n=n, topk=topk
+        _variants_and_locate_full_kernel, n=n, topk=topk, paged=paged
     )
     return _full_stream_call(
         kernel, bsz, q, n, topk, hit_cap, interpret, inputs, in_specs
@@ -820,31 +847,50 @@ def pallas_variants_and_locate_full(a, na, ra, b, nb, rb, b_pad, bounds,
     "topk", "hit_cap", "interpret", "sort_topk"))
 def pallas_union_locate_full(a, na, bounds, topk: int, hit_cap: int,
                              interpret: bool = False,
-                             sort_topk: bool = True):
+                             sort_topk: bool = True, a_pg=None):
     """FULL-RESULT W=1 variant union: one vmapped lax.sort of the
     [B, V, cap] variant blocks, run-dedupe + locate in the kernel
-    (the kernel twin of or_variants_sorted)."""
+    (the kernel twin of or_variants_sorted). a_pg: optional precomputed
+    page stream (see pallas_sorted_and_locate_full)."""
     bsz, v, cap = a.shape
     n = v * cap
     q = min(q_for_stream(n), bsz)
     assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
+    paged = a_pg is not None
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, v, cap), 2)
     av = jnp.where(lane_c < na[:, :, None], a, INF32).reshape(bsz, -1)
     # V=1: a single posting block is already ascending + INF-padded —
     # no merge sort needed (this also serves plain W=1 queries at caps
     # beyond the in-kernel-merge kernel's budget)
-    vals = av if v == 1 else jax.vmap(jax.lax.sort)(av)
+    if paged:
+        pgc = a_pg.reshape(bsz, -1)
+        if v == 1:
+            vals, pg = av, pgc
+        else:
+            vals, pg = jax.vmap(
+                lambda v2, p: jax.lax.sort((v2, p), num_keys=1)
+            )(av, pgc)
+        loc = pg
+        loc_spec = pl.BlockSpec((q, n), lambda i: (i, 0))
+    else:
+        vals = av if v == 1 else jax.vmap(jax.lax.sort)(av)
+        loc = bounds.reshape(1, -1)
+        loc_spec = pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0))
     in_specs = [
         pl.BlockSpec((q, n), lambda i: (i, 0)),
-        pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+        loc_spec,
     ]
-    inputs = (vals, bounds.reshape(1, -1))
+    inputs = (vals, loc)
     if sort_topk:
-        kernel = functools.partial(_union_locate_full_slots_kernel, n=n)
+        kernel = functools.partial(
+            _union_locate_full_slots_kernel, n=n, paged=paged
+        )
         return _full_stream_call_slots(
             kernel, bsz, q, n, topk, hit_cap, interpret, inputs, in_specs
         )
-    kernel = functools.partial(_union_locate_full_kernel, n=n, topk=topk)
+    kernel = functools.partial(
+        _union_locate_full_kernel, n=n, topk=topk, paged=paged
+    )
     return _full_stream_call(
         kernel, bsz, q, n, topk, hit_cap, interpret, inputs, in_specs,
     )
@@ -928,18 +974,26 @@ def pallas_sorted_and_locate(a, na, ra, b, nb, rb, bounds,
 def pallas_sorted_and_locate_full(a, na, ra, b, nb, rb, bounds,
                                   cap: int, topk: int, hit_cap: int,
                                   interpret: bool = False,
-                                  sort_topk: bool = True):
+                                  sort_topk: bool = True,
+                                  a_pg=None, b_pg=None):
     """Hybrid FULL-RESULT AND: one vmapped lax.sort merges the tagged
     operand concatenation, the Pallas kernel runs the scan-only
     segmentation/locate/rank/top-k AND emits the kept hit stream +
     untruncated totals, and one more lax.sort compacts the INF-masked
     (still ascending) hit stream into the first hit_cap slots.
 
+    a_pg/b_pg: optional precomputed page streams (page_of[coord],
+    fetched beside the postings) — they ride the merge sort as a
+    payload (page is a pure function of the coord, so sort ties cannot
+    diverge) and replace the in-kernel compare-all locate, which
+    measured ~65%% of this kernel's time at P=578 pages.
+
     Returns (pages, ranks, counts, n_pages, n_hits, hits[B, hit_cap])."""
     bsz = a.shape[0]
     q = min(q_for_sorted_cap(cap), bsz)
     assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
     n = 2 * cap
+    paged = a_pg is not None
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
     av = jnp.where(lane_c < na[:, None], a, INF32)
     bv = jnp.where(lane_c < nb[:, None], b, INF32)
@@ -947,27 +1001,37 @@ def pallas_sorted_and_locate_full(a, na, ra, b, nb, rb, bounds,
         jnp.where(lane_c < na[:, None], 0, 2),
         jnp.where(lane_c < nb[:, None], 1, 2),
     ], axis=1).astype(jnp.int32)
-    vals, tag = jax.vmap(
-        lambda v, t: jax.lax.sort((v, t), num_keys=2)
-    )(jnp.concatenate([av, bv], axis=1), tag)
+    cat = jnp.concatenate([av, bv], axis=1)
+    if paged:
+        pgc = jnp.concatenate([a_pg, b_pg], axis=1)
+        vals, tag, pg = jax.vmap(
+            lambda v, t, p: jax.lax.sort((v, t, p), num_keys=2)
+        )(cat, tag, pgc)
+        loc = pg
+        loc_spec = pl.BlockSpec((q, n), lambda i: (i, 0))
+    else:
+        vals, tag = jax.vmap(
+            lambda v, t: jax.lax.sort((v, t), num_keys=2)
+        )(cat, tag)
+        loc = bounds.reshape(1, -1)
+        loc_spec = pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0))
     in_specs = [
         pl.BlockSpec((q, n), lambda i: (i, 0)),
         pl.BlockSpec((q, n), lambda i: (i, 0)),
         pl.BlockSpec((q, 1), lambda i: (i, 0)),
         pl.BlockSpec((q, 1), lambda i: (i, 0)),
-        pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+        loc_spec,
     ]
-    inputs = (vals, tag, ra.reshape(bsz, 1), rb.reshape(bsz, 1),
-              bounds.reshape(1, -1))
+    inputs = (vals, tag, ra.reshape(bsz, 1), rb.reshape(bsz, 1), loc)
     if sort_topk:
         kernel = functools.partial(
-            _sorted_and_locate_full_slots_kernel, cap=cap
+            _sorted_and_locate_full_slots_kernel, cap=cap, paged=paged
         )
         return _full_stream_call_slots(
             kernel, bsz, q, n, topk, hit_cap, interpret, inputs, in_specs
         )
     kernel = functools.partial(
-        _sorted_and_locate_full_kernel, cap=cap, topk=topk
+        _sorted_and_locate_full_kernel, cap=cap, topk=topk, paged=paged
     )
     return _full_stream_call(
         kernel, bsz, q, n, topk, hit_cap, interpret, inputs, in_specs
@@ -978,24 +1042,33 @@ def pallas_sorted_and_locate_full(a, na, ra, b, nb, rb, bounds,
     "cap", "topk", "hit_cap", "interpret", "sort_topk"))
 def pallas_single_locate_full(a, na, bounds, cap: int, topk: int,
                               hit_cap: int, interpret: bool = False,
-                              sort_topk: bool = True):
+                              sort_topk: bool = True, a_pg=None):
     """FULL-RESULT W=1: the gathered posting block IS the compacted hit
     stream — the kernel only adds the locate/rank/top-k tail + n_pages.
+    a_pg: optional precomputed page stream (no sort here — it aligns
+    with the posting block as fetched).
 
     Returns (pages, ranks, counts, n_pages, n_hits, hits[B, hit_cap])."""
     bsz = a.shape[0]
     q = min(64, q_for_cap(cap) * 2, bsz)
     assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
+    paged = a_pg is not None
     na2 = na.reshape(bsz, 1)
-    bounds2 = bounds.reshape(1, -1)
+    if paged:
+        loc = a_pg
+        loc_spec = pl.BlockSpec((q, cap), lambda i: (i, 0))
+    else:
+        loc = bounds.reshape(1, -1)
+        loc_spec = pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0))
     grid = (bsz // q,)
     in_specs = [
         pl.BlockSpec((q, cap), lambda i: (i, 0)),
         pl.BlockSpec((q, 1), lambda i: (i, 0)),
-        pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+        loc_spec,
     ]
     if sort_topk:
-        kernel = functools.partial(_single_word_full_slots_kernel, cap=cap)
+        kernel = functools.partial(
+            _single_word_full_slots_kernel, cap=cap, paged=paged)
         page_s, rank_s, cnt_s, n_pages = pl.pallas_call(
             kernel,
             grid=grid,
@@ -1013,11 +1086,11 @@ def pallas_single_locate_full(a, na, bounds, cap: int, topk: int,
                 jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
             ],
             interpret=interpret,
-        )(a, na2, bounds2)
+        )(a, na2, loc)
         pages, ranks, counts = _slots_topk_sort(page_s, rank_s, cnt_s, topk)
     else:
         kernel = functools.partial(
-            _single_word_full_kernel, cap=cap, topk=topk
+            _single_word_full_kernel, cap=cap, topk=topk, paged=paged
         )
         pages, ranks, counts, n_pages = pl.pallas_call(
             kernel,
@@ -1036,7 +1109,7 @@ def pallas_single_locate_full(a, na, bounds, cap: int, topk: int,
                 jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
             ],
             interpret=interpret,
-        )(a, na2, bounds2)
+        )(a, na2, loc)
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
     block = jnp.where(lane_c < na[:, None], a, INF32)
     if hit_cap <= cap:

@@ -667,8 +667,40 @@ def test_small_table_fetch_parity():
 
     small = di_mod.build_small_tables(off_np, coords_np)
     assert small is not None and len(small) == 2
-    widths = sorted(t.shape[1] for _, t in small)
+    widths = sorted(w for w, _, t in small)
     assert widths == [64, 128]
+    assert all(t.shape[1] == w for w, _, t in small)
+
+    # combined coords||pages tables: same coords half, page half matches
+    # build_page_of at every real lane
+    bounds_np = np.arange(3000, 10 ** 6 + 3000, 3000, dtype=np.int64)
+    pages_np = di_mod.build_page_of(bounds_np, coords_np)
+    np.testing.assert_array_equal(
+        pages_np,
+        np.minimum(
+            np.searchsorted(bounds_np, coords_np, side="right"),
+            len(bounds_np) - 1,
+        ).astype(np.int32),
+    )
+    small_pg = di_mod.build_small_tables(
+        off_np, coords_np, pages_np=pages_np)
+    assert all(t.shape[1] == 2 * w for w, _, t in small_pg)
+    page_arr = jnp.asarray(pages_np)
+    for cap in (64, 128):
+        for term in [t for t in range(T) if counts[t] <= cap][:8] + [-1]:
+            v1, n1 = di_mod.gather_term(coords, off, term, cap, small_pg)
+            v2, p2, n2 = di_mod.gather_term_paged(
+                coords, page_arr, off, term, cap, small_pg)
+            v3, p3, n3 = di_mod.gather_term_paged(
+                coords, page_arr, off, term, cap, None)
+            assert int(n1) == int(n2) == int(n3)
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            np.testing.assert_array_equal(np.asarray(v2), np.asarray(v3))
+            np.testing.assert_array_equal(np.asarray(p2), np.asarray(p3))
+            nn = int(n1)
+            if term >= 0 and nn:
+                exp = pages_np[off_np[term]:off_np[term] + nn]
+                np.testing.assert_array_equal(np.asarray(p2)[:nn], exp)
 
     for cap in (64, 128):
         for term in [t for t in range(T) if counts[t] <= cap][:12] + [-1]:
@@ -696,6 +728,26 @@ def test_small_table_fetch_parity():
         off, coords, bounds, pd, hdr, jnp.asarray(terms),
         jnp.asarray(rs), small=small, **kw)
     for a, b in zip(o1, o2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # paged Pallas kernels (carried page streams, interpret mode on CPU)
+    # are bit-identical too — with combined tables, and with the raw
+    # page_of fetch
+    o2p = di_mod.batched_query_full(
+        off, coords, bounds, pd, hdr, jnp.asarray(terms),
+        jnp.asarray(rs), small=small, use_pallas=True, **kw)
+    o3 = di_mod.batched_query_full(
+        off, coords, bounds, pd, hdr, jnp.asarray(terms),
+        jnp.asarray(rs), small=small_pg, page_of=page_arr,
+        use_pallas=True, **kw)
+    o4 = di_mod.batched_query_full(
+        off, coords, bounds, pd, hdr, jnp.asarray(terms),
+        jnp.asarray(rs), page_of=page_arr, use_pallas=True, **kw)
+    for a, b in zip(o1, o2p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(o1, o3):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(o1, o4):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
