@@ -77,8 +77,10 @@ def main() -> None:
 
     off_np = np.asarray(off)
     sc_host = np.asarray(sc)
-    small = di.build_small_tables(off_np, sc_host)
-    log(f"small tables: {[tuple(t.shape) for _, t in (small or ())]}")
+    pages_np = di.build_page_of(np.asarray(bounds), sc_host)
+    page_of = jnp.asarray(pages_np)
+    small = di.build_small_tables(off_np, sc_host, pages_np=pages_np)
+    log(f"small tables: {[tuple(t.shape) for _, _, t in (small or ())]}")
 
     env_pallas = os.environ.get("DOCODO_PALLAS")
     use_pallas = (env_pallas == "1") if env_pallas is not None else (
@@ -100,7 +102,7 @@ def main() -> None:
                 outs, s2 = di.multi_bucket_query_full_chained(
                     off, sc, bounds, page_doc, is_header, (tq,), (rq,),
                     s * 0, (cap,), FULL_TOPK, (hb,),
-                    use_pallas=use_pallas, small=small,
+                    use_pallas=use_pallas, small=small, page_of=page_of,
                 )
                 return s2 + s * 0
             return jax.lax.fori_loop(0, REPS, body, s0)

@@ -88,16 +88,20 @@ def main() -> None:
     log(f"bucket B={bsz0} padded to {bsz}, Q/program={pqn}, "
         f"grid={bsz // pqn}")
 
-    small = di.build_small_tables(np.asarray(off), np.asarray(sc))
-    log(f"small tables: {[tuple(t.shape) for _, t in (small or ())]}")
+    pages_np = di.build_page_of(np.asarray(bounds), np.asarray(sc))
+    page_of = jnp.asarray(pages_np)
+    small = di.build_small_tables(np.asarray(off), np.asarray(sc),
+                                  pages_np=pages_np)
+    log(f"small tables: {[tuple(t.shape) for _, _, t in (small or ())]}")
 
     def gather(tqz):
-        g = jax.vmap(lambda t: di.gather_term(sc, off, t, CAP, small))
-        a, na = g(tqz[:, 0])
-        b, nb = g(tqz[:, 1])
-        return a, na, b, nb
+        g = jax.vmap(lambda t: di.gather_term_paged(
+            sc, page_of, off, t, CAP, small))
+        a, apg, na = g(tqz[:, 0])
+        b, bpg, nb = g(tqz[:, 1])
+        return a, apg, na, b, bpg, nb
 
-    def tagged_sort(a, na, b, nb):
+    def tagged_sort(a, apg, na, b, bpg, nb):
         lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, CAP), 1)
         av = jnp.where(lane_c < na[:, None], a, INF32)
         bv = jnp.where(lane_c < nb[:, None], b, INF32)
@@ -105,26 +109,27 @@ def main() -> None:
             jnp.where(lane_c < na[:, None], 0, 2),
             jnp.where(lane_c < nb[:, None], 1, 2),
         ], axis=1).astype(jnp.int32)
-        vals, tag = jax.vmap(
-            lambda v, t: jax.lax.sort((v, t), num_keys=2)
-        )(jnp.concatenate([av, bv], axis=1), tag)
-        return vals, tag
+        vals, tag, pg = jax.vmap(
+            lambda v, t, p: jax.lax.sort((v, t, p), num_keys=2)
+        )(jnp.concatenate([av, bv], axis=1), tag,
+          jnp.concatenate([apg, bpg], axis=1))
+        return vals, tag, pg
 
     import functools
     from jax.experimental import pallas as pl
 
     n = 2 * CAP
 
-    def kernel_slots(vals, tag):
+    def kernel_slots(vals, tag, pg):
         kernel = functools.partial(
-            pq._sorted_and_locate_full_slots_kernel, cap=CAP)
+            pq._sorted_and_locate_full_slots_kernel, cap=CAP, paged=True)
         grid = (bsz // pqn,)
         in_specs = [
             pl.BlockSpec((pqn, n), lambda i: (i, 0)),
             pl.BlockSpec((pqn, n), lambda i: (i, 0)),
             pl.BlockSpec((pqn, 1), lambda i: (i, 0)),
             pl.BlockSpec((pqn, 1), lambda i: (i, 0)),
-            pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+            pl.BlockSpec((pqn, n), lambda i: (i, 0)),
         ]
         out_specs = [
             pl.BlockSpec((pqn, n), lambda i: (i, 0)),
@@ -145,39 +150,40 @@ def main() -> None:
         return pl.pallas_call(
             kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape,
-        )(vals, tag, rq[:, :1], rq[:, 1:], bounds.reshape(1, -1))
+        )(vals, tag, rq[:, :1], rq[:, 1:], pg)
 
     # ---- stage prefixes ------------------------------------------------
     def s_gather(tqz):
-        a, na, b, nb = gather(tqz)
-        return jnp.sum(a * (a < INF32)) + jnp.sum(b * (b < INF32))
+        a, apg, na, b, bpg, nb = gather(tqz)
+        return (jnp.sum(a * (a < INF32)) + jnp.sum(b * (b < INF32))
+                + jnp.sum(apg * (apg < INF32)))
 
     def s_sort(tqz):
-        a, na, b, nb = gather(tqz)
-        vals, tag = tagged_sort(a, na, b, nb)
+        a, apg, na, b, bpg, nb = gather(tqz)
+        vals, tag, pg = tagged_sort(a, apg, na, b, bpg, nb)
         return jnp.sum(jnp.where(vals < INF32, vals, 0)) + jnp.sum(tag)
 
     def s_kernel(tqz):
-        a, na, b, nb = gather(tqz)
-        vals, tag = tagged_sort(a, na, b, nb)
+        a, apg, na, b, bpg, nb = gather(tqz)
+        vals, tag, pg = tagged_sort(a, apg, na, b, bpg, nb)
         page_s, rank_s, cnt_s, n_pages_, n_hits, hitvals = kernel_slots(
-            vals, tag)
+            vals, tag, pg)
         return (jnp.sum(rank_s) + jnp.sum(n_hits.astype(jnp.float32)))
 
     def s_topk(tqz):
-        a, na, b, nb = gather(tqz)
-        vals, tag = tagged_sort(a, na, b, nb)
+        a, apg, na, b, bpg, nb = gather(tqz)
+        vals, tag, pg = tagged_sort(a, apg, na, b, bpg, nb)
         page_s, rank_s, cnt_s, n_pages_, n_hits, hitvals = kernel_slots(
-            vals, tag)
+            vals, tag, pg)
         pages, ranks, counts = pq._slots_topk_sort(
             page_s, rank_s, cnt_s, FULL_TOPK)
         return jnp.sum(ranks) + jnp.sum(n_hits.astype(jnp.float32))
 
     def s_hits(tqz):
-        a, na, b, nb = gather(tqz)
-        vals, tag = tagged_sort(a, na, b, nb)
+        a, apg, na, b, bpg, nb = gather(tqz)
+        vals, tag, pg = tagged_sort(a, apg, na, b, bpg, nb)
         page_s, rank_s, cnt_s, n_pages_, n_hits, hitvals = kernel_slots(
-            vals, tag)
+            vals, tag, pg)
         pages, ranks, counts = pq._slots_topk_sort(
             page_s, rank_s, cnt_s, FULL_TOPK)
         hits = jax.lax.sort(hitvals)[:, :HIT_CAP]
@@ -188,7 +194,7 @@ def main() -> None:
         outs = di._bucket_full(
             off, sc, bounds, page_doc, is_header, tqz, rq,
             cap=CAP, topk=FULL_TOPK, hit_cap=HIT_CAP, with_docs=True,
-            use_pallas=True, small=small,
+            use_pallas=True, small=small, page_of=page_of,
         )
         return (jnp.sum(outs.ranks)
                 + jnp.sum(outs.n_hits.astype(jnp.float32)))
@@ -197,7 +203,7 @@ def main() -> None:
         outs = di._bucket_full(
             off, sc, bounds, page_doc, is_header, tqz, rq,
             cap=CAP, topk=FULL_TOPK, hit_cap=HIT_CAP, with_docs=False,
-            use_pallas=True, small=small,
+            use_pallas=True, small=small, page_of=page_of,
         )
         return (jnp.sum(outs.ranks)
                 + jnp.sum(outs.n_hits.astype(jnp.float32)))

@@ -855,7 +855,7 @@ def _chunked_mode() -> str:
 
 def _locate_full_chunked(hv, bounds, page_doc, is_header,
                          topk: int, hit_cap: int, with_docs: bool,
-                         interpret: bool = False) -> LocateFull:
+                         interpret: bool = False, pg=None) -> LocateFull:
     """Batched locate_full over an INF-masked kept stream whose
     page/rank/top-k leg rides the CHUNKED Pallas locate kernel
     (ops/pallas_query.pallas_chunked_locate): one sequential-grid
@@ -868,7 +868,7 @@ def _locate_full_chunked(hv, bounds, page_doc, is_header,
     from docodo_tpu.ops.pallas_query import pallas_chunked_locate
 
     pages, ranks, counts, n_pages = pallas_chunked_locate(
-        hv, bounds, topk=topk, interpret=interpret
+        hv, bounds, topk=topk, interpret=interpret, pg=pg
     )
     n_hits = jnp.sum((hv < INF32).astype(jnp.int32), axis=1)
     hits = jax.lax.sort(hv)
@@ -894,40 +894,60 @@ def _locate_full_chunked(hv, bounds, page_doc, is_header,
 def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
                       tq, rq, caps, topk: int, hit_cap: int,
                       with_docs: bool, small=None,
-                      interpret: bool = False) -> LocateFull:
+                      interpret: bool = False,
+                      page_of=None) -> LocateFull:
     """W=2 V=1 big-bucket pipeline, fully chunk-streamed: per-word
     gathers -> ONE vmapped tagged lax.sort (the merge) -> the two-pass
     chunked AND (keep resolution) -> the chunked locate. Replaces the
     ~90-launch XLA scan chain per bucket with 3 kernel launches + the
     sort (ref IndexSequence.cs:218-284 + Search.cs:365-420 semantics,
-    bit-identical to ops/seqops.and_masked + locate_full)."""
+    bit-identical to ops/seqops.and_masked + locate_full).
+
+    With page_of, the page stream rides the merge sort (the AND kernel
+    masks lanes in place, so alignment survives it) and the chunked
+    locate skips its shared compare-all page lookup."""
     from docodo_tpu.ops.pallas_query import pallas_chunked_and
 
     c0, c1 = caps
-    g0 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c0,
-                                        small))
-    g1 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c1,
-                                        small))
-    a, na = g0(tq[:, 0])
-    b, nb = g1(tq[:, 1])
     bsz = tq.shape[0]
     lane0 = jax.lax.broadcasted_iota(jnp.int32, (bsz, c0), 1)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (bsz, c1), 1)
+    if page_of is not None:
+        g0 = jax.vmap(lambda t: gather_term_paged(
+            coords, page_of, term_offsets, t, c0, small))
+        g1 = jax.vmap(lambda t: gather_term_paged(
+            coords, page_of, term_offsets, t, c1, small))
+        a, apg, na = g0(tq[:, 0])
+        b, bpg, nb = g1(tq[:, 1])
+    else:
+        g0 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c0,
+                                            small))
+        g1 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c1,
+                                            small))
+        a, na = g0(tq[:, 0])
+        b, nb = g1(tq[:, 1])
     av = jnp.where(lane0 < na[:, None], a, INF32)
     bv = jnp.where(lane1 < nb[:, None], b, INF32)
     tag = jnp.concatenate([
         jnp.where(lane0 < na[:, None], 0, 2),
         jnp.where(lane1 < nb[:, None], 1, 2),
     ], axis=1).astype(jnp.int32)
-    vals, tag = jax.vmap(
-        lambda v, t: jax.lax.sort((v, t), num_keys=2)
-    )(jnp.concatenate([av, bv], axis=1), tag)
+    cat = jnp.concatenate([av, bv], axis=1)
+    pg = None
+    if page_of is not None:
+        vals, tag, pg = jax.vmap(
+            lambda v, t, p: jax.lax.sort((v, t, p), num_keys=2)
+        )(cat, tag, jnp.concatenate([apg, bpg], axis=1))
+    else:
+        vals, tag = jax.vmap(
+            lambda v, t: jax.lax.sort((v, t), num_keys=2)
+        )(cat, tag)
     hv = pallas_chunked_and(
         vals, tag, rq[:, :1], rq[:, 1:2], interpret=interpret
     )
     return _locate_full_chunked(
         hv, bounds, page_doc, is_header, topk=topk, hit_cap=hit_cap,
-        with_docs=with_docs, interpret=interpret,
+        with_docs=with_docs, interpret=interpret, pg=pg,
     )
 
 
@@ -967,6 +987,21 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                     term_offsets, coords, bounds, page_doc, is_header,
                     t2, rq, caps, topk=topk, hit_cap=hit_cap,
                     with_docs=with_docs, small=small, interpret=interp,
+                    page_of=page_of,
+                )
+            if (w == 1 and v == 1 and page_of is not None
+                    and caps[0] >= 2048):
+                # single-word big cap: the gathered block IS the kept
+                # stream, its page stream comes straight from the fetch
+                t1 = tq[:, 0] if tq.ndim == 2 else tq[:, 0, 0]
+                a1, apg1, _na1 = jax.vmap(
+                    lambda t: gather_term_paged(
+                        coords, page_of, term_offsets, t, caps[0], small)
+                )(t1)
+                return _locate_full_chunked(
+                    a1, bounds, page_doc, is_header, topk=topk,
+                    hit_cap=hit_cap, with_docs=with_docs,
+                    interpret=interp, pg=apg1,
                 )
             gm = functools.partial(
                 eval_query_masked, ca_max=FULL_CA_MAX, small=small

@@ -1372,11 +1372,14 @@ CHUNK_Q = 8         # rows per program (sublane tile)
 @functools.partial(jax.jit, static_argnames=("topk", "chunk", "interpret"))
 def pallas_chunked_locate(hv, bounds, *, topk: int,
                           chunk: int = CHUNK_LANES,
-                          interpret: bool = False):
+                          interpret: bool = False, pg=None):
     """Locate+rank+topk over an INF-masked kept stream of ANY width
     (chunked sequential grid). Returns (pages, ranks, counts, n_pages)
     — the caller owns hits/n_hits (for a dense W=1 stream they are the
     stream itself; for an AND output the caller compacts).
+
+    pg: optional per-slot page stream carried from the posting fetch
+    (build_page_of) — skips the shared compare-all page lookup.
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1388,13 +1391,23 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
         hv = jnp.concatenate(
             [hv, jnp.full((bsz, cpad), INF32, jnp.int32)], axis=1
         )
+        if pg is not None:
+            pg = jnp.concatenate(
+                [pg, jnp.full((bsz, cpad), 0, jnp.int32)], axis=1
+            )
         n += cpad
     k = n // chunk
-    # page per slot: ONE shared compare-all over the un-padded rows
-    pg = jax.vmap(
-        lambda row: _rank_in_sorted(row, bounds, strict=False)
-    )(hv)
-    pg = jnp.minimum(pg, bounds.shape[0] - 1)
+    if pg is None:
+        # page per slot: ONE shared compare-all over the un-padded rows
+        pg = jax.vmap(
+            lambda row: _rank_in_sorted(row, bounds, strict=False)
+        )(hv)
+        pg = jnp.minimum(pg, bounds.shape[0] - 1)
+    else:
+        # non-kept slots' pages are never read (the kernel gates every
+        # use on keep), but clamp them anyway so padding carries a
+        # valid page id
+        pg = jnp.where(hv < INF32, pg, bounds.shape[0] - 1)
     q = CHUNK_Q
     pad = (-bsz) % q
     if pad:

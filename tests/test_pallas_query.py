@@ -386,18 +386,35 @@ def test_chunked_bucket_routing_matches_xla(rng):
     kw = dict(cap=1024, topk=16, hit_cap=256, with_docs=True)
     xla = di.batched_query_full(
         off, sc, bounds, pd, hdr, tq, rq, use_pallas=False, **kw)
+    pages_np = di.build_page_of(np.asarray(bounds), np.asarray(sc))
+    page_arr = jnp.asarray(pages_np)
+    tq1 = tq[:, :1]
+    rq1 = rq[:, :1]
+    kw1 = dict(cap=2048, topk=16, hit_cap=256, with_docs=True)
+    xla1 = di.batched_query_full(
+        off, sc, bounds, pd, hdr, tq1, rq1, use_pallas=False, **kw1)
     os.environ["DOCODO_CHUNKED"] = "force"
     try:
         chk = di.batched_query_full(
             off, sc, bounds, pd, hdr, tq, rq, use_pallas=True, **kw)
+        # paged leg: the carried page stream replaces the shared
+        # compare-all lookup in the chunked pipeline, bit-identically
+        chkp = di.batched_query_full(
+            off, sc, bounds, pd, hdr, tq, rq, use_pallas=True,
+            page_of=page_arr, **kw)
+        # W=1 big-cap paged leg (gathered block IS the stream)
+        chk1 = di.batched_query_full(
+            off, sc, bounds, pd, hdr, tq1, rq1, use_pallas=True,
+            page_of=page_arr, **kw1)
     finally:
         os.environ.pop("DOCODO_CHUNKED", None)
-    for name in ("pages", "counts", "n_pages", "n_hits", "hits",
-                 "docs"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(xla, name)),
-            np.asarray(getattr(chk, name)), err_msg=name)
-    np.testing.assert_allclose(np.asarray(xla.ranks),
-                               np.asarray(chk.ranks), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(xla.doc_ranks),
-                               np.asarray(chk.doc_ranks), atol=1e-4)
+    for want, got in ((xla, chk), (xla, chkp), (xla1, chk1)):
+        for name in ("pages", "counts", "n_pages", "n_hits", "hits",
+                     "docs"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(want, name)),
+                np.asarray(getattr(got, name)), err_msg=name)
+        np.testing.assert_allclose(np.asarray(want.ranks),
+                                   np.asarray(got.ranks), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(want.doc_ranks),
+                                   np.asarray(got.doc_ranks), atol=1e-4)
