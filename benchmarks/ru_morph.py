@@ -147,11 +147,16 @@ def main() -> int:
 
     use_pallas = jax.default_backend() == "tpu"
 
+    use_small = os.environ.get("RU_SMALL", "1") == "1"
+    use_pages = os.environ.get("RU_PAGES", "1") == "1"
+
     def estep(chain):
         return multi_bucket_query_full_chained(
             di.term_offsets, di.coords, di.bounds, di.page_doc,
             di.header_mask(), terms_l, rs_l, chain, caps_l, 16, 256,
             use_pallas=use_pallas,
+            small=di.small if use_small else None,
+            page_of=di.page_of if use_pages else None,
         )
 
     eouts, es = estep(jnp.float32(0))

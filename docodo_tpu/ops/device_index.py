@@ -396,6 +396,18 @@ def gather_term(coords, term_offsets, term, cap: int, small=None):
     return vals, ln
 
 
+def _tab_serves(small, cap: int) -> bool:
+    """Whether a COMBINED (coords||pages) small table serves this cap —
+    the only case where carrying pages through the fetch is free (row
+    gathers are latency-bound). Block-DMA fetches would pay a second
+    slice per row: measured a 22% LOSS on the ru mix; those buckets use
+    the shared XLA page lookup instead (pallas_query._shared_pg)."""
+    return small is not None and any(
+        w == cap and tab.shape[1] == 2 * cap and tab.shape[0] > 0
+        for w, _, tab in small
+    )
+
+
 def gather_term_paged(coords, page_of, term_offsets, term, cap: int,
                       small=None):
     """gather_term plus the term's page_of stream (build_page_of),
@@ -894,38 +906,29 @@ def _locate_full_chunked(hv, bounds, page_doc, is_header,
 def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
                       tq, rq, caps, topk: int, hit_cap: int,
                       with_docs: bool, small=None,
-                      interpret: bool = False,
-                      page_of=None) -> LocateFull:
+                      interpret: bool = False) -> LocateFull:
     """W=2 V=1 big-bucket pipeline, fully chunk-streamed: per-word
     gathers -> ONE vmapped tagged lax.sort (the merge) -> the two-pass
     chunked AND (keep resolution) -> the chunked locate. Replaces the
     ~90-launch XLA scan chain per bucket with 3 kernel launches + the
     sort (ref IndexSequence.cs:218-284 + Search.cs:365-420 semantics,
-    bit-identical to ops/seqops.and_masked + locate_full).
-
-    With page_of, the page stream rides the merge sort (the AND kernel
-    masks lanes in place, so alignment survives it) and the chunked
-    locate skips its shared compare-all page lookup."""
+    bit-identical to ops/seqops.and_masked + locate_full)."""
     from docodo_tpu.ops.pallas_query import pallas_chunked_and
 
     c0, c1 = caps
     bsz = tq.shape[0]
     lane0 = jax.lax.broadcasted_iota(jnp.int32, (bsz, c0), 1)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (bsz, c1), 1)
-    if page_of is not None:
-        g0 = jax.vmap(lambda t: gather_term_paged(
-            coords, page_of, term_offsets, t, c0, small))
-        g1 = jax.vmap(lambda t: gather_term_paged(
-            coords, page_of, term_offsets, t, c1, small))
-        a, apg, na = g0(tq[:, 0])
-        b, bpg, nb = g1(tq[:, 1])
-    else:
-        g0 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c0,
-                                            small))
-        g1 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c1,
-                                            small))
-        a, na = g0(tq[:, 0])
-        b, nb = g1(tq[:, 1])
+    # chunked caps (>= 1024) never have combined small tables, so the
+    # fetch stays unpaged (a second block-DMA slice per row measured a
+    # 22% ru-mix loss); the chunked locate's own shared XLA lookup
+    # provides the page stream
+    g0 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c0,
+                                        small))
+    g1 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c1,
+                                        small))
+    a, na = g0(tq[:, 0])
+    b, nb = g1(tq[:, 1])
     av = jnp.where(lane0 < na[:, None], a, INF32)
     bv = jnp.where(lane1 < nb[:, None], b, INF32)
     tag = jnp.concatenate([
@@ -933,21 +936,15 @@ def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
         jnp.where(lane1 < nb[:, None], 1, 2),
     ], axis=1).astype(jnp.int32)
     cat = jnp.concatenate([av, bv], axis=1)
-    pg = None
-    if page_of is not None:
-        vals, tag, pg = jax.vmap(
-            lambda v, t, p: jax.lax.sort((v, t, p), num_keys=2)
-        )(cat, tag, jnp.concatenate([apg, bpg], axis=1))
-    else:
-        vals, tag = jax.vmap(
-            lambda v, t: jax.lax.sort((v, t), num_keys=2)
-        )(cat, tag)
+    vals, tag = jax.vmap(
+        lambda v, t: jax.lax.sort((v, t), num_keys=2)
+    )(cat, tag)
     hv = pallas_chunked_and(
         vals, tag, rq[:, :1], rq[:, 1:2], interpret=interpret
     )
     return _locate_full_chunked(
         hv, bounds, page_doc, is_header, topk=topk, hit_cap=hit_cap,
-        with_docs=with_docs, interpret=interpret, pg=pg,
+        with_docs=with_docs, interpret=interpret,
     )
 
 
@@ -987,21 +984,6 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                     term_offsets, coords, bounds, page_doc, is_header,
                     t2, rq, caps, topk=topk, hit_cap=hit_cap,
                     with_docs=with_docs, small=small, interpret=interp,
-                    page_of=page_of,
-                )
-            if (w == 1 and v == 1 and page_of is not None
-                    and caps[0] >= 2048):
-                # single-word big cap: the gathered block IS the kept
-                # stream, its page stream comes straight from the fetch
-                t1 = tq[:, 0] if tq.ndim == 2 else tq[:, 0, 0]
-                a1, apg1, _na1 = jax.vmap(
-                    lambda t: gather_term_paged(
-                        coords, page_of, term_offsets, t, caps[0], small)
-                )(t1)
-                return _locate_full_chunked(
-                    a1, bounds, page_doc, is_header, topk=topk,
-                    hit_cap=hit_cap, with_docs=with_docs,
-                    interpret=interp, pg=apg1,
                 )
             gm = functools.partial(
                 eval_query_masked, ca_max=FULL_CA_MAX, small=small
@@ -1199,7 +1181,8 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             rq = jnp.concatenate(
                 [rq, jnp.ones((pad, rq.shape[1]), jnp.int32)]
             )
-        if page_of is not None:
+        carried = page_of is not None and _tab_serves(small, cap)
+        if carried:
             gather_v = jax.vmap(jax.vmap(
                 lambda t: gather_term_paged(
                     coords, page_of, term_offsets, t, cap, small)
@@ -1211,15 +1194,17 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             ))
             a3, na2 = gather_v(tq[:, 0])
             apg3 = None
+        shared = page_of is not None and not carried
         # variant buckets are small-B in real mixes — kernel-topk mode
         # (slots mode measured a loss on the small-B union bucket)
         if w == 1:
             pg, rk, ct, npg, nht, hits = pallas_union_locate_full(
                 a3, na2, bounds, topk=topk, hit_cap=hit_cap,
                 interpret=interpret, sort_topk=False, a_pg=apg3,
+                shared_pg=shared,
             )
         else:
-            if page_of is not None:
+            if carried:
                 b3, bpg3, nb2 = gather_v(tq[:, 1])
             else:
                 b3, nb2 = gather_v(tq[:, 1])
@@ -1228,7 +1213,7 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                 a3, na2, rq[:, 0], b3, nb2, rq[:, 1],
                 tq[:, 1, 0] < 0, bounds, topk=topk, hit_cap=hit_cap,
                 interpret=interpret, sort_topk=False,
-                a_pg=apg3, b_pg=bpg3,
+                a_pg=apg3, b_pg=bpg3, shared_pg=shared,
             )
         docs = doc_ranks = None
         if with_docs:
@@ -1271,7 +1256,8 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             [tq, jnp.full((pad, tq.shape[1]), -1, jnp.int32)]
         )
         rq = jnp.concatenate([rq, jnp.ones((pad, rq.shape[1]), jnp.int32)])
-    if page_of is not None:
+    carried = page_of is not None and _tab_serves(small, cap)
+    if carried:
         gather = jax.vmap(
             lambda t: gather_term_paged(
                 coords, page_of, term_offsets, t, cap, small)
@@ -1283,6 +1269,7 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
         )
         a, na = gather(tq[:, 0])
         apg = None
+    shared = page_of is not None and not carried
     interpret = jax.default_backend() != "tpu"
     # slots-mode (outside-sort) top-k where measured faster on v5e:
     # merge-free W1 1.18x, sorted W2 1.20x/1.08x/1.06x at caps
@@ -1293,14 +1280,16 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             a[:, None, :], na[:, None], bounds, topk=topk,
             hit_cap=hit_cap, interpret=interpret, sort_topk=False,
             a_pg=None if apg is None else apg[:, None, :],
+            shared_pg=shared,
         )
     elif single:
         pg, rk, ct, npg, nht, hits = pallas_single_locate_full(
             a, na, bounds, cap=cap, topk=topk, hit_cap=hit_cap,
             interpret=interpret, sort_topk=True, a_pg=apg,
+            shared_pg=shared,
         )
     else:
-        if page_of is not None:
+        if carried:
             b, bpg, nb = gather(tq[:, 1])
         else:
             b, nb = gather(tq[:, 1])
@@ -1308,7 +1297,7 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
         pg, rk, ct, npg, nht, hits = pallas_sorted_and_locate_full(
             a, na, rq[:, 0], b, nb, rq[:, 1], bounds, cap=cap, topk=topk,
             hit_cap=hit_cap, interpret=interpret, sort_topk=cap <= 256,
-            a_pg=apg, b_pg=bpg,
+            a_pg=apg, b_pg=bpg, shared_pg=shared,
         )
     docs = doc_ranks = None
     if with_docs:

@@ -777,12 +777,13 @@ def _full_stream_call_slots(kernel, bsz: int, q: int, n: int, topk: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "topk", "hit_cap", "interpret", "sort_topk"))
+    "topk", "hit_cap", "interpret", "sort_topk", "shared_pg"))
 def pallas_variants_and_locate_full(a, na, ra, b, nb, rb, b_pad, bounds,
                                     topk: int, hit_cap: int,
                                     interpret: bool = False,
                                     sort_topk: bool = True,
-                                    a_pg=None, b_pg=None):
+                                    a_pg=None, b_pg=None,
+                                    shared_pg: bool = False):
     """Hybrid FULL-RESULT variant AND: a [B, Va, cap] / [B, Vb, cap]
     pair of variant posting blocks merges in ONE vmapped lax.sort of
     the word-tagged concatenation; the Pallas kernel run-dedupes and
@@ -794,7 +795,6 @@ def pallas_variants_and_locate_full(a, na, ra, b, nb, rb, b_pad, bounds,
     n = (va + vb) * cap
     q = min(q_for_stream(n), bsz)
     assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
-    paged = a_pg is not None
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, va, cap), 2)
     av = jnp.where(lane_c < na[:, :, None], a, INF32).reshape(bsz, -1)
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, vb, cap), 2)
@@ -803,19 +803,23 @@ def pallas_variants_and_locate_full(a, na, ra, b, nb, rb, b_pad, bounds,
         jnp.where(av < INF32, 0, 2), jnp.where(bv < INF32, 1, 2)
     ], axis=1).astype(jnp.int32)
     cat = jnp.concatenate([av, bv], axis=1)
-    if paged:
+    if a_pg is not None:
         pgc = jnp.concatenate([
             a_pg.reshape(bsz, -1), b_pg.reshape(bsz, -1)
         ], axis=1)
         vals, tag, pg = jax.vmap(
             lambda v2, t, p: jax.lax.sort((v2, t, p), num_keys=2)
         )(cat, tag, pgc)
-        loc = pg
-        loc_spec = pl.BlockSpec((q, n), lambda i: (i, 0))
     else:
         vals, tag = jax.vmap(
             lambda v2, t: jax.lax.sort((v2, t), num_keys=2)
         )(cat, tag)
+        pg = _shared_pg(vals, bounds) if shared_pg else None
+    paged = pg is not None
+    if paged:
+        loc = pg
+        loc_spec = pl.BlockSpec((q, n), lambda i: (i, 0))
+    else:
         loc = bounds.reshape(1, -1)
         loc_spec = pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0))
     in_specs = [
@@ -844,10 +848,11 @@ def pallas_variants_and_locate_full(a, na, ra, b, nb, rb, b_pad, bounds,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "topk", "hit_cap", "interpret", "sort_topk"))
+    "topk", "hit_cap", "interpret", "sort_topk", "shared_pg"))
 def pallas_union_locate_full(a, na, bounds, topk: int, hit_cap: int,
                              interpret: bool = False,
-                             sort_topk: bool = True, a_pg=None):
+                             sort_topk: bool = True, a_pg=None,
+                             shared_pg: bool = False):
     """FULL-RESULT W=1 variant union: one vmapped lax.sort of the
     [B, V, cap] variant blocks, run-dedupe + locate in the kernel
     (the kernel twin of or_variants_sorted). a_pg: optional precomputed
@@ -856,13 +861,12 @@ def pallas_union_locate_full(a, na, bounds, topk: int, hit_cap: int,
     n = v * cap
     q = min(q_for_stream(n), bsz)
     assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
-    paged = a_pg is not None
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, v, cap), 2)
     av = jnp.where(lane_c < na[:, :, None], a, INF32).reshape(bsz, -1)
     # V=1: a single posting block is already ascending + INF-padded —
     # no merge sort needed (this also serves plain W=1 queries at caps
     # beyond the in-kernel-merge kernel's budget)
-    if paged:
+    if a_pg is not None:
         pgc = a_pg.reshape(bsz, -1)
         if v == 1:
             vals, pg = av, pgc
@@ -870,10 +874,14 @@ def pallas_union_locate_full(a, na, bounds, topk: int, hit_cap: int,
             vals, pg = jax.vmap(
                 lambda v2, p: jax.lax.sort((v2, p), num_keys=1)
             )(av, pgc)
+    else:
+        vals = av if v == 1 else jax.vmap(jax.lax.sort)(av)
+        pg = _shared_pg(vals, bounds) if shared_pg else None
+    paged = pg is not None
+    if paged:
         loc = pg
         loc_spec = pl.BlockSpec((q, n), lambda i: (i, 0))
     else:
-        vals = av if v == 1 else jax.vmap(jax.lax.sort)(av)
         loc = bounds.reshape(1, -1)
         loc_spec = pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0))
     in_specs = [
@@ -969,13 +977,28 @@ def pallas_sorted_and_locate(a, na, ra, b, nb, rb, bounds,
     )(vals, tag, ra2, rb2, bounds2)
 
 
+def _shared_pg(vals, bounds):
+    """Per-slot page stream via ONE XLA compare-all over an (already
+    merged) stream — the shared-lookup leg of the paged kernels for
+    buckets whose posting fetch has no combined small table (carrying
+    pages through a block-DMA fetch doubles its row count, measured a
+    22% LOSS on the ru mix; the XLA lookup is free of that)."""
+    from docodo_tpu.ops.seqops import _rank_in_sorted
+
+    pg = jax.vmap(
+        lambda row: _rank_in_sorted(row, bounds, strict=False)
+    )(vals)
+    return jnp.minimum(pg, bounds.shape[0] - 1)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "cap", "topk", "hit_cap", "interpret", "sort_topk"))
+    "cap", "topk", "hit_cap", "interpret", "sort_topk", "shared_pg"))
 def pallas_sorted_and_locate_full(a, na, ra, b, nb, rb, bounds,
                                   cap: int, topk: int, hit_cap: int,
                                   interpret: bool = False,
                                   sort_topk: bool = True,
-                                  a_pg=None, b_pg=None):
+                                  a_pg=None, b_pg=None,
+                                  shared_pg: bool = False):
     """Hybrid FULL-RESULT AND: one vmapped lax.sort merges the tagged
     operand concatenation, the Pallas kernel runs the scan-only
     segmentation/locate/rank/top-k AND emits the kept hit stream +
@@ -993,7 +1016,6 @@ def pallas_sorted_and_locate_full(a, na, ra, b, nb, rb, bounds,
     q = min(q_for_sorted_cap(cap), bsz)
     assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
     n = 2 * cap
-    paged = a_pg is not None
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
     av = jnp.where(lane_c < na[:, None], a, INF32)
     bv = jnp.where(lane_c < nb[:, None], b, INF32)
@@ -1002,17 +1024,24 @@ def pallas_sorted_and_locate_full(a, na, ra, b, nb, rb, bounds,
         jnp.where(lane_c < nb[:, None], 1, 2),
     ], axis=1).astype(jnp.int32)
     cat = jnp.concatenate([av, bv], axis=1)
-    if paged:
+    if a_pg is not None:
         pgc = jnp.concatenate([a_pg, b_pg], axis=1)
         vals, tag, pg = jax.vmap(
             lambda v, t, p: jax.lax.sort((v, t, p), num_keys=2)
         )(cat, tag, pgc)
-        loc = pg
-        loc_spec = pl.BlockSpec((q, n), lambda i: (i, 0))
     else:
         vals, tag = jax.vmap(
             lambda v, t: jax.lax.sort((v, t), num_keys=2)
         )(cat, tag)
+        # shared-lookup mode: one XLA compare-all over the merged
+        # stream (measured ~5x the Mosaic in-kernel compare) — used
+        # when the fetch has no combined table to carry pages for free
+        pg = _shared_pg(vals, bounds) if shared_pg else None
+    paged = pg is not None
+    if paged:
+        loc = pg
+        loc_spec = pl.BlockSpec((q, n), lambda i: (i, 0))
+    else:
         loc = bounds.reshape(1, -1)
         loc_spec = pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0))
     in_specs = [
@@ -1039,10 +1068,11 @@ def pallas_sorted_and_locate_full(a, na, ra, b, nb, rb, bounds,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cap", "topk", "hit_cap", "interpret", "sort_topk"))
+    "cap", "topk", "hit_cap", "interpret", "sort_topk", "shared_pg"))
 def pallas_single_locate_full(a, na, bounds, cap: int, topk: int,
                               hit_cap: int, interpret: bool = False,
-                              sort_topk: bool = True, a_pg=None):
+                              sort_topk: bool = True, a_pg=None,
+                              shared_pg: bool = False):
     """FULL-RESULT W=1: the gathered posting block IS the compacted hit
     stream — the kernel only adds the locate/rank/top-k tail + n_pages.
     a_pg: optional precomputed page stream (no sort here — it aligns
@@ -1052,10 +1082,15 @@ def pallas_single_locate_full(a, na, bounds, cap: int, topk: int,
     bsz = a.shape[0]
     q = min(64, q_for_cap(cap) * 2, bsz)
     assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
-    paged = a_pg is not None
     na2 = na.reshape(bsz, 1)
+    pg = a_pg
+    if pg is None and shared_pg:
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
+        pg = _shared_pg(
+            jnp.where(lane_s < na[:, None], a, INF32), bounds)
+    paged = pg is not None
     if paged:
-        loc = a_pg
+        loc = pg
         loc_spec = pl.BlockSpec((q, cap), lambda i: (i, 0))
     else:
         loc = bounds.reshape(1, -1)
