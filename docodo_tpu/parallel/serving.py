@@ -69,6 +69,11 @@ class ShardedDeviceIndex:
             for p, pid in enumerate(table.page_ids):
                 header[s, p] = pid == "0"
         self._is_header = jnp.asarray(header)
+        # per-shard host CSR mirrors -> stacked page_of + combined
+        # coords||pages small tables, so every shard runs the same
+        # routed kernel stack as the single-chip path (carried/shared
+        # page streams, small-table row gathers)
+        self._page_of, self._small_stack = self._stage_paged_tables()
         self._doc_ordinal = {
             n: i for i, n in enumerate(index.pages.doc_names)
         }
@@ -90,6 +95,74 @@ class ShardedDeviceIndex:
              if len(corpus.doc_assign[s_])],
             dtype=np.uint64,
         )
+
+    def _stage_paged_tables(self):
+        """Per-shard page_of arrays [S, n] + STACKED combined small
+        tables (w, row_map [S, T], tab [S, rows, 2w]) from host mirrors
+        of the per-shard CSR (the same lexsort the device build
+        performs). Shard counts are subsets of the global counts, so
+        the single-chip small-table contract (every real term in a
+        bucket has count <= cap) carries over per shard."""
+        import os as _os
+
+        from docodo_tpu.ops.device_index import SMALL_TAB_WIDTHS
+
+        corpus = self.corpus
+        T = len(self.terms)
+        S, nloc = corpus.coords.shape
+        sc_np = np.full((S, nloc), INT32_MAX, dtype=np.int32)
+        pg = np.zeros((S, nloc), dtype=np.int32)
+        offs = np.zeros((S, T + 1), dtype=np.int64)
+        for s in range(S):
+            n = int(corpus.n_tokens[s])
+            tid = corpus.term_ids[s, :n].astype(np.int64)
+            co = corpus.coords[s, :n]
+            order = np.lexsort((co, tid))
+            sc_s = co[order]
+            sc_np[s, :n] = sc_s
+            np.cumsum(np.bincount(tid, minlength=T), out=offs[s, 1:])
+            breal = self.shard_tables[s].bounds.astype(np.int64)
+            if breal.size and n:
+                pg[s, :n] = np.minimum(
+                    np.searchsorted(breal, sc_s.astype(np.int64),
+                                    side="right"),
+                    breal.size - 1,
+                ).astype(np.int32)
+        small_stack = []
+        if _os.environ.get("DOCODO_SMALL_TAB", "1") != "0" and T:
+            counts_s = offs[:, 1:] - offs[:, :-1]       # [S, T]
+            lane_cache = {}
+            for w in SMALL_TAB_WIDTHS:
+                tids_list = [
+                    np.flatnonzero(counts_s[s] <= w) for s in range(S)
+                ]
+                mx = max((t.size for t in tids_list), default=0)
+                if mx == 0:
+                    continue
+                rows = _bucket(mx, lo=8)
+                row_map = np.full((S, T), -1, dtype=np.int32)
+                tab = np.full((S, rows, 2 * w), INT32_MAX, dtype=np.int32)
+                lane = lane_cache.setdefault(
+                    w, np.arange(w, dtype=np.int64)[None, :]
+                )
+                for s in range(S):
+                    tids = tids_list[s]
+                    if tids.size == 0:
+                        continue
+                    row_map[s, tids] = np.arange(
+                        tids.size, dtype=np.int32)
+                    starts = offs[s][tids]
+                    cnts = counts_s[s][tids].astype(np.int64)
+                    idx = np.minimum(starts[:, None] + lane, nloc - 1)
+                    live = lane < cnts[:, None]
+                    tab[s, : tids.size, :w] = np.where(
+                        live, sc_np[s][idx], INT32_MAX)
+                    tab[s, : tids.size, w:] = np.where(
+                        live, pg[s][idx], INT32_MAX)
+                small_stack.append(
+                    (w, jnp.asarray(row_map), jnp.asarray(tab))
+                )
+        return jnp.asarray(pg), tuple(small_stack)
 
     # ---- staging -----------------------------------------------------------
     @classmethod
@@ -332,6 +405,7 @@ class ShardedDeviceIndex:
                 # doc ranks recompute host-side in every materialize
                 # mode — don't compute/all_gather/read them back
                 with_docs=False,
+                small=self._small_stack, page_of=self._page_of,
             )
             bucket_outs.append((idxs, out))
         # ONE coalesced device->host transfer for every bucket

@@ -129,24 +129,37 @@ def sharded_query(mesh, term_offsets, coords, bounds, page_doc,
 
 @functools.lru_cache(maxsize=128)
 def _sharded_query_full_jit(mesh, cap: int, topk: int, hit_cap: int,
-                            t_ndim: int, with_docs: bool):
+                            t_ndim: int, with_docs: bool,
+                            use_pallas: bool, chunked: str,
+                            small_widths: tuple, with_pg: bool):
     """Cached JITTED mesh program per (mesh, cap, topk, hit_cap, terms
     rank): serving calls this per shape BUCKET, so recurring bucket
     shapes hit the jit cache instead of re-tracing the shard_map on
     every batch (the mesh analog of batched_query_full's per-bucket
     cache). with_docs=False skips computing AND all_gathering the
     docs/doc_ranks fields (serving recomputes doc ranks host-side —
-    shipping them was pure wasted ICI/readback bytes)."""
-    from docodo_tpu.ops.device_index import query_step_full
+    shipping them was pure wasted ICI/readback bytes).
 
-    def local_query(off, co, bo, pd, hd, tq, rq):
+    Every shard runs the SAME routed kernel stack as the single-chip
+    path (ops/device_index._bucket_full: hybrid Pallas kernels, chunked
+    big-bucket pipeline, carried/shared page streams, small-table row
+    gathers) on its local CSR — use_pallas/chunked/small_widths/with_pg
+    key the cache so the routing is static under jit."""
+    from docodo_tpu.ops.device_index import SmallTab, _bucket_full
+
+    def local_query(off, co, bo, pd, hd, pg, *rest):
+        ns = len(small_widths)
+        small_flat, (tq, rq) = rest[: 2 * ns], rest[2 * ns:]
         off, co, bo, pd, hd = off[0], co[0], bo[0], pd[0], hd[0]
-        fn = functools.partial(
-            query_step_full, cap=cap, topk=topk, hit_cap=hit_cap,
-            with_docs=with_docs,
-        )
-        lf = jax.vmap(fn, in_axes=(None, None, None, None, None, 0, 0))(
-            off, co, bo, pd, hd, tq, rq
+        small = tuple(
+            SmallTab(w, small_flat[2 * i][0], small_flat[2 * i + 1][0])
+            for i, w in enumerate(small_widths)
+        ) or None
+        lf = _bucket_full(
+            off, co, bo, pd, hd, tq, rq, cap=cap, topk=topk,
+            hit_cap=hit_cap, with_docs=with_docs, use_pallas=use_pallas,
+            small=small, chunked=chunked,
+            page_of=pg[0] if with_pg else None,
         )
         return tuple(
             jax.lax.all_gather(x, "d") for x in lf if x is not None
@@ -161,12 +174,15 @@ def _sharded_query_full_jit(mesh, cap: int, topk: int, hit_cap: int,
     out_specs = (p3, p3, p3, p2) + ((p3, p3) if with_docs else ()) + (
         p3, p2
     )
+    small_specs = sum(
+        ((P("d", None), P("d", None, None)),) * len(small_widths), ()
+    ) if small_widths else ()
     fn = shard_map(
         local_query, mesh=mesh,
         in_specs=(
             P("d", None), P("d", None), P("d", None), P("d", None),
-            P("d", None), t_spec, P(None, None),
-        ),
+            P("d", None), P("d", None),
+        ) + small_specs + (t_spec, P(None, None)),
         out_specs=out_specs,
         check_vma=False,  # replicated outputs, as in sharded_query
     )
@@ -175,23 +191,46 @@ def _sharded_query_full_jit(mesh, cap: int, topk: int, hit_cap: int,
 
 def sharded_query_full(mesh, term_offsets, coords, bounds, page_doc,
                        is_header, terms, rs, cap: int, topk: int,
-                       hit_cap: int, with_docs: bool = True):
+                       hit_cap: int, with_docs: bool = True,
+                       small=None, page_of=None,
+                       use_pallas: Optional[bool] = None):
     """Full-result twin of sharded_query: every shard evaluates the
-    replicated (variant-aware) query batch with query_step_full, and the
-    per-shard LocateFull fields are all_gathered so every host process
-    sees [S, B, ...] — hit streams stay in SHARD-LOCAL coordinates, which
+    replicated (variant-aware) query batch with the single-chip routed
+    kernel stack (ops/device_index._bucket_full), and the per-shard
+    LocateFull fields are all_gathered so every host process sees
+    [S, B, ...] — hit streams stay in SHARD-LOCAL coordinates, which
     is exactly what per-shard materialization needs (in-page positions
     are shard-invariant because documents never span shards).
 
     terms: int32[B, W] or int32[B, W, V]; rs: int32[B, W].
+    small: optional stacked small tables — tuple of (w, row_map [S, T],
+    tab [S, rows, 2w]) triples (serving.ShardedDeviceIndex staging).
+    page_of: optional [S, n] per-posting page indices.
     Returns the 8 LocateFull fields as a tuple of [S, B, ...] arrays;
     with_docs=False returns None in the docs/doc_ranks slots (and skips
     their compute + collective entirely).
     """
+    import os
+
+    if use_pallas is None:
+        env = os.environ.get("DOCODO_PALLAS")
+        use_pallas = (env == "1") if env is not None else (
+            jax.default_backend() == "tpu")
+    from docodo_tpu.ops.device_index import _chunked_mode
+
+    small = small or ()
+    widths = tuple(w for w, _, _ in small)
+    with_pg = page_of is not None
+    if not with_pg:
+        page_of = jnp.zeros(
+            (coords.shape[0], 1), dtype=jnp.int32)  # placeholder leaf
     fn = _sharded_query_full_jit(
-        mesh, cap, topk, hit_cap, terms.ndim, with_docs
+        mesh, cap, topk, hit_cap, terms.ndim, with_docs,
+        use_pallas, _chunked_mode(), widths, with_pg,
     )
-    out = fn(term_offsets, coords, bounds, page_doc, is_header, terms, rs)
+    small_flat = sum(((rm, tb) for _, rm, tb in small), ())
+    out = fn(term_offsets, coords, bounds, page_doc, is_header, page_of,
+             *small_flat, terms, rs)
     if with_docs:
         return out
     pages, ranks, counts, n_pages, hits, n_hits = out

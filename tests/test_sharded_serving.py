@@ -250,3 +250,18 @@ def test_boundary_divergence_flagged(tmp_path):
     if not res[1].boundary_risk:
         assert [p.pos for p in res[1].found_pages] == \
             [p.pos for p in host_a.found_pages]
+
+
+def test_sharded_serving_pallas_kernels_match_host(ind, sdi, monkeypatch):
+    """DOCODO_PALLAS=1 routes each shard's local evaluation through the
+    hybrid Pallas kernels (interpret mode on CPU) INSIDE the shard_map —
+    the TPU mesh serving path — with exact host parity. Exercises the
+    stacked combined small tables and per-shard page_of streams too."""
+    monkeypatch.setenv("DOCODO_PALLAS", "1")
+    compiled = [compile_request(ind, r) for r in REQS]
+    assert all(c is not None for c in compiled)
+    results = sdi.search_batch(compiled, topk=32, hit_cap=256)
+    for req, res in zip(REQS, results):
+        assert res is not None, f"unexpected truncation for {req}"
+        host = ind.search(req)
+        assert _doc_view(res) == _doc_view(host), req
