@@ -190,7 +190,7 @@ def main() -> None:
     def step(chain):
         return di.multi_bucket_query_step_chained(
             off, sc, _bounds, _page_doc, terms_t, rs_t, chain, caps_t, TOPK,
-            use_pallas=use_pallas, small=small,
+            use_pallas=use_pallas, small=small, page_of=page_of,
         )
 
     outs, s = step(jnp.float32(0))  # compile + warm

@@ -1089,12 +1089,13 @@ def multi_bucket_query_full_chained(term_offsets, coords, bounds, page_doc,
 
 
 def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
-                   topk: int, small=None):
+                   topk: int, small=None, page_of=None):
     """Route one (cap, W<=2) bucket through the fused Pallas kernels
     (ops/pallas_query): gather the posting blocks, evaluate the whole
     bucket as ONE kernel launch. Single-word buckets take the merge-free
     locate-only kernel; pairs take the hybrid sort-merge kernel (one
-    vmapped lax.sort feeds a scan-only Pallas locate)."""
+    vmapped lax.sort feeds a scan-only Pallas locate). Page streams are
+    sourced by fetch strategy, as in _pallas_bucket_full."""
     from docodo_tpu.ops.pallas_query import (
         pallas_batched_single_locate,
         pallas_sorted_and_locate,
@@ -1111,20 +1112,35 @@ def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
             [tq, jnp.full((pad, tq.shape[1]), -1, jnp.int32)]
         )
         rq = jnp.concatenate([rq, jnp.ones((pad, rq.shape[1]), jnp.int32)])
-    gather = jax.vmap(
-        lambda t: gather_term(coords, term_offsets, t, cap, small)
-    )
-    a, na = gather(tq[:, 0])
+    carried = page_of is not None and _tab_serves(small, cap)
+    if carried:
+        gather = jax.vmap(
+            lambda t: gather_term_paged(
+                coords, page_of, term_offsets, t, cap, small)
+        )
+        a, apg, na = gather(tq[:, 0])
+    else:
+        gather = jax.vmap(
+            lambda t: gather_term(coords, term_offsets, t, cap, small)
+        )
+        a, na = gather(tq[:, 0])
+        apg = None
+    shared = page_of is not None and not carried
     interpret = jax.default_backend() != "tpu"
     if single:
         pg, rk, ct = pallas_batched_single_locate(
             a, na, bounds, cap=cap, topk=topk, interpret=interpret,
+            a_pg=apg, shared_pg=shared,
         )
         return pg[:bsz], rk[:bsz], ct[:bsz]
-    b, nb = gather(tq[:, 1])
+    if carried:
+        b, bpg, nb = gather(tq[:, 1])
+    else:
+        b, nb = gather(tq[:, 1])
+        bpg = None
     pg, rk, ct = pallas_sorted_and_locate(
         a, na, rq[:, 0], b, nb, rq[:, 1], bounds, cap=cap, topk=topk,
-        interpret=interpret,
+        interpret=interpret, a_pg=apg, b_pg=bpg, shared_pg=shared,
     )
     return pg[:bsz], rk[:bsz], ct[:bsz]
 
@@ -1315,7 +1331,8 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
 @functools.partial(jax.jit, static_argnames=("caps", "topk", "use_pallas"))
 def multi_bucket_query_step(term_offsets, coords, bounds, page_doc,
                             terms_list, rs_list, caps, topk: int,
-                            use_pallas: bool = False, small=None):
+                            use_pallas: bool = False, small=None,
+                            page_of=None):
     """Evaluate EVERY shape bucket in one device program (one dispatch,
     one launch RTT): terms_list/rs_list are tuples of [Bi, Wi] arrays,
     caps the matching static posting caps. Returns a tuple of
@@ -1336,7 +1353,7 @@ def multi_bucket_query_step(term_offsets, coords, bounds, page_doc,
         if use_pallas and cap <= limit and tq.shape[1] <= 2:
             outs.append(_pallas_bucket(
                 term_offsets, coords, bounds, tq, rq, cap, topk,
-                small=small,
+                small=small, page_of=page_of,
             ))
             continue
         fn = functools.partial(query_step, cap=cap, topk=topk, small=small)
@@ -1352,7 +1369,7 @@ def multi_bucket_query_step(term_offsets, coords, bounds, page_doc,
 def multi_bucket_query_step_chained(term_offsets, coords, bounds, page_doc,
                                     terms_list, rs_list, chain, caps,
                                     topk: int, use_pallas: bool = False,
-                                    small=None):
+                                    small=None, page_of=None):
     """multi_bucket_query_step plus a dependency-chain scalar: `chain`
     (f32[]) is mixed (x0) into the inputs and a ranks checksum is
     returned, so successive calls chained through it execute strictly
@@ -1363,7 +1380,7 @@ def multi_bucket_query_step_chained(term_offsets, coords, bounds, page_doc,
     terms_list = tuple(t + zero for t in terms_list)
     outs = multi_bucket_query_step(
         term_offsets, coords, bounds, page_doc, terms_list, rs_list,
-        caps, topk, use_pallas=use_pallas, small=small,
+        caps, topk, use_pallas=use_pallas, small=small, page_of=page_of,
     )
     s = jnp.float32(0)
     for _, ranks, _ in outs:
@@ -1605,6 +1622,7 @@ class DeviceIndex:
             # an explicit cap override may TRUNCATE long posting lists,
             # which the small tables cannot serve (no row for count>cap)
             small=self.small if cap is None else None,
+            page_of=self.page_of if cap is None else None,
         )
         for idxs, (p, r_, c) in zip(idx_list, outs):
             n = len(idxs)

@@ -197,8 +197,9 @@ def _and_locate_kernel(a_ref, na_ref, ra_ref, b_ref, nb_ref, rb_ref,
     )
 
 
-def _single_word_kernel(a_ref, na_ref, bounds_ref, pages_ref, ranks_ref,
-                        counts_ref, *, cap: int, topk: int):
+def _single_word_kernel(a_ref, na_ref, loc_ref, pages_ref, ranks_ref,
+                        counts_ref, *, cap: int, topk: int,
+                        paged: bool = False):
     """W=1 fast path: no merge/segmentation at all — a single word's
     posting block IS the result stream (the AND fold is empty), so only
     the locate/rank/top-k tail runs (ref Search.cs:365-420)."""
@@ -208,8 +209,9 @@ def _single_word_kernel(a_ref, na_ref, bounds_ref, pages_ref, ranks_ref,
     keep = lane < na
     vals = jnp.where(keep, a_ref[...], INF32)
     _locate_rank_topk(
-        vals, keep, lane, cap, bounds_ref, pages_ref, ranks_ref,
-        counts_ref, topk=topk,
+        vals, keep, lane, cap, None if paged else loc_ref, pages_ref,
+        ranks_ref, counts_ref, topk=topk,
+        page=loc_ref[...] if paged else None,
     )
 
 
@@ -454,8 +456,9 @@ def _variants_and_keep(vals, tag, ra_ref, rb_ref, bpad_ref, lane, n):
 
 
 def _sorted_and_locate_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
-                              bounds_ref, pages_ref, ranks_ref, counts_ref,
-                              *, cap: int, topk: int):
+                              loc_ref, pages_ref, ranks_ref, counts_ref,
+                              *, cap: int, topk: int,
+                              paged: bool = False):
     """AND locate over a PRE-MERGED tagged stream: the [Q, 2cap] merge
     arrives already sorted (one vmapped lax.sort outside the kernel —
     the TPU's native sort replaces the O(cap^2) in-kernel compare-all
@@ -467,8 +470,9 @@ def _sorted_and_locate_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
     vals = vals_ref[...]
     keep = _sorted_and_keep(vals, tag_ref[...], ra_ref, rb_ref, lane, n)
     _locate_rank_topk(
-        vals, keep, lane, n, bounds_ref, pages_ref, ranks_ref, counts_ref,
-        topk=topk,
+        vals, keep, lane, n, None if paged else loc_ref, pages_ref,
+        ranks_ref, counts_ref, topk=topk,
+        page=loc_ref[...] if paged else None,
     )
 
 
@@ -926,16 +930,21 @@ MAX_SORTED_PALLAS_CAP = 512  # Q floors at 8; larger caps blow scoped vmem
 MAX_SORTED_SLOTS_CAP = 1024
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "topk", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "cap", "topk", "interpret", "shared_pg"))
 def pallas_sorted_and_locate(a, na, ra, b, nb, rb, bounds,
-                             cap: int, topk: int, interpret: bool = False):
+                             cap: int, topk: int, interpret: bool = False,
+                             a_pg=None, b_pg=None,
+                             shared_pg: bool = False):
     """Hybrid AND: ONE vmapped lax.sort merges the tagged operand
     concatenation (TPU-native sort), then the Pallas kernel runs the
     scan-only segmentation/locate/rank/top-k. Numerically identical to
-    pallas_batched_and_locate / the XLA path."""
+    pallas_batched_and_locate / the XLA path. a_pg/b_pg/shared_pg: the
+    page-stream options of pallas_sorted_and_locate_full."""
     bsz = a.shape[0]
     q = min(q_for_sorted_cap(cap), bsz)
     assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
+    n = 2 * cap
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
     av = jnp.where(lane_c < na[:, None], a, INF32)
     bv = jnp.where(lane_c < nb[:, None], b, INF32)
@@ -943,14 +952,27 @@ def pallas_sorted_and_locate(a, na, ra, b, nb, rb, bounds,
         jnp.where(lane_c < na[:, None], 0, 2),
         jnp.where(lane_c < nb[:, None], 1, 2),
     ], axis=1).astype(jnp.int32)
-    vals, tag = jax.vmap(
-        lambda v, t: jax.lax.sort((v, t), num_keys=2)
-    )(jnp.concatenate([av, bv], axis=1), tag)
+    cat = jnp.concatenate([av, bv], axis=1)
+    if a_pg is not None:
+        vals, tag, pg = jax.vmap(
+            lambda v, t, p: jax.lax.sort((v, t, p), num_keys=2)
+        )(cat, tag, jnp.concatenate([a_pg, b_pg], axis=1))
+    else:
+        vals, tag = jax.vmap(
+            lambda v, t: jax.lax.sort((v, t), num_keys=2)
+        )(cat, tag)
+        pg = _shared_pg(vals, bounds) if shared_pg else None
+    paged = pg is not None
+    if paged:
+        loc = pg
+        loc_spec = pl.BlockSpec((q, n), lambda i: (i, 0))
+    else:
+        loc = bounds.reshape(1, -1)
+        loc_spec = pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0))
     ra2 = ra.reshape(bsz, 1)
     rb2 = rb.reshape(bsz, 1)
-    bounds2 = bounds.reshape(1, -1)
     kernel = functools.partial(
-        _sorted_and_locate_kernel, cap=cap, topk=topk
+        _sorted_and_locate_kernel, cap=cap, topk=topk, paged=paged
     )
     grid = (bsz // q,)
     return pl.pallas_call(
@@ -961,7 +983,7 @@ def pallas_sorted_and_locate(a, na, ra, b, nb, rb, bounds,
             pl.BlockSpec((q, 2 * cap), lambda i: (i, 0)),
             pl.BlockSpec((q, 1), lambda i: (i, 0)),
             pl.BlockSpec((q, 1), lambda i: (i, 0)),
-            pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+            loc_spec,
         ],
         out_specs=[
             pl.BlockSpec((q, topk), lambda i: (i, 0)),
@@ -974,7 +996,7 @@ def pallas_sorted_and_locate(a, na, ra, b, nb, rb, bounds,
             jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
         ],
         interpret=interpret,
-    )(vals, tag, ra2, rb2, bounds2)
+    )(vals, tag, ra2, rb2, loc)
 
 
 def _shared_pg(vals, bounds):
@@ -1203,17 +1225,32 @@ def pallas_batched_and_locate(a, na, ra, b, nb, rb, bounds,
     )(a, na2, ra2, b, nb2, rb2, bounds2)
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "topk", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "cap", "topk", "interpret", "shared_pg"))
 def pallas_batched_single_locate(a, na, bounds, cap: int, topk: int,
-                                 interpret: bool = False):
+                                 interpret: bool = False, a_pg=None,
+                                 shared_pg: bool = False):
     """Batched fused single-word locate+rank+topk (W=1 queries skip the
-    merge entirely — the posting block is the result stream)."""
+    merge entirely — the posting block is the result stream). a_pg /
+    shared_pg: the page-stream options of pallas_single_locate_full."""
     bsz = a.shape[0]
     q = min(64, q_for_cap(cap) * 2, bsz)  # no merge one-hots: [q, cap] VMEM
     assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
     na2 = na.reshape(bsz, 1)
-    bounds2 = bounds.reshape(1, -1)
-    kernel = functools.partial(_single_word_kernel, cap=cap, topk=topk)
+    pg = a_pg
+    if pg is None and shared_pg:
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
+        pg = _shared_pg(
+            jnp.where(lane_s < na[:, None], a, INF32), bounds)
+    paged = pg is not None
+    if paged:
+        loc = pg
+        loc_spec = pl.BlockSpec((q, cap), lambda i: (i, 0))
+    else:
+        loc = bounds.reshape(1, -1)
+        loc_spec = pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0))
+    kernel = functools.partial(
+        _single_word_kernel, cap=cap, topk=topk, paged=paged)
     grid = (bsz // q,)
     return pl.pallas_call(
         kernel,
@@ -1221,7 +1258,7 @@ def pallas_batched_single_locate(a, na, bounds, cap: int, topk: int,
         in_specs=[
             pl.BlockSpec((q, cap), lambda i: (i, 0)),
             pl.BlockSpec((q, 1), lambda i: (i, 0)),
-            pl.BlockSpec((1, bounds.shape[0]), lambda i: (0, 0)),
+            loc_spec,
         ],
         out_specs=[
             pl.BlockSpec((q, topk), lambda i: (i, 0)),
@@ -1234,7 +1271,7 @@ def pallas_batched_single_locate(a, na, bounds, cap: int, topk: int,
             jax.ShapeDtypeStruct((bsz, topk), jnp.int32),
         ],
         interpret=interpret,
-    )(a, na2, bounds2)
+    )(a, na2, loc)
 
 
 # ---------------------------------------------------------------------------

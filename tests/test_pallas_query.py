@@ -129,7 +129,8 @@ def test_pallas_single_word_kernel(rng):
 def test_sorted_kernel_matches_xla_path(rng, cap):
     """The hybrid (lax.sort merge + scan-only Pallas locate) kernel must
     equal the XLA path bit for bit — including caps the in-kernel-merge
-    kernel cannot reach."""
+    kernel cannot reach, and in every page-stream mode (in-kernel
+    compare-all, carried a_pg/b_pg, shared XLA lookup)."""
     bsz = 16
     a, na, ra, b, nb, rb = _random_batch(rng, bsz, cap, ordered_rows=8)
     bounds = np.arange(1, 24, dtype=np.int32) * 60
@@ -139,6 +140,28 @@ def test_sorted_kernel_matches_xla_path(rng, cap):
         jnp.asarray(bounds), cap=cap, topk=8, interpret=True,
     )
     pg, rk, ct = np.asarray(pg), np.asarray(rk), np.asarray(ct)
+    # paged modes: carried streams (page index per fetched posting) and
+    # the shared lookup — identical outputs
+    def page_np(x):
+        return np.minimum(
+            np.searchsorted(bounds, x, side="right"), bounds.size - 1
+        ).astype(np.int32)
+    pgc, rkc, ctc = pq.pallas_sorted_and_locate(
+        jnp.asarray(a), jnp.asarray(na), jnp.asarray(ra),
+        jnp.asarray(b), jnp.asarray(nb), jnp.asarray(rb),
+        jnp.asarray(bounds), cap=cap, topk=8, interpret=True,
+        a_pg=jnp.asarray(page_np(a)), b_pg=jnp.asarray(page_np(b)),
+    )
+    pgs, rks, cts = pq.pallas_sorted_and_locate(
+        jnp.asarray(a), jnp.asarray(na), jnp.asarray(ra),
+        jnp.asarray(b), jnp.asarray(nb), jnp.asarray(rb),
+        jnp.asarray(bounds), cap=cap, topk=8, interpret=True,
+        shared_pg=True,
+    )
+    for got in ((pgc, rkc, ctc), (pgs, rks, cts)):
+        np.testing.assert_array_equal(pg, np.asarray(got[0]))
+        np.testing.assert_allclose(rk, np.asarray(got[1]), atol=1e-6)
+        np.testing.assert_array_equal(ct, np.asarray(got[2]))
     for i in range(bsz):
         vals, keep, _ = and_masked(
             jnp.asarray(a[i]), na[i], ra[i], jnp.asarray(b[i]), nb[i], rb[i]
