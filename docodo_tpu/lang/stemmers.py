@@ -440,6 +440,59 @@ def stem_ru(word: str) -> str:
     return word
 
 
+def stem_ru_bulk(words):
+    """Stem MANY Russian words in one native call (the ru build's
+    word-coding phase spent ~9.5 us/word in the Python Snowball).
+    Bit-identical to stem_ru — a fuzz test pins byte parity. Words
+    outside cp1251 (or with the native lib unavailable) fall back to
+    the Python stemmer per word."""
+    if not words:
+        return []
+    from docodo_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return [stem_ru(w) for w in words]
+    import ctypes
+
+    import numpy as np
+
+    raws = []
+    for w in words:
+        try:
+            raws.append(w.encode("cp1251"))
+        except UnicodeEncodeError:
+            raws.append(b"")
+    lens = np.fromiter(
+        (len(r) if r else -1 for r in raws), np.int32, len(raws)
+    )
+    covered = lens > 0
+    lens_c = lens[covered]
+    blob = b"".join(r for r in raws if r)
+    n_covered = int(covered.sum())
+    out_blob = ctypes.create_string_buffer(len(blob) + 8)
+    out_lens = np.empty(max(n_covered, 1), dtype=np.int32)
+    lib.docodo_stem_ru_bulk(
+        blob, lens_c.ctypes.data_as(ctypes.c_void_p), n_covered,
+        out_blob, out_lens.ctypes.data_as(ctypes.c_void_p),
+    )
+    total_out = int(np.maximum(out_lens[:n_covered], 0).sum())
+    blob_out = out_blob.raw[:total_out].decode("cp1251")
+    out = []
+    pos = 0
+    k = 0
+    lens_list = out_lens[:n_covered].tolist()
+    for i, w in enumerate(words):
+        if not covered[i]:
+            out.append(stem_ru(w))
+            continue
+        n = lens_list[k]
+        k += 1
+        out.append(blob_out[pos: pos + n])
+        pos += n
+    return out
+
+
 # =========================================================================
 # German (Snowball)
 # =========================================================================
@@ -832,6 +885,9 @@ KNOWN_STEMMERS = [
     ("de", stem_de, "a-zẞäüö"),
     ("fr", stem_fr, "a-zéâàêèëçîïôûùüÿ"),
 ]
+
+# per-word stemmer -> one-native-call batch twin (build-path hot loop)
+BULK_STEMMERS = {stem_en: stem_en_bulk, stem_ru: stem_ru_bulk}
 
 
 def get_stemmer(lang: str):

@@ -72,8 +72,6 @@ class WordCoder:
         facade build's word-coding phase. Only the no-vocab stemmer-
         table path batches; everything else falls through to the normal
         per-word logic (and vocab stems are dict lookups anyway)."""
-        if self.vocs:
-            return
         todo = [
             w for w in words
             if w and w not in self._cache
@@ -81,8 +79,18 @@ class WordCoder:
         ]
         if not todo:
             return
+        if self.vocs:
+            # vocab path: the heavy per-word cost is voc.stem (the
+            # language Snowball) inside _codes_uncached — pre-fill each
+            # voc's stem cache with ONE native bulk call; the rest of
+            # the coding (group search, key assembly) stays per word
+            for voc in self.vocs:
+                if voc is not None:
+                    voc.prime_stems(todo)
+            return
         fns = []
         en_words = []
+        ru_words = []
         # fast path: a pure-ASCII lowercase-alpha word is all [a-z]; the
         # table's only range it can match is "en" (digit-start excluded
         # above, "ru" needs Cyrillic, "de"/"fr" come after "en"). Any
@@ -104,11 +112,14 @@ class WordCoder:
             fns.append(fn)
             if fn is stemmers.stem_en:
                 en_words.append(w)
+            elif fn is stemmers.stem_ru:
+                ru_words.append(w)
         stems = dict(zip(en_words, stemmers.stem_en_bulk(en_words)))
+        stems.update(zip(ru_words, stemmers.stem_ru_bulk(ru_words)))
         if len(self._cache) + len(todo) > 1_000_000:
             return
         for w, fn in zip(todo, fns):
-            if fn is stemmers.stem_en:
+            if fn is stemmers.stem_en or fn is stemmers.stem_ru:
                 stemmed = stems[w]
             elif fn is not None:
                 stemmed = fn(w)

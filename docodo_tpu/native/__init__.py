@@ -84,6 +84,9 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.docodo_stem_en_bulk.restype = c.c_int64
     lib.docodo_stem_en_bulk.argtypes = [
         c.c_char_p, c.c_void_p, c.c_int64, c.c_char_p, c.c_void_p]
+    lib.docodo_stem_ru_bulk.restype = c.c_int64
+    lib.docodo_stem_ru_bulk.argtypes = [
+        c.c_char_p, c.c_void_p, c.c_int64, c.c_char_p, c.c_void_p]
     lib.docodo_parse_records.restype = c.c_int64
     lib.docodo_parse_records.argtypes = [
         c.c_char_p, c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p,

@@ -613,4 +613,157 @@ int64_t docodo_parse_records(const uint8_t* buf, int64_t n,
     return cnt;
 }
 
+// ===========================================================================
+// Russian Snowball stemmer on cp1251 bytes (lang/stemmers.py stem_ru's
+// byte-parity twin; ref engine ships a NuGet Snowball binary). cp1251
+// encodes every lowercase Cyrillic letter in ONE byte, so the whole
+// algorithm is byte-oriented like the Porter2 path above. The suffix
+// tables are generated from the Python tuples (see lang/stemmers.py
+// _RU_*) — same entries, same order (longest-match-first semantics are
+// table-order semantics, exactly as the Python loop).
+// ===========================================================================
+
+static const char* RU_PG1[] = {"\xe2\xf8\xe8\xf1\xfc", "\xe2\xf8\xe8", "\xe2"};
+static const int RU_PG1_N = 3;
+static const char* RU_PG2[] = {"\xe8\xe2\xf8\xe8\xf1\xfc", "\xfb\xe2\xf8\xe8\xf1\xfc", "\xe8\xe2\xf8\xe8", "\xfb\xe2\xf8\xe8", "\xe8\xe2", "\xfb\xe2"};
+static const int RU_PG2_N = 6;
+static const char* RU_ADJ[] = {"\xe8\xec\xe8", "\xfb\xec\xe8", "\xe5\xe3\xee", "\xee\xe3\xee", "\xe5\xec\xf3", "\xee\xec\xf3", "\xe5\xe5", "\xe8\xe5", "\xfb\xe5", "\xee\xe5", "\xe5\xe9", "\xe8\xe9", "\xfb\xe9", "\xee\xe9", "\xe5\xec", "\xe8\xec", "\xfb\xec", "\xee\xec", "\xe8\xf5", "\xfb\xf5", "\xf3\xfe", "\xfe\xfe", "\xe0\xff", "\xff\xff", "\xee\xfe", "\xe5\xfe"};
+static const int RU_ADJ_N = 26;
+static const char* RU_PART1[] = {"\xe5\xec", "\xed\xed", "\xe2\xf8", "\xfe\xf9", "\xf9"};
+static const int RU_PART1_N = 5;
+static const char* RU_PART2[] = {"\xe8\xe2\xf8", "\xfb\xe2\xf8", "\xf3\xfe\xf9"};
+static const int RU_PART2_N = 3;
+static const char* RU_REFL[] = {"\xf1\xff", "\xf1\xfc"};
+static const int RU_REFL_N = 2;
+static const char* RU_VERB1[] = {"\xe5\xf8\xfc", "\xed\xed\xee", "\xe5\xf2\xe5", "\xe9\xf2\xe5", "\xeb\xe0", "\xed\xe0", "\xeb\xe8", "\xe5\xec", "\xeb\xee", "\xed\xee", "\xe5\xf2", "\xfe\xf2", "\xed\xfb", "\xf2\xfc", "\xe9", "\xeb", "\xed"};
+static const int RU_VERB1_N = 17;
+static const char* RU_VERB2[] = {"\xe5\xe9\xf2\xe5", "\xf3\xe9\xf2\xe5", "\xe8\xeb\xe0", "\xfb\xeb\xe0", "\xe5\xed\xe0", "\xe8\xf2\xe5", "\xe8\xeb\xe8", "\xfb\xeb\xe8", "\xe8\xeb\xee", "\xfb\xeb\xee", "\xe5\xed\xee", "\xf3\xe5\xf2", "\xf3\xfe\xf2", "\xe5\xed\xfb", "\xe8\xf2\xfc", "\xfb\xf2\xfc", "\xe8\xf8\xfc", "\xe5\xe9", "\xf3\xe9", "\xe8\xeb", "\xfb\xeb", "\xe8\xec", "\xfb\xec", "\xe5\xed", "\xff\xf2", "\xe8\xf2", "\xfb\xf2", "\xf3\xfe", "\xfe"};
+static const int RU_VERB2_N = 29;
+static const char* RU_NOUN[] = {"\xe8\xff\xec\xe8", "\xff\xec\xe8", "\xe0\xec\xe8", "\xe8\xe5\xe9", "\xe8\xff\xec", "\xe8\xe5\xec", "\xe8\xff\xf5", "\xe5\xe2", "\xee\xe2", "\xe8\xe5", "\xfc\xe5", "\xe5\xe8", "\xe8\xe8", "\xe5\xe9", "\xee\xe9", "\xe8\xe9", "\xff\xec", "\xe5\xec", "\xe0\xec", "\xee\xec", "\xe0\xf5", "\xff\xf5", "\xe8\xfe", "\xfc\xfe", "\xe8\xff", "\xfc\xff", "\xe0", "\xe5", "\xe8", "\xe9", "\xee", "\xf3", "\xfb", "\xfc", "\xfe", "\xff"};
+static const int RU_NOUN_N = 36;
+static const char* RU_SUP[] = {"\xe5\xe9\xf8\xe5", "\xe5\xe9\xf8"};
+static const int RU_SUP_N = 2;
+
+static inline bool ru_vowel(unsigned char c) {
+    // cp1251: а е и о у ы э ю я
+    return c == 0xe0 || c == 0xe5 || c == 0xe8 || c == 0xee ||
+           c == 0xf3 || c == 0xfb || c == 0xfd || c == 0xfe || c == 0xff;
+}
+
+// position after the first non-vowel following a vowel, from `start`
+// (lang/stemmers.py _region_after_vc)
+static int ru_region_after_vc(const unsigned char* w, int n, int start) {
+    int i = start;
+    while (i < n && !ru_vowel(w[i])) i++;
+    while (i < n && ru_vowel(w[i])) i++;
+    return i < n ? (i + 1 < n ? i + 1 : n) : n;
+}
+
+// longest (= first in table order) suffix inside RV; with preceded_ay
+// the byte before it must be а/я and inside RV. Returns suffix length
+// or 0.
+static int ru_ends(const unsigned char* w, int n, int rv,
+                   const char** tab, int tn, bool preceded_ay) {
+    for (int t = 0; t < tn; t++) {
+        int sl = (int)std::strlen(tab[t]);
+        if (n - sl >= rv && sl <= n &&
+            std::memcmp(w + n - sl, tab[t], sl) == 0) {
+            if (preceded_ay) {
+                int i = n - sl - 1;
+                if (i >= rv && (w[i] == 0xe0 || w[i] == 0xff)) return sl;
+            } else {
+                return sl;
+            }
+        }
+    }
+    return 0;
+}
+
+// stem one cp1251 word in place; returns new length
+static int docodo_stem_ru_one(unsigned char* w, int n) {
+    for (int i = 0; i < n; i++)
+        if (w[i] == 0xb8) w[i] = 0xe5;  // ё -> е
+    int rv = n;
+    for (int i = 0; i < n; i++) {
+        if (ru_vowel(w[i])) { rv = i + 1; break; }
+    }
+    int r1 = ru_region_after_vc(w, n, 0);
+    int r2 = ru_region_after_vc(w, n, r1);
+    if (rv >= n) return n;
+
+    // step 1: perfective gerund, else [reflexive] + adjectival|verb|noun
+    int sl = ru_ends(w, n, rv, RU_PG2, RU_PG2_N, false);
+    if (!sl) sl = ru_ends(w, n, rv, RU_PG1, RU_PG1_N, true);
+    if (sl) {
+        n -= sl;
+    } else {
+        int rl = ru_ends(w, n, rv, RU_REFL, RU_REFL_N, false);
+        if (rl) n -= rl;
+        int al = ru_ends(w, n, rv, RU_ADJ, RU_ADJ_N, false);
+        if (al) {
+            n -= al;
+            int pl = ru_ends(w, n, rv, RU_PART2, RU_PART2_N, false);
+            if (!pl) pl = ru_ends(w, n, rv, RU_PART1, RU_PART1_N, true);
+            if (pl) n -= pl;
+        } else {
+            int vl = ru_ends(w, n, rv, RU_VERB2, RU_VERB2_N, false);
+            if (!vl) vl = ru_ends(w, n, rv, RU_VERB1, RU_VERB1_N, true);
+            if (vl) {
+                n -= vl;
+            } else {
+                int nl = ru_ends(w, n, rv, RU_NOUN, RU_NOUN_N, false);
+                if (nl) n -= nl;
+            }
+        }
+    }
+
+    // step 2: trailing и
+    if (n >= 1 && w[n - 1] == 0xe8 && n - 1 >= rv) n -= 1;
+
+    // step 3: derivational ость/ост in R2
+    {
+        static const char* OST4 = "\xee\xf1\xf2\xfc";
+        static const char* OST3 = "\xee\xf1\xf2";
+        if (n >= 4 && n - 4 >= r2 && std::memcmp(w + n - 4, OST4, 4) == 0)
+            n -= 4;
+        else if (n >= 3 && n - 3 >= r2 && std::memcmp(w + n - 3, OST3, 3) == 0)
+            n -= 3;
+    }
+
+    // step 4: нн | superlative [нн] | ь
+    if (n >= 2 && w[n - 1] == 0xed && w[n - 2] == 0xed && n - 1 >= rv) {
+        n -= 1;
+    } else {
+        int ssl = ru_ends(w, n, rv, RU_SUP, RU_SUP_N, false);
+        if (ssl) {
+            n -= ssl;
+            if (n >= 2 && w[n - 1] == 0xed && w[n - 2] == 0xed &&
+                n - 1 >= rv)
+                n -= 1;
+        } else if (n >= 1 && w[n - 1] == 0xfc && n - 1 >= rv) {
+            n -= 1;
+        }
+    }
+    return n;
+}
+
+// Bulk ru stem: cp1251 words concatenated in `blob` with per-word
+// `lens`; stems concatenate into out_blob (capacity >= total_in),
+// out_lens[i] = stem length. Returns total output bytes.
+int64_t docodo_stem_ru_bulk(
+    const char* blob, const int32_t* lens, int64_t n,
+    char* out_blob, int32_t* out_lens) {
+    int64_t ip = 0, op = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int ln = lens[i];
+        std::memcpy(out_blob + op, blob + ip, ln);
+        int r = docodo_stem_ru_one(
+            reinterpret_cast<unsigned char*>(out_blob + op), ln);
+        out_lens[i] = (int32_t)r;
+        op += r;
+        ip += ln;
+    }
+    return op;
+}
+
 }  // extern "C"

@@ -274,3 +274,56 @@ def test_word_coder_prime_parity():
     c1.prime(words)
     for w in words:
         assert c1.codes(w) == c2.codes(w), w
+
+
+def test_native_stem_ru_parity_fuzz():
+    """The C cp1251 Russian Snowball (docodo_stem_ru_bulk) must
+    bit-match the pure-Python stem_ru on real corpus vocabulary and
+    adversarial random Cyrillic strings; non-cp1251 words fall back to
+    Python inside the bulk wrapper."""
+    import random
+
+    from docodo_tpu.lang.stemmers import stem_ru, stem_ru_bulk
+    from docodo_tpu.native import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    words = set()
+    path = "/root/reference/Test/voyna-i-mir-tom-1.txt"
+    if os.path.exists(path):
+        import re
+
+        raw = open(path, encoding="cp1251", errors="replace").read().lower()
+        words.update(
+            m.group() for m in re.finditer(r"[а-яё]+", raw)
+        )
+    rng = random.Random(11)
+    alpha = "абвгдежзийклмнопрстуфхцчшщъыьэюяё"
+    for _ in range(8000):
+        n = rng.randint(1, 14)
+        words.add("".join(rng.choice(alpha) for _ in range(n)))
+    # boundary shapes: bare suffixes, ё-folding, nn/soft-sign tails,
+    # a non-cp1251 word (falls back to Python inside the bulk wrapper)
+    words.update(["вшись", "ость", "нн", "ь", "ёж", "делённый",
+                  "наибольшейше", "прослушавшись", "ція"])
+    wl = sorted(words)
+    bulk = stem_ru_bulk(wl)
+    for w, b in zip(wl, bulk):
+        assert b == stem_ru(w), w
+
+
+def test_vocab_prime_stems_matches_per_word():
+    """Vocab.prime_stems (the native bulk warmer) must leave stem()
+    bit-identical to the unprimed per-word path."""
+    from docodo_tpu.lang.vocab import Vocab
+
+    v1 = Vocab(name="ru")
+    v1.stemmer = __import__(
+        "docodo_tpu.lang.stemmers", fromlist=["stem_ru"]).stem_ru
+    v1.range = ("а", "яё"[-1])
+    words = ["читалась", "поля", "ёлками", "стол", "ость"]
+    expect = [v1.stem(w) for w in words]
+    v1.prime_stems(words)
+    assert [v1.stem(w) for w in words] == expect
