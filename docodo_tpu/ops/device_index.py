@@ -116,24 +116,33 @@ def build_page_of(bounds_np, coords_np):
 
 @jax.tree_util.register_pytree_node_class
 class SmallTab:
-    """One small-term posting table: `w` is the posting-cap width it
-    serves (STATIC jit metadata — jit args must not trace it), `tab`
-    is [rows, w] (coords) or [rows, 2w] (coords || page_of)."""
+    """One posting table: `w` is the width it serves (STATIC jit
+    metadata — jit args must not trace it), `tab` is [rows, w] (coords)
+    or [rows, 2w] (coords || page_of).
 
-    def __init__(self, w: int, row_map, tab):
+    `band`: a CUMULATIVE table (band=False) holds every term with
+    count <= w — one gather serves any cap == w. A BANDED table holds
+    only terms with count in (w/2, w], so big widths stay proportional
+    to the postings they cover (~2-4x total postings across all bands)
+    instead of exploding; a cap-C fetch above 128 selects across the
+    cum-128 table plus every band in (128, C]."""
+
+    def __init__(self, w: int, row_map, tab, band: bool = False):
         self.w = w
         self.row_map = row_map
         self.tab = tab
+        self.band = band
 
     def __iter__(self):  # (w, row_map, tab) unpacking convenience
         return iter((self.w, self.row_map, self.tab))
 
     def tree_flatten(self):
-        return (self.row_map, self.tab), self.w
+        return (self.row_map, self.tab), (self.w, self.band)
 
     @classmethod
-    def tree_unflatten(cls, w, children):
-        return cls(w, *children)
+    def tree_unflatten(cls, aux, children):
+        w, band = aux if isinstance(aux, tuple) else (aux, False)
+        return cls(w, *children, band=band)
 
 
 def build_small_tables(offsets_np, coords_np,
@@ -171,14 +180,28 @@ def build_small_tables(offsets_np, coords_np,
     n = coords_np.shape[0]
     budget = max_bytes
     out = []
-    for w in widths:
-        tids = np.flatnonzero(counts <= w).astype(np.int64)
+
+    def emit(w: int, tids, band: bool) -> bool:
+        nonlocal budget
         if tids.size == 0:
-            continue
+            # an EMPTY band still needs a marker so coverage checks can
+            # tell "no terms in this band" from "band skipped by
+            # budget" — emit a zero-row table (row_map all -1)
+            if band:
+                out.append(SmallTab(
+                    w,
+                    jnp.asarray(np.full(t, -1, dtype=np.int32)),
+                    jnp.zeros(
+                        (0, 2 * w if pages_np is not None else w),
+                        dtype=jnp.int32),
+                    band=True,
+                ))
+                return True
+            return True
         rows = _bucket(int(tids.size), lo=8)
         nbytes = rows * w * 4 * (2 if pages_np is not None else 1)
         if nbytes > budget:
-            continue
+            return False
         budget -= nbytes
         row_map = np.full(t, -1, dtype=np.int32)
         row_map[tids] = np.arange(tids.size, dtype=np.int32)
@@ -197,7 +220,24 @@ def build_small_tables(offsets_np, coords_np,
             pgs = np.asarray(pages_np)[idx].astype(np.int32)
             tab[: tids.size, w:] = np.where(
                 lane < cnts[:, None], pgs, INT32_MAX)
-        out.append(SmallTab(w, jnp.asarray(row_map), jnp.asarray(tab)))
+        out.append(SmallTab(
+            w, jnp.asarray(row_map), jnp.asarray(tab), band=band))
+        return True
+
+    for w in widths:
+        emit(w, np.flatnonzero(counts <= w).astype(np.int64), band=False)
+    # BANDED tables above the cumulative widths: width w holds terms
+    # with count in (w/2, w] — total banded bytes stay within ~2-4x the
+    # postings they cover, so block-DMA caps get latency-bound row
+    # gathers too (measured 24 ns/row vs ~1.3 us/row dynamic_slice)
+    band_max = int(_os.environ.get("DOCODO_SMALL_TAB_BAND_MAX", "16384"))
+    w = max(widths) * 2 if widths else 0
+    while w and w <= band_max and budget > 0:
+        tids = np.flatnonzero(
+            (counts > w // 2) & (counts <= w)).astype(np.int64)
+        if not emit(w, tids, band=True):
+            break  # budget exhausted: larger bands only get bigger
+        w *= 2
     return tuple(out) or None
 
 
@@ -364,15 +404,19 @@ def gather_term(coords, term_offsets, term, cap: int, small=None):
     ln = term_offsets[safe + 1] - start
     ln = jnp.where(term >= 0, ln, 0)
     ln = jnp.minimum(ln, cap).astype(jnp.int32)
-    if small is not None:
-        for w, row_map, tab in small:
-            if w == cap and tab.shape[0] > 0:
-                row = jnp.maximum(row_map[safe], 0)
-                vals = tab[row][:cap]
-                vals = jnp.where(
-                    jnp.arange(cap, dtype=jnp.int32) < ln, vals, INF32
+    tabs = _fetch_tables(small, cap)
+    if tabs is not None:
+        lane = jnp.arange(cap, dtype=jnp.int32)
+        vals = jnp.full((cap,), INF32, jnp.int32)
+        for st in tabs:
+            row = st.row_map[safe]
+            g = st.tab[jnp.maximum(row, 0)][: st.w]
+            if st.w < cap:
+                g = jnp.concatenate(
+                    [g, jnp.full((cap - st.w,), INF32, jnp.int32)]
                 )
-                return vals, ln
+            vals = jnp.where(row >= 0, g, vals)
+        return jnp.where(lane < ln, vals, INF32), ln
     # Cap-adaptive fetch (measured on TPU v5e, min-of-3 chained):
     # * cap >= 256: ONE contiguous dynamic_slice per term, NOT
     #   coords[start + arange] — explicit per-element indices lower to
@@ -396,15 +440,47 @@ def gather_term(coords, term_offsets, term, cap: int, small=None):
     return vals, ln
 
 
+def _fetch_tables(small, cap: int):
+    """The table set that covers a cap-`cap` fetch, or None.
+
+    cap <= the widest cumulative width: the one CUMULATIVE table of
+    width == cap. Above: the widest cumulative table plus every BANDED
+    table in (cum_w, cap] — together they hold every term with
+    count <= cap exactly once. Any missing band (budget-skipped) means
+    no coverage -> block-DMA."""
+    if small is None:
+        return None
+    cums = [st for st in small if not st.band]
+    for st in cums:
+        if st.w == cap and st.tab.shape[0] > 0:
+            return (st,)
+    if not cums or cap <= max(st.w for st in cums):
+        return None
+    base = max(cums, key=lambda st: st.w)
+    if base.tab.shape[0] == 0:
+        return None
+    tabs = [base]
+    w = base.w * 2
+    bands = {st.w: st for st in small if st.band}
+    while w <= cap:
+        st = bands.get(w)
+        if st is None:
+            return None
+        if st.tab.shape[0] > 0:
+            tabs.append(st)
+        w *= 2
+    return tuple(tabs)
+
+
 def _tab_serves(small, cap: int) -> bool:
-    """Whether a COMBINED (coords||pages) small table serves this cap —
+    """Whether COMBINED (coords||pages) tables fully serve this cap —
     the only case where carrying pages through the fetch is free (row
-    gathers are latency-bound). Block-DMA fetches would pay a second
-    slice per row: measured a 22% LOSS on the ru mix; those buckets use
-    the shared XLA page lookup instead (pallas_query._shared_pg)."""
-    return small is not None and any(
-        w == cap and tab.shape[1] == 2 * cap and tab.shape[0] > 0
-        for w, _, tab in small
+    gathers are latency-bound at ~24 ns/row). Uncovered caps fall back
+    to block-DMA + the shared XLA page lookup (a paged block-DMA fetch
+    doubles its row count: measured a 22% LOSS on the ru mix)."""
+    tabs = _fetch_tables(small, cap)
+    return tabs is not None and all(
+        st.tab.shape[1] == 2 * st.w for st in tabs
     )
 
 
@@ -422,14 +498,23 @@ def gather_term_paged(coords, page_of, term_offsets, term, cap: int,
     ln = jnp.where(term >= 0, ln, 0)
     ln = jnp.minimum(ln, cap).astype(jnp.int32)
     lane = jnp.arange(cap, dtype=jnp.int32)
-    if small is not None:
-        for w, row_map, tab in small:
-            if w == cap and tab.shape[0] > 0 and tab.shape[1] == 2 * cap:
-                row = jnp.maximum(row_map[safe], 0)
-                both = tab[row]
-                vals = jnp.where(lane < ln, both[:cap], INF32)
-                pgs = jnp.where(lane < ln, both[cap:], INF32)
-                return vals, pgs, ln
+    tabs = _fetch_tables(small, cap)
+    if tabs is not None and all(
+            st.tab.shape[1] == 2 * st.w for st in tabs):
+        vals = jnp.full((cap,), INF32, jnp.int32)
+        pgs = jnp.full((cap,), INF32, jnp.int32)
+        for st in tabs:
+            row = st.row_map[safe]
+            both = st.tab[jnp.maximum(row, 0)]
+            gv, gp = both[: st.w], both[st.w: 2 * st.w]
+            if st.w < cap:
+                pad = jnp.full((cap - st.w,), INF32, jnp.int32)
+                gv = jnp.concatenate([gv, pad])
+                gp = jnp.concatenate([gp, pad])
+            vals = jnp.where(row >= 0, gv, vals)
+            pgs = jnp.where(row >= 0, gp, pgs)
+        return (jnp.where(lane < ln, vals, INF32),
+                jnp.where(lane < ln, pgs, INF32), ln)
     if cap >= GATHER_SLICE_MIN:
         ext = jnp.concatenate(
             [coords, jnp.full((cap,), INF32, coords.dtype)]
@@ -906,29 +991,43 @@ def _locate_full_chunked(hv, bounds, page_doc, is_header,
 def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
                       tq, rq, caps, topk: int, hit_cap: int,
                       with_docs: bool, small=None,
-                      interpret: bool = False) -> LocateFull:
+                      interpret: bool = False,
+                      page_of=None) -> LocateFull:
     """W=2 V=1 big-bucket pipeline, fully chunk-streamed: per-word
     gathers -> ONE vmapped tagged lax.sort (the merge) -> the two-pass
     chunked AND (keep resolution) -> the chunked locate. Replaces the
     ~90-launch XLA scan chain per bucket with 3 kernel launches + the
     sort (ref IndexSequence.cs:218-284 + Search.cs:365-420 semantics,
-    bit-identical to ops/seqops.and_masked + locate_full)."""
+    bit-identical to ops/seqops.and_masked + locate_full).
+
+    When the BANDED combined tables cover both caps, the fetch is row
+    gathers (latency-bound) carrying the page streams through the
+    merge sort — the AND kernel masks lanes in place, so alignment
+    survives it and the chunked locate skips its shared page lookup.
+    Uncovered caps stay on block-DMA + shared lookup (a paged
+    block-DMA fetch measured a 22% ru loss before the banded tables)."""
     from docodo_tpu.ops.pallas_query import pallas_chunked_and
 
     c0, c1 = caps
     bsz = tq.shape[0]
     lane0 = jax.lax.broadcasted_iota(jnp.int32, (bsz, c0), 1)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (bsz, c1), 1)
-    # chunked caps (>= 1024) never have combined small tables, so the
-    # fetch stays unpaged (a second block-DMA slice per row measured a
-    # 22% ru-mix loss); the chunked locate's own shared XLA lookup
-    # provides the page stream
-    g0 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c0,
-                                        small))
-    g1 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c1,
-                                        small))
-    a, na = g0(tq[:, 0])
-    b, nb = g1(tq[:, 1])
+    carried = (page_of is not None and _tab_serves(small, c0)
+               and _tab_serves(small, c1))
+    if carried:
+        g0 = jax.vmap(lambda t: gather_term_paged(
+            coords, page_of, term_offsets, t, c0, small))
+        g1 = jax.vmap(lambda t: gather_term_paged(
+            coords, page_of, term_offsets, t, c1, small))
+        a, apg, na = g0(tq[:, 0])
+        b, bpg, nb = g1(tq[:, 1])
+    else:
+        g0 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c0,
+                                            small))
+        g1 = jax.vmap(lambda t: gather_term(coords, term_offsets, t, c1,
+                                            small))
+        a, na = g0(tq[:, 0])
+        b, nb = g1(tq[:, 1])
     av = jnp.where(lane0 < na[:, None], a, INF32)
     bv = jnp.where(lane1 < nb[:, None], b, INF32)
     tag = jnp.concatenate([
@@ -936,15 +1035,21 @@ def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
         jnp.where(lane1 < nb[:, None], 1, 2),
     ], axis=1).astype(jnp.int32)
     cat = jnp.concatenate([av, bv], axis=1)
-    vals, tag = jax.vmap(
-        lambda v, t: jax.lax.sort((v, t), num_keys=2)
-    )(cat, tag)
+    pg = None
+    if carried:
+        vals, tag, pg = jax.vmap(
+            lambda v, t, p: jax.lax.sort((v, t, p), num_keys=2)
+        )(cat, tag, jnp.concatenate([apg, bpg], axis=1))
+    else:
+        vals, tag = jax.vmap(
+            lambda v, t: jax.lax.sort((v, t), num_keys=2)
+        )(cat, tag)
     hv = pallas_chunked_and(
         vals, tag, rq[:, :1], rq[:, 1:2], interpret=interpret
     )
     return _locate_full_chunked(
         hv, bounds, page_doc, is_header, topk=topk, hit_cap=hit_cap,
-        with_docs=with_docs, interpret=interpret,
+        with_docs=with_docs, interpret=interpret, pg=pg,
     )
 
 
@@ -984,6 +1089,23 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                     term_offsets, coords, bounds, page_doc, is_header,
                     t2, rq, caps, topk=topk, hit_cap=hit_cap,
                     with_docs=with_docs, small=small, interpret=interp,
+                    page_of=page_of,
+                )
+            if (w == 1 and v == 1 and caps[0] >= 2048
+                    and page_of is not None
+                    and _tab_serves(small, caps[0])):
+                # single-word big cap with banded-table coverage: the
+                # gathered block IS the kept stream, its page stream
+                # comes with the same row gathers
+                t1 = tq[:, 0] if tq.ndim == 2 else tq[:, 0, 0]
+                a1, apg1, _na1 = jax.vmap(
+                    lambda t: gather_term_paged(
+                        coords, page_of, term_offsets, t, caps[0], small)
+                )(t1)
+                return _locate_full_chunked(
+                    a1, bounds, page_doc, is_header, topk=topk,
+                    hit_cap=hit_cap, with_docs=with_docs,
+                    interpret=interp, pg=apg1,
                 )
             gm = functools.partial(
                 eval_query_masked, ca_max=FULL_CA_MAX, small=small

@@ -666,10 +666,22 @@ def test_small_table_fetch_parity():
     off = jnp.asarray(off_np.astype(np.int32))
 
     small = di_mod.build_small_tables(off_np, coords_np)
-    assert small is not None and len(small) == 2
-    widths = sorted(w for w, _, t in small)
-    assert widths == [64, 128]
-    assert all(t.shape[1] == w for w, _, t in small)
+    assert small is not None
+    cums = [st for st in small if not st.band]
+    bands = [st for st in small if st.band]
+    assert sorted(st.w for st in cums) == [64, 128]
+    assert all(st.tab.shape[1] == st.w for st in small)
+    # banded widths cover (128, count_max]; counts here are < 256, so
+    # only the 256 band holds rows and the rest are empty markers
+    assert bands and bands[0].w == 256
+    assert all(st.tab.shape[0] == 0 for st in bands[1:])
+    # multi-band fetch parity at a cap above the cumulative widths
+    for term in [t for t in range(T) if counts[t] <= 256][:8] + [
+            int(np.argmax(counts)), -1]:
+        v1, n1 = di_mod.gather_term(coords, off, term, 256)
+        v2, n2 = di_mod.gather_term(coords, off, term, 256, small)
+        assert int(n1) == int(n2), term
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
     # combined coords||pages tables: same coords half, page half matches
     # build_page_of at every real lane
