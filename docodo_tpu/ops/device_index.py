@@ -1373,12 +1373,18 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
     single = w == 1
     # W=1 full buckets beyond the merge-free kernel's cap ride the
     # union kernel with V=1 (its merge sort is skipped) — measured
-    # 1.21x over the XLA locate_full at cap 256, but a LOSS at 512
-    # (0.89x) and a wash at 1024, so the route stops at 256; W=2 stays
-    # within the sorted budget
+    # 1.21x over the XLA locate_full at cap 256; pre-paged-kernel
+    # measurements had a LOSS at 512 (0.89x) and a wash at 1024, but
+    # with CARRIED page streams (no in-kernel compare-all) the whole
+    # stream budget wins (ru cap-1024 W1 bucket: 3.8 -> measured below)
     # W2 cap 1024 (n=2048) COMPILES in slots mode (MAX_SORTED_SLOTS_CAP)
     # but measured 0.89-0.95x vs the XLA sort path on v5e — stays off
-    limit = W1_FULL_STREAM_MAX if single else MAX_SORTED_PALLAS_CAP
+    w1_limit = (
+        MAX_STREAM_WIDTH
+        if page_of is not None and _tab_serves(small, cap)
+        else W1_FULL_STREAM_MAX
+    ) if not isinstance(cap, tuple) else W1_FULL_STREAM_MAX
+    limit = w1_limit if single else MAX_SORTED_PALLAS_CAP
     if cap > limit or (single and topk > cap):
         return None
     if single and cap > MAX_PALLAS_CAP:
