@@ -147,7 +147,8 @@ class SmallTab:
 
 def build_small_tables(offsets_np, coords_np,
                        widths: Sequence[int] = SMALL_TAB_WIDTHS,
-                       max_bytes: Optional[int] = None, pages_np=None):
+                       max_bytes: Optional[int] = None, pages_np=None,
+                       as_numpy: bool = False):
     """Build the small-term posting tables host-side and upload them.
 
     offsets_np: int64[T+1] CSR offsets; coords_np: the HOST mirror of
@@ -188,12 +189,13 @@ def build_small_tables(offsets_np, coords_np,
             # tell "no terms in this band" from "band skipped by
             # budget" — emit a zero-row table (row_map all -1)
             if band:
+                xp = np if as_numpy else jnp
                 out.append(SmallTab(
                     w,
-                    jnp.asarray(np.full(t, -1, dtype=np.int32)),
-                    jnp.zeros(
+                    xp.asarray(np.full(t, -1, dtype=np.int32)),
+                    xp.zeros(
                         (0, 2 * w if pages_np is not None else w),
-                        dtype=jnp.int32),
+                        dtype=np.int32),
                     band=True,
                 ))
                 return True
@@ -220,8 +222,11 @@ def build_small_tables(offsets_np, coords_np,
             pgs = np.asarray(pages_np)[idx].astype(np.int32)
             tab[: tids.size, w:] = np.where(
                 lane < cnts[:, None], pgs, INT32_MAX)
-        out.append(SmallTab(
-            w, jnp.asarray(row_map), jnp.asarray(tab), band=band))
+        if as_numpy:
+            out.append(SmallTab(w, row_map, tab, band=band))
+        else:
+            out.append(SmallTab(
+                w, jnp.asarray(row_map), jnp.asarray(tab), band=band))
         return True
 
     for w in widths:

@@ -98,14 +98,12 @@ class ShardedDeviceIndex:
 
     def _stage_paged_tables(self):
         """Per-shard page_of arrays [S, n] + STACKED combined small
-        tables (w, row_map [S, T], tab [S, rows, 2w]) from host mirrors
-        of the per-shard CSR (the same lexsort the device build
+        tables (w, band, row_map [S, T], tab [S, rows, 2w]) from host
+        mirrors of the per-shard CSR (the same lexsort the device build
         performs). Shard counts are subsets of the global counts, so
         the single-chip small-table contract (every real term in a
         bucket has count <= cap) carries over per shard."""
         import os as _os
-
-        from docodo_tpu.ops.device_index import SMALL_TAB_WIDTHS
 
         corpus = self.corpus
         T = len(self.terms)
@@ -130,37 +128,45 @@ class ShardedDeviceIndex:
                 ).astype(np.int32)
         small_stack = []
         if _os.environ.get("DOCODO_SMALL_TAB", "1") != "0" and T:
-            counts_s = offs[:, 1:] - offs[:, :-1]       # [S, T]
-            lane_cache = {}
-            for w in SMALL_TAB_WIDTHS:
-                tids_list = [
-                    np.flatnonzero(counts_s[s] <= w) for s in range(S)
+            from docodo_tpu.ops.device_index import build_small_tables
+
+            # per-shard tables via the SAME builder as the single-chip
+            # path (cumulative + banded widths, coords||pages rows),
+            # then stacked: every (width, band) present on any shard
+            # becomes one [S, rows, cols] entry, absent/narrower shards
+            # padded with -1 row_maps (their gathers select nothing)
+            per_shard = [
+                build_small_tables(
+                    offs[s], sc_np[s, : int(corpus.n_tokens[s])],
+                    pages_np=pg[s, : int(corpus.n_tokens[s])],
+                    as_numpy=True,
+                ) or () for s in range(S)
+            ]
+            keys = []
+            for tabs in per_shard:
+                for st in tabs:
+                    if (st.w, st.band) not in keys:
+                        keys.append((st.w, st.band))
+            for w, band in sorted(keys):
+                entries = [
+                    next((st for st in per_shard[s]
+                          if st.w == w and st.band == band), None)
+                    for s in range(S)
                 ]
-                mx = max((t.size for t in tids_list), default=0)
-                if mx == 0:
-                    continue
-                rows = _bucket(mx, lo=8)
-                row_map = np.full((S, T), -1, dtype=np.int32)
-                tab = np.full((S, rows, 2 * w), INT32_MAX, dtype=np.int32)
-                lane = lane_cache.setdefault(
-                    w, np.arange(w, dtype=np.int64)[None, :]
+                rows = max(
+                    (e.tab.shape[0] for e in entries if e is not None),
+                    default=0,
                 )
-                for s in range(S):
-                    tids = tids_list[s]
-                    if tids.size == 0:
+                row_map = np.full((S, T), -1, dtype=np.int32)
+                tab = np.full((S, rows, 2 * w), INT32_MAX,
+                              dtype=np.int32)
+                for s, e in enumerate(entries):
+                    if e is None or e.tab.shape[0] == 0:
                         continue
-                    row_map[s, tids] = np.arange(
-                        tids.size, dtype=np.int32)
-                    starts = offs[s][tids]
-                    cnts = counts_s[s][tids].astype(np.int64)
-                    idx = np.minimum(starts[:, None] + lane, nloc - 1)
-                    live = lane < cnts[:, None]
-                    tab[s, : tids.size, :w] = np.where(
-                        live, sc_np[s][idx], INT32_MAX)
-                    tab[s, : tids.size, w:] = np.where(
-                        live, pg[s][idx], INT32_MAX)
+                    row_map[s] = e.row_map
+                    tab[s, : e.tab.shape[0]] = e.tab
                 small_stack.append(
-                    (w, jnp.asarray(row_map), jnp.asarray(tab))
+                    (w, band, jnp.asarray(row_map), jnp.asarray(tab))
                 )
         return jnp.asarray(pg), tuple(small_stack)
 

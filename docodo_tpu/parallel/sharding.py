@@ -152,8 +152,9 @@ def _sharded_query_full_jit(mesh, cap: int, topk: int, hit_cap: int,
         small_flat, (tq, rq) = rest[: 2 * ns], rest[2 * ns:]
         off, co, bo, pd, hd = off[0], co[0], bo[0], pd[0], hd[0]
         small = tuple(
-            SmallTab(w, small_flat[2 * i][0], small_flat[2 * i + 1][0])
-            for i, w in enumerate(small_widths)
+            SmallTab(w, small_flat[2 * i][0], small_flat[2 * i + 1][0],
+                     band=band)
+            for i, (w, band) in enumerate(small_widths)
         ) or None
         lf = _bucket_full(
             off, co, bo, pd, hd, tq, rq, cap=cap, topk=topk,
@@ -203,8 +204,9 @@ def sharded_query_full(mesh, term_offsets, coords, bounds, page_doc,
     are shard-invariant because documents never span shards).
 
     terms: int32[B, W] or int32[B, W, V]; rs: int32[B, W].
-    small: optional stacked small tables — tuple of (w, row_map [S, T],
-    tab [S, rows, 2w]) triples (serving.ShardedDeviceIndex staging).
+    small: optional stacked small tables — tuple of (w, band,
+    row_map [S, T], tab [S, rows, 2w]) entries
+    (serving.ShardedDeviceIndex staging).
     page_of: optional [S, n] per-posting page indices.
     Returns the 8 LocateFull fields as a tuple of [S, B, ...] arrays;
     with_docs=False returns None in the docs/doc_ranks slots (and skips
@@ -219,7 +221,7 @@ def sharded_query_full(mesh, term_offsets, coords, bounds, page_doc,
     from docodo_tpu.ops.device_index import _chunked_mode
 
     small = small or ()
-    widths = tuple(w for w, _, _ in small)
+    widths = tuple((w, band) for w, band, _, _ in small)
     with_pg = page_of is not None
     if not with_pg:
         page_of = jnp.zeros(
@@ -228,7 +230,7 @@ def sharded_query_full(mesh, term_offsets, coords, bounds, page_doc,
         mesh, cap, topk, hit_cap, terms.ndim, with_docs,
         use_pallas, _chunked_mode(), widths, with_pg,
     )
-    small_flat = sum(((rm, tb) for _, rm, tb in small), ())
+    small_flat = sum(((rm, tb) for _, _, rm, tb in small), ())
     out = fn(term_offsets, coords, bounds, page_doc, is_header, page_of,
              *small_flat, terms, rs)
     if with_docs:
