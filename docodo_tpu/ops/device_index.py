@@ -1033,22 +1033,32 @@ def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
                                             small))
         a, na = g0(tq[:, 0])
         b, nb = g1(tq[:, 1])
-    av = jnp.where(lane0 < na[:, None], a, INF32)
-    bv = jnp.where(lane1 < nb[:, None], b, INF32)
-    tag = jnp.concatenate([
-        jnp.where(lane0 < na[:, None], 0, 2),
-        jnp.where(lane1 < nb[:, None], 1, 2),
-    ], axis=1).astype(jnp.int32)
-    cat = jnp.concatenate([av, bv], axis=1)
     pg = None
-    if carried:
-        vals, tag, pg = jax.vmap(
-            lambda v, t, p: jax.lax.sort((v, t, p), num_keys=2)
-        )(cat, tag, jnp.concatenate([apg, bpg], axis=1))
+    if carried and c0 == c1:
+        # bitonic two-stream merge kernel: one lane-rotation network
+        # replaces the vmapped 3-op lax.sort (5.9 -> 2.1 ms at the ru
+        # mix's [5000, 2048], checksum-identical)
+        from docodo_tpu.ops.pallas_query import pallas_bitonic_merge
+
+        vals, tag, pg = pallas_bitonic_merge(
+            a, na, b, nb, apg, bpg, cap=c0, interpret=interpret
+        )
     else:
-        vals, tag = jax.vmap(
-            lambda v, t: jax.lax.sort((v, t), num_keys=2)
-        )(cat, tag)
+        av = jnp.where(lane0 < na[:, None], a, INF32)
+        bv = jnp.where(lane1 < nb[:, None], b, INF32)
+        tag = jnp.concatenate([
+            jnp.where(lane0 < na[:, None], 0, 2),
+            jnp.where(lane1 < nb[:, None], 1, 2),
+        ], axis=1).astype(jnp.int32)
+        cat = jnp.concatenate([av, bv], axis=1)
+        if carried:
+            vals, tag, pg = jax.vmap(
+                lambda v, t, p: jax.lax.sort((v, t, p), num_keys=2)
+            )(cat, tag, jnp.concatenate([apg, bpg], axis=1))
+        else:
+            vals, tag = jax.vmap(
+                lambda v, t: jax.lax.sort((v, t), num_keys=2)
+            )(cat, tag)
     hv = pallas_chunked_and(
         vals, tag, rq[:, :1], rq[:, 1:2], interpret=interpret
     )
