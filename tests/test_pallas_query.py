@@ -441,3 +441,49 @@ def test_chunked_bucket_routing_matches_xla(rng):
                                    np.asarray(got.ranks), atol=1e-4)
         np.testing.assert_allclose(np.asarray(want.doc_ranks),
                                    np.asarray(got.doc_ranks), atol=1e-4)
+
+
+def test_bitonic_merge_matches_lax_sort(rng):
+    """The bitonic two-stream merge kernel (interpret mode) equals the
+    stable 3-operand lax.sort of the tagged concatenation on random
+    ragged blocks — including empty operands, full operands, and
+    cross-operand duplicate coordinates."""
+    from docodo_tpu.ops.pallas_query import pallas_bitonic_merge
+    from docodo_tpu.ops.seqops import INF32
+
+    for cap in (64, 256):
+        B = 12
+        a = np.full((B, cap), INF32, np.int32)
+        b = np.full((B, cap), INF32, np.int32)
+        na = rng.integers(0, cap + 1, B).astype(np.int32)
+        nb = rng.integers(0, cap + 1, B).astype(np.int32)
+        na[0] = 0            # empty a
+        nb[1] = 0            # empty b
+        na[2] = nb[2] = cap  # both full
+        pool = np.arange(0, 4 * cap) * 7
+        for i in range(B):
+            a[i, : na[i]] = np.sort(
+                rng.choice(pool, na[i], replace=False))
+            b[i, : nb[i]] = np.sort(
+                rng.choice(pool, nb[i], replace=False))
+        pga = np.where(a < INF32, a // 100, INF32).astype(np.int32)
+        pgb = np.where(b < INF32, b // 100, INF32).astype(np.int32)
+        v, t, p = pallas_bitonic_merge(
+            jnp.asarray(a), jnp.asarray(na), jnp.asarray(b),
+            jnp.asarray(nb), jnp.asarray(pga), jnp.asarray(pgb),
+            cap=cap, interpret=True)
+        lane = np.arange(cap)[None, :]
+        av = np.where(lane < na[:, None], a, np.int32(INF32))
+        bv = np.where(lane < nb[:, None], b, np.int32(INF32))
+        tag = np.concatenate([
+            np.where(lane < na[:, None], 0, 2),
+            np.where(lane < nb[:, None], 1, 2),
+        ], axis=1).astype(np.int32)
+        vs, ts, ps = jax.vmap(
+            lambda x, y, z: jax.lax.sort((x, y, z), num_keys=2)
+        )(jnp.asarray(np.concatenate([av, bv], axis=1)),
+          jnp.asarray(tag),
+          jnp.asarray(np.concatenate([pga, pgb], axis=1)))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(vs))
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(ts))
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(ps))
