@@ -1441,10 +1441,12 @@ CHUNK_LANES = int(_os.environ.get("DOCODO_CHUNK_LANES", "1024"))
 CHUNK_Q = 8         # rows per program (sublane tile)
 
 
-@functools.partial(jax.jit, static_argnames=("topk", "chunk", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("topk", "chunk", "interpret", "raw"))
 def pallas_chunked_locate(hv, bounds, *, topk: int,
                           chunk: int = CHUNK_LANES,
-                          interpret: bool = False, pg=None):
+                          interpret: bool = False, pg=None,
+                          raw: bool = False):
     """Locate+rank+topk over an INF-masked kept stream of ANY width
     (chunked sequential grid). Returns (pages, ranks, counts, n_pages)
     — the caller owns hits/n_hits (for a dense W=1 stream they are the
@@ -1452,6 +1454,9 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
 
     pg: optional per-slot page stream carried from the posting fetch
     (build_page_of) — skips the shared compare-all page lookup.
+
+    raw: return the kernel's six output streams before the weave/top-k
+    tail (stage profiling only).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1521,6 +1526,8 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
         ],
         interpret=interpret,
     )(hv, pg)
+    if raw:
+        return page_s, rank_s, cnt_s, sp, sr, sc
 
     # assemble in _locate_core slot order: [carry-close_c | chunk_c]...
     # then the final flush — run starts ascend, so rank ties break
