@@ -1867,16 +1867,158 @@ def pallas_bitonic_merge(a, na, b, nb, apg, bpg, *, cap: int,
     return v[:bsz], t[:bsz], p[:bsz]
 
 
+def _fused_and_kernel(vals_ref, tag_ref, ra_ref, rb_ref, hits_ref):
+    """ONE-pass full-width proximity-AND: the whole tagged stream is
+    resident, so the forward prefix quantities and the backward
+    value-at-next-terminal reverse mins of the two-pass chunked kernels
+    resolve in the same program — no inter-chunk carries, no rolled
+    input copies, no intermediate flag/prefix streams through HBM (the
+    two-pass pipeline at the ru mix's [5000, 2048] spent 4.53 ms; the
+    fwd alone re-reads 4 streams and writes 5). Semantics mirror
+    _chunked_and_fwd_kernel + _chunked_and_bwd_kernel bit-for-bit with
+    every carry at its init value (ref IndexSequence.cs:218-284 AND
+    with dup folding, gap + ordered-cut segmentation)."""
+    q, n = vals_ref.shape
+    lane = _iota((q, n), 1)
+    bigi = jnp.int32(np.iinfo(np.int32).max)
+
+    vals = vals_ref[...]
+    tag = tag_ref[...]
+    valid = vals < INF32
+    isa = jnp.logical_and(tag == 0, valid)
+    isb = jnp.logical_and(tag == 1, valid)
+
+    prev_vals = _shift_right_fill(vals, np.int32(0))
+    nxt_vals = _roll(vals, -1)
+    nxt_vals = jnp.where(lane == n - 1, INF32, nxt_vals)
+    nxt_tag = _roll(tag, -1)
+
+    # cross-operand duplicate folding onto the first of the pair
+    dup_prev = jnp.logical_and(vals == prev_vals, valid)
+    dup_prev = jnp.logical_and(dup_prev, lane > 0)
+    dup_next = jnp.logical_and(vals == nxt_vals, valid)
+    nxt_valid = nxt_vals < INF32
+    isa_next = jnp.logical_and(nxt_tag == 0, nxt_valid)
+    isb_next = jnp.logical_and(nxt_tag == 1, nxt_valid)
+    isa2 = jnp.logical_and(
+        jnp.logical_or(isa, jnp.logical_and(dup_next, isa_next)),
+        ~dup_prev,
+    )
+    isb2 = jnp.logical_and(
+        jnp.logical_or(isb, jnp.logical_and(dup_next, isb_next)),
+        ~dup_prev,
+    )
+
+    r1 = ra_ref[:, 0][:, None]
+    r2 = rb_ref[:, 0][:, None]
+    abs_r = jnp.maximum(jnp.abs(r1), jnp.abs(r2))
+    ordered = jnp.logical_and(r1 < 0, r2 < 0)
+
+    gap_prev = vals - jnp.where(lane == 0, 0, prev_vals)
+    gap_cut = jnp.logical_and(abs_r != 0, gap_prev > abs_r)
+    seg_start = jnp.logical_or(
+        lane == 0, jnp.logical_and(gap_cut, valid)
+    )
+
+    cum_a = _cumsum(isa2.astype(jnp.int32))
+    cum_b = _cumsum(isb2.astype(jnp.int32))
+
+    # ordered-mode extra cut at the first A of each gap segment
+    start_idx = _cummax(jnp.where(seg_start, lane, -1))
+    before = cum_a - isa2.astype(jnp.int32)
+    before_at_start = _cummax(jnp.where(seg_start, before, -1))
+    ordered_cut = jnp.logical_and(
+        jnp.logical_and(isa2, (before - before_at_start) == 0),
+        lane != start_idx,
+    )
+    seg_start2 = jnp.logical_or(
+        seg_start, jnp.logical_and(ordered, ordered_cut)
+    )
+
+    prev_cum_a = _shift_right_fill(cum_a, np.int32(0))
+    prev_cum_b = _shift_right_fill(cum_b, np.int32(0))
+    bef_a = _cummax(jnp.where(seg_start2, prev_cum_a, -1))
+    bef_b = _cummax(jnp.where(seg_start2, prev_cum_b, -1))
+
+    eff = jnp.logical_and(valid, ~dup_prev)
+
+    # terminal(i) = next slot is a segment start; virtual terminal
+    # after the last lane (selected in i32 — an i1-valued where trips
+    # Mosaic's truncation)
+    nxt_ss = _roll(seg_start2.astype(jnp.int32), -1)
+    terminal = jnp.where(lane == n - 1, 1, nxt_ss) > 0
+    end_a = _rev_cummin(jnp.where(terminal, cum_a, bigi), bigi)
+    end_b = _rev_cummin(jnp.where(terminal, cum_b, bigi), bigi)
+    keep = jnp.logical_and(
+        jnp.logical_and(end_a - bef_a > 0, end_b - bef_b > 0), eff
+    )
+    hits_ref[...] = jnp.where(keep, vals, INF32)
+
+
+FUSED_AND_MAX = int(_os.environ.get("DOCODO_FUSED_AND_MAX", "4096"))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_fused_and(vals, tag, ra, rb, *, interpret: bool = False):
+    """One-pass full-width twin of pallas_chunked_and for streams that
+    fit resident (n <= FUSED_AND_MAX; VMEM at q=32, n=2048 is ~3 MB of
+    a ~16 MB core budget). Lane-pads to 128; INF padding cannot start
+    segments or keep slots, and the virtual terminal propagates the
+    final totals across it."""
+    bsz, n = vals.shape
+    lpad = (-n) % 128
+    if lpad:
+        vals = jnp.concatenate(
+            [vals, jnp.full((bsz, lpad), INF32, jnp.int32)], axis=1
+        )
+        tag = jnp.concatenate(
+            [tag, jnp.full((bsz, lpad), 2, jnp.int32)], axis=1
+        )
+        n += lpad
+    q = max(8, min(32, (8192 // n) * 8))
+    if bsz < q:
+        q = max(8, ((bsz + 7) // 8) * 8)
+    pad = (-bsz) % q
+    if pad:
+        vals = jnp.concatenate(
+            [vals, jnp.full((pad, n), INF32, jnp.int32)]
+        )
+        tag = jnp.concatenate([tag, jnp.full((pad, n), 2, jnp.int32)])
+        ra = jnp.concatenate([ra, jnp.ones((pad, 1), jnp.int32)])
+        rb = jnp.concatenate([rb, jnp.ones((pad, 1), jnp.int32)])
+    b = vals.shape[0]
+    grid = (b // q,)
+    hits = pl.pallas_call(
+        _fused_and_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, n), lambda i: (i, 0)),
+            pl.BlockSpec((q, n), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((q, n), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
+        interpret=interpret,
+    )(vals, tag, ra, rb)
+    return hits[:bsz, :n - lpad] if lpad else hits[:bsz]
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
 def pallas_chunked_and(vals, tag, ra, rb, *, chunk: int = CHUNK_LANES,
                        interpret: bool = False):
-    """Proximity-AND keep over a PRE-MERGED tagged stream of any width
-    (two chunk-streamed kernel passes). Returns the kept-hit stream
-    (INF32 at dropped slots) — the input to pallas_chunked_locate and
-    the hits compaction."""
+    """Proximity-AND keep over a PRE-MERGED tagged stream of any width.
+    Streams up to FUSED_AND_MAX lanes take the ONE-pass resident kernel
+    (pallas_fused_and — measured 2.52 ms even as two single-chunk
+    passes vs 4.53 chunked at [5000, 2048]); wider streams take the two
+    chunk-streamed kernel passes. Returns the kept-hit stream (INF32 at
+    dropped slots) — the input to pallas_chunked_locate and the hits
+    compaction."""
     from jax.experimental.pallas import tpu as pltpu
 
     bsz, n = vals.shape
+    if n <= FUSED_AND_MAX:
+        return pallas_fused_and(vals, tag, ra, rb, interpret=interpret)
     cpad = (-n) % chunk
     if cpad:
         vals = jnp.concatenate(

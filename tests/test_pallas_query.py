@@ -443,6 +443,67 @@ def test_chunked_bucket_routing_matches_xla(rng):
                                    np.asarray(got.doc_ranks), atol=1e-4)
 
 
+def test_fused_and_matches_two_pass_chunked(rng):
+    """The ONE-pass full-width AND kernel (pallas_fused_and, interpret
+    mode) equals the two-pass chunked AND on random merged tagged
+    streams — odd widths (lane padding), widths past the _PACK=2048
+    packing bound of the resident kernels, ordered/unordered/r=0 rows,
+    empty rows and cross-operand duplicate coordinates."""
+    from docodo_tpu.ops.pallas_query import pallas_fused_and
+    from docodo_tpu.ops.seqops import INF32
+
+    def merged_stream(nprng, bsz, n):
+        vals = np.full((bsz, n), INF32, np.int32)
+        tag = np.full((bsz, n), 2, np.int32)
+        for i in range(bsz):
+            na = int(nprng.integers(0, n + 1))
+            nb = n - na
+            if i == 0:
+                na, nb = 0, 0          # empty row
+            if i == 1:
+                na, nb = n, 0          # one-operand-only row
+            pool = nprng.choice(
+                np.arange(6 * n) * 3, size=max(na + nb, 1),
+                replace=False)
+            # force cross-operand duplicates on a third of the rows
+            v = np.concatenate([
+                np.sort(pool[:na]), np.sort(pool[:nb])
+                if i % 3 == 0 and nb <= na else np.sort(pool[na:na + nb])
+            ]).astype(np.int32)
+            t = np.concatenate([
+                np.zeros(na, np.int32), np.ones(nb, np.int32)])
+            order = np.lexsort((t, v))
+            vals[i, : na + nb] = v[order]
+            tag[i, : na + nb] = t[order]
+        ra = nprng.integers(-60, 61, (bsz, 1)).astype(np.int32)
+        rb = nprng.integers(-60, 61, (bsz, 1)).astype(np.int32)
+        ra[2], rb[2] = 0, 0            # no-gap-cut row
+        ra[3], rb[3] = -30, -30        # ordered row
+        return (jnp.asarray(vals), jnp.asarray(tag),
+                jnp.asarray(ra), jnp.asarray(rb))
+
+    nprng = np.random.default_rng(41)
+    saved = pq.FUSED_AND_MAX
+    try:
+        for bsz, n in ((13, 600), (9, 1536), (7, 3072)):
+            vals, tag, ra, rb = merged_stream(nprng, bsz, n)
+            pq.FUSED_AND_MAX = 0       # force the two-pass oracle
+            want = np.asarray(pq.pallas_chunked_and(
+                vals, tag, ra, rb, interpret=True))
+            pq.FUSED_AND_MAX = saved
+            got = np.asarray(pallas_fused_and(
+                vals, tag, ra, rb, interpret=True))
+            # the two-pass path keeps its chunk padding; the fused one
+            # crops to the input width — the padding tail is never kept
+            assert got.shape == (bsz, n)
+            assert (want[:, n:] == INF32).all()
+            np.testing.assert_array_equal(
+                want[:, :n], got,
+                err_msg=f"fused AND diverges at [{bsz}, {n}]")
+    finally:
+        pq.FUSED_AND_MAX = saved
+
+
 def test_bitonic_merge_matches_lax_sort(rng):
     """The bitonic two-stream merge kernel (interpret mode) equals the
     stable 3-operand lax.sort of the tagged concatenation on random
