@@ -318,14 +318,16 @@ def _locate_rank_topk(vals, keep, lane, n, bounds_ref, pages_ref,
 
 
 def _segment_and_k(vals, isa2, isb2, ghost, valid, ra_ref, rb_ref,
-                   lane, n):
+                   lane, n, pack: int = _PACK):
     """Gap segmentation + ordered cut + per-segment both-operands
     containment over a merged tagged stream whose representative tags
     (isa2/isb2) and ghosts are already folded. Pure log-depth scans —
     the kernel twin of ops/seqops._segment_and.
 
     The a/b prefix sums (and the scans over them) are PACKED into one
-    int32 stream (cum_a + _PACK*cum_b, both <= n < _PACK): both
+    int32 stream (cum_a + pack*cum_b, both <= n < pack; pack defaults
+    to _PACK=2048 for the <=1024-lane resident kernels, 1<<15 for the
+    fused AND's <=4096-lane streams): both
     components are non-decreasing, so the packed stream is too, and
     every running max / reverse running min commutes with the packing —
     one scan replaces two (exact integer arithmetic throughout)."""
@@ -341,15 +343,15 @@ def _segment_and_k(vals, isa2, isb2, ghost, valid, ra_ref, rb_ref,
     seg_start = jnp.logical_or(lane == 0, jnp.logical_and(gap_cut, valid))
 
     isa_i = isa2.astype(jnp.int32)
-    cum_ab = _cumsum(isa_i + _PACK * isb2.astype(jnp.int32))
-    cum_a = cum_ab % _PACK
+    cum_ab = _cumsum(isa_i + pack * isb2.astype(jnp.int32))
+    cum_a = cum_ab % pack
     before = cum_a - isa_i
     # (start_idx, before_at_start) packed: lane strictly increases, so
     # the running max of lane*_PACK + before picks the LATEST segment
     # start's pair regardless of `before`'s own ordering
-    k_sb = _cummax(jnp.where(seg_start, lane * _PACK + before, -1))
-    start_idx = k_sb // _PACK
-    before_at_start = k_sb % _PACK
+    k_sb = _cummax(jnp.where(seg_start, lane * pack + before, -1))
+    start_idx = k_sb // pack
+    before_at_start = k_sb % pack
     ordered_cut = jnp.logical_and(
         jnp.logical_and(isa2, (before - before_at_start) == 0),
         lane != start_idx,
@@ -364,14 +366,15 @@ def _segment_and_k(vals, isa2, isb2, ghost, valid, ra_ref, rb_ref,
     prev_cum_ab = _shift_right_fill(cum_ab, np.int32(0))
     before_start = _cummax(jnp.where(seg_start, prev_cum_ab, -1))
     end_ab = _rev_cummin(jnp.where(terminal, cum_ab, bigi), bigi)
-    has_a = (end_ab % _PACK - before_start % _PACK) > 0
-    has_b = (end_ab // _PACK - before_start // _PACK) > 0
+    has_a = (end_ab % pack - before_start % pack) > 0
+    has_b = (end_ab // pack - before_start // pack) > 0
     return jnp.logical_and(
         jnp.logical_and(has_a, has_b), jnp.logical_and(valid, ~ghost)
     )
 
 
-def _sorted_and_keep(vals, tag, ra_ref, rb_ref, lane, n):
+def _sorted_and_keep(vals, tag, ra_ref, rb_ref, lane, n,
+                     pack: int = _PACK):
     """Shared AND body over a PRE-MERGED tagged stream (tag: 0 = a,
     1 = b, 2 = padding): dup/ghost folding, gap segmentation, the
     ordered cut, per-segment containment. Pure log-depth scans.
@@ -395,7 +398,8 @@ def _sorted_and_keep(vals, tag, ra_ref, rb_ref, lane, n):
         jnp.logical_or(isb, jnp.logical_and(dup_next, isb_next)), ~dup_prev
     )
     return _segment_and_k(
-        vals, isa2, isb2, dup_prev, valid, ra_ref, rb_ref, lane, n
+        vals, isa2, isb2, dup_prev, valid, ra_ref, rb_ref, lane, n,
+        pack=pack,
     )
 
 
@@ -1874,83 +1878,17 @@ def _fused_and_kernel(vals_ref, tag_ref, ra_ref, rb_ref, hits_ref):
     resolve in the same program — no inter-chunk carries, no rolled
     input copies, no intermediate flag/prefix streams through HBM (the
     two-pass pipeline at the ru mix's [5000, 2048] spent 4.53 ms; the
-    fwd alone re-reads 4 streams and writes 5). Semantics mirror
+    fwd alone re-reads 4 streams and writes 5). The body IS the
+    resident kernels' _sorted_and_keep — packed scans with base 1<<15
+    (counts <= 4096 < 2^15; lane*pack + before < 2^27), which matches
     _chunked_and_fwd_kernel + _chunked_and_bwd_kernel bit-for-bit with
     every carry at its init value (ref IndexSequence.cs:218-284 AND
     with dup folding, gap + ordered-cut segmentation)."""
     q, n = vals_ref.shape
     lane = _iota((q, n), 1)
-    bigi = jnp.int32(np.iinfo(np.int32).max)
-
     vals = vals_ref[...]
-    tag = tag_ref[...]
-    valid = vals < INF32
-    isa = jnp.logical_and(tag == 0, valid)
-    isb = jnp.logical_and(tag == 1, valid)
-
-    prev_vals = _shift_right_fill(vals, np.int32(0))
-    nxt_vals = _roll(vals, -1)
-    nxt_vals = jnp.where(lane == n - 1, INF32, nxt_vals)
-    nxt_tag = _roll(tag, -1)
-
-    # cross-operand duplicate folding onto the first of the pair
-    dup_prev = jnp.logical_and(vals == prev_vals, valid)
-    dup_prev = jnp.logical_and(dup_prev, lane > 0)
-    dup_next = jnp.logical_and(vals == nxt_vals, valid)
-    nxt_valid = nxt_vals < INF32
-    isa_next = jnp.logical_and(nxt_tag == 0, nxt_valid)
-    isb_next = jnp.logical_and(nxt_tag == 1, nxt_valid)
-    isa2 = jnp.logical_and(
-        jnp.logical_or(isa, jnp.logical_and(dup_next, isa_next)),
-        ~dup_prev,
-    )
-    isb2 = jnp.logical_and(
-        jnp.logical_or(isb, jnp.logical_and(dup_next, isb_next)),
-        ~dup_prev,
-    )
-
-    r1 = ra_ref[:, 0][:, None]
-    r2 = rb_ref[:, 0][:, None]
-    abs_r = jnp.maximum(jnp.abs(r1), jnp.abs(r2))
-    ordered = jnp.logical_and(r1 < 0, r2 < 0)
-
-    gap_prev = vals - jnp.where(lane == 0, 0, prev_vals)
-    gap_cut = jnp.logical_and(abs_r != 0, gap_prev > abs_r)
-    seg_start = jnp.logical_or(
-        lane == 0, jnp.logical_and(gap_cut, valid)
-    )
-
-    cum_a = _cumsum(isa2.astype(jnp.int32))
-    cum_b = _cumsum(isb2.astype(jnp.int32))
-
-    # ordered-mode extra cut at the first A of each gap segment
-    start_idx = _cummax(jnp.where(seg_start, lane, -1))
-    before = cum_a - isa2.astype(jnp.int32)
-    before_at_start = _cummax(jnp.where(seg_start, before, -1))
-    ordered_cut = jnp.logical_and(
-        jnp.logical_and(isa2, (before - before_at_start) == 0),
-        lane != start_idx,
-    )
-    seg_start2 = jnp.logical_or(
-        seg_start, jnp.logical_and(ordered, ordered_cut)
-    )
-
-    prev_cum_a = _shift_right_fill(cum_a, np.int32(0))
-    prev_cum_b = _shift_right_fill(cum_b, np.int32(0))
-    bef_a = _cummax(jnp.where(seg_start2, prev_cum_a, -1))
-    bef_b = _cummax(jnp.where(seg_start2, prev_cum_b, -1))
-
-    eff = jnp.logical_and(valid, ~dup_prev)
-
-    # terminal(i) = next slot is a segment start; virtual terminal
-    # after the last lane (selected in i32 — an i1-valued where trips
-    # Mosaic's truncation)
-    nxt_ss = _roll(seg_start2.astype(jnp.int32), -1)
-    terminal = jnp.where(lane == n - 1, 1, nxt_ss) > 0
-    end_a = _rev_cummin(jnp.where(terminal, cum_a, bigi), bigi)
-    end_b = _rev_cummin(jnp.where(terminal, cum_b, bigi), bigi)
-    keep = jnp.logical_and(
-        jnp.logical_and(end_a - bef_a > 0, end_b - bef_b > 0), eff
+    keep = _sorted_and_keep(
+        vals, tag_ref[...], ra_ref, rb_ref, lane, n, pack=1 << 15
     )
     hits_ref[...] = jnp.where(keep, vals, INF32)
 
