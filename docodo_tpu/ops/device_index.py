@@ -45,6 +45,7 @@ from docodo_tpu.ops.seqops import (
     compact_mask,
     or_masked,
     or_variants_sorted,
+    topk_nonneg,
 )
 
 INT32_MAX = int(INF32)
@@ -708,7 +709,7 @@ def _locate_core(vals, keep, bounds):
 def locate_topk_masked(vals, keep, bounds, topk: int):
     """Masked coordinate stream -> (top-k page idx, ranks, counts)."""
     page, first, slot_rank, slot_count = _locate_core(vals, keep, bounds)
-    top_rank, top_slot = jax.lax.top_k(slot_rank, topk)
+    top_rank, top_slot = topk_nonneg(slot_rank, topk)
     top_page = jnp.where(top_rank > 0, page[top_slot], -1)
     top_count = jnp.where(
         top_rank > 0, slot_count[top_slot].astype(jnp.int32), 0
@@ -844,7 +845,7 @@ def locate_full(vals, keep, bounds, page_doc, is_header, topk: int,
     device-side doc ranking (ref Search.cs:552-557)."""
     page, first, slot_rank, slot_count = _locate_core(vals, keep, bounds)
     n_pages = jnp.sum(first.astype(jnp.int32))
-    top_rank, top_slot = jax.lax.top_k(slot_rank, topk)
+    top_rank, top_slot = topk_nonneg(slot_rank, topk)
     valid_top = top_rank > 0
     top_page = jnp.where(valid_top, page[top_slot], -1)
     top_count = jnp.where(

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from docodo_tpu.ops.seqops import INF32
+from docodo_tpu.ops.seqops import INF32, topk_nonneg
 
 Q = 32  # default queries per kernel program (4 sublane tiles)
 
@@ -653,22 +653,25 @@ def _slots_topk_sort(page_s, rank_s, cnt_s, topk: int):
     """Extract the ordered top-k from per-slot streams: one stable
     vmapped lax.sort by descending rank (the payload columns ride the
     same sort). Equal ranks keep lane order = ascending page, exactly
-    the in-kernel argmax loop's tie-break."""
+    the in-kernel argmax loop's tie-break. The key is ~bitcast_i32 of
+    the non-negative rank — monotone decreasing in rank, and TPU sort
+    comparators over i32 run ~12x faster than over f32."""
     bsz, n = rank_s.shape
-    negr, pg, ct = jax.lax.sort(
-        (-rank_s, page_s, cnt_s), num_keys=1
+    nkey = ~jax.lax.bitcast_convert_type(rank_s, jnp.int32)
+    nkey, pg, ct = jax.lax.sort(
+        (nkey, page_s, cnt_s), num_keys=1
     )
+    ranks_s = jax.lax.bitcast_convert_type(~nkey, jnp.float32)
     if topk <= n:
-        negr, pg, ct = negr[:, :topk], pg[:, :topk], ct[:, :topk]
+        ranks, pg, ct = ranks_s[:, :topk], pg[:, :topk], ct[:, :topk]
     else:
         pad = topk - n
-        negr = jnp.concatenate(
-            [negr, jnp.zeros((bsz, pad), jnp.float32)], axis=1)
+        ranks = jnp.concatenate(
+            [ranks_s, jnp.zeros((bsz, pad), jnp.float32)], axis=1)
         pg = jnp.concatenate(
             [pg, jnp.zeros((bsz, pad), jnp.int32)], axis=1)
         ct = jnp.concatenate(
             [ct, jnp.zeros((bsz, pad), jnp.float32)], axis=1)
-    ranks = -negr
     ok = ranks > 0
     ranks = jnp.where(ok, ranks, 0.0)
     pages = jnp.where(ok, pg, -1)
@@ -1354,11 +1357,21 @@ def _chunked_locate_kernel(hv_ref, pg_ref, page_ref, rank_ref, cnt_ref,
     gap = jnp.where(pv >= 0, hv - pv, 0)
     bonus = jnp.where(
         jnp.logical_and(keep, ~first), 30 // jnp.maximum(5, gap), 0
-    ).astype(jnp.float32)
-    cbon = _cumsum(bonus)
-    ccnt = _cumsum(keep.astype(jnp.float32))
-    cbon_prev = _shift_right_fill(cbon, jnp.float32(0))
-    ccnt_prev = _shift_right_fill(ccnt, jnp.float32(0))
+    )
+    # (bonus, count) prefix sums PACKED into one i32 scan set (both
+    # non-decreasing; bonus <= 6*C, count <= C, so base 4096 holds any
+    # chunk <= 4096: max packed = 6*4096*4096 + 4096 < 2^27). The
+    # reverse min at terminals picks the FIRST terminal's packed value
+    # — both components at once. Values are small exact integers, so
+    # the f32 conversions below are bit-identical to the f32 scans
+    # they replace.
+    _LPK = 4096
+    pk = _cumsum(bonus * _LPK + keep.astype(jnp.int32))
+    cbon = (pk // _LPK).astype(jnp.float32)
+    ccnt = (pk % _LPK).astype(jnp.float32)
+    pk_prev = _shift_right_fill(pk, np.int32(0))
+    cbon_prev = (pk_prev // _LPK).astype(jnp.float32)
+    ccnt_prev = (pk_prev % _LPK).astype(jnp.float32)
 
     nf = _cumsum(first.astype(jnp.int32))
     # row tails of non-decreasing cumsums read as row maxes (a [:, -1]
@@ -1371,9 +1384,12 @@ def _chunked_locate_kernel(hv_ref, pg_ref, page_ref, rank_ref, cnt_ref,
     # wrap is masked; the open run never emits locally anyway)
     term = _roll(first.astype(jnp.int32), -1) > 0
     term = jnp.logical_and(term, lane < C - 1)
-    bigf = jnp.float32(3.4e38)
-    cbon_end = _rev_cummin(jnp.where(term, cbon, bigf), bigf)
-    ccnt_end = _rev_cummin(jnp.where(term, ccnt, bigf), bigf)
+    bigi = jnp.int32(np.iinfo(np.int32).max)
+    pk_end = _rev_cummin(jnp.where(term, pk, bigi), bigi)
+    cbon_end = jnp.where(
+        pk_end < bigi, (pk_end // _LPK).astype(jnp.float32), 3.4e38)
+    ccnt_end = jnp.where(
+        pk_end < bigi, (pk_end % _LPK).astype(jnp.float32), 3.4e38)
 
     emit = jnp.logical_and(first, nf < total_f)
     run_bon = cbon_end - cbon
@@ -1445,12 +1461,62 @@ CHUNK_LANES = int(_os.environ.get("DOCODO_CHUNK_LANES", "1024"))
 CHUNK_Q = 8         # rows per program (sublane tile)
 
 
+def _resident_locate_kernel(hv_ref, pg_ref, page_ref, rank_ref,
+                            cnt_ref):
+    """ONE-chunk locate: the whole kept stream is resident, so the
+    globally-last run terminates at a VIRTUAL terminal after the last
+    lane (the fused AND's trick) and EVERY run emits in-stream at its
+    start slot — exactly _locate_core's slot order, no side columns,
+    no carries, no weave. The weave's 1-lane-offset concats defeated
+    XLA's top_k operand fusion at k=1 (top_k over the woven (B, 2049)
+    cost 4.67 ms vs 0.83 over the chunked weave; over this kernel's
+    pow2 output it fuses clean)."""
+    q, C = hv_ref.shape
+    lane = _iota((q, C), 1)
+    hv = hv_ref[...]
+    keep = hv < INF32
+    page = pg_ref[...]
+
+    pv = _shift_right_fill(_cummax(jnp.where(keep, hv, -1)),
+                           np.int32(-1))
+    pp = _shift_right_fill(_cummax(jnp.where(keep, page, -1)),
+                           np.int32(-1))
+    first = jnp.logical_and(keep, page != pp)
+    gap = jnp.where(pv >= 0, hv - pv, 0)
+    bonus = jnp.where(
+        jnp.logical_and(keep, ~first), 30 // jnp.maximum(5, gap), 0
+    )
+    # (bonus, count) packed scans — see _chunked_locate_kernel
+    _LPK = 4096
+    pk = _cumsum(bonus * _LPK + keep.astype(jnp.int32))
+    cbon = (pk // _LPK).astype(jnp.float32)
+    pk_prev = _shift_right_fill(pk, np.int32(0))
+    ccnt_prev = (pk_prev % _LPK).astype(jnp.float32)
+
+    bigi = jnp.int32(np.iinfo(np.int32).max)
+    nxt_first = _roll(first.astype(jnp.int32), -1)
+    term = jnp.where(lane == C - 1, 1, nxt_first) > 0
+    # a terminal always follows (virtual at C-1): pk_end < bigi
+    pk_end = _rev_cummin(jnp.where(term, pk, bigi), bigi)
+    cbon_end = (pk_end // _LPK).astype(jnp.float32)
+    ccnt_end = (pk_end % _LPK).astype(jnp.float32)
+
+    run_bon = cbon_end - cbon
+    run_cnt = ccnt_end - ccnt_prev
+    page_ref[...] = jnp.where(first, page, -1)
+    rank_ref[...] = jnp.where(
+        first, 1.0 + run_bon + jnp.log(jnp.maximum(run_cnt, 1.0)), 0.0
+    )
+    cnt_ref[...] = jnp.where(first, run_cnt, 0.0)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("topk", "chunk", "interpret", "raw"))
+                   static_argnames=("topk", "chunk", "interpret", "raw",
+                                    "resident"))
 def pallas_chunked_locate(hv, bounds, *, topk: int,
                           chunk: int = CHUNK_LANES,
                           interpret: bool = False, pg=None,
-                          raw: bool = False):
+                          raw: bool = False, resident=None):
     """Locate+rank+topk over an INF-masked kept stream of ANY width
     (chunked sequential grid). Returns (pages, ranks, counts, n_pages)
     — the caller owns hits/n_hits (for a dense W=1 stream they are the
@@ -1467,6 +1533,16 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
     from docodo_tpu.ops.seqops import _rank_in_sorted
 
     bsz, n = hv.shape
+    # RESIDENT mode: streams that fit the fused-AND budget run as ONE
+    # chunk with more rows per program (q=32 at 2048 lanes) — the
+    # chunked grid's per-program overhead (q=8, k chunks = b*k/8
+    # programs) dominated the kernel at production widths (packing the
+    # bonus/count scans measured ZERO full-pipeline change; widening
+    # the programs is what moved the fused AND 4.53 -> 1.26 ms)
+    if resident is None:
+        resident = n <= FUSED_AND_MAX
+    if resident:
+        chunk = n + ((-n) % 128)
     cpad = (-n) % chunk  # asymmetric-cap streams are not pow2 sums
     if cpad:
         hv = jnp.concatenate(
@@ -1489,7 +1565,12 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
         # use on keep), but clamp them anyway so padding carries a
         # valid page id
         pg = jnp.where(hv < INF32, pg, bounds.shape[0] - 1)
-    q = CHUNK_Q
+    if resident:
+        q = max(8, min(32, (8192 // chunk) * 8))
+        if bsz < q:
+            q = max(8, ((bsz + 7) // 8) * 8)
+    else:
+        q = CHUNK_Q
     pad = (-bsz) % q
     if pad:
         hv = jnp.concatenate(
@@ -1499,6 +1580,37 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
             [pg, jnp.full((pad, n), bounds.shape[0] - 1, jnp.int32)]
         )
     b = hv.shape[0]
+    if resident:
+        page_s, rank_s, cnt_s = pl.pallas_call(
+            _resident_locate_kernel,
+            grid=(b // q,),
+            in_specs=[
+                pl.BlockSpec((q, chunk), lambda i: (i, 0)),
+                pl.BlockSpec((q, chunk), lambda i: (i, 0)),
+            ],
+            out_specs=[pl.BlockSpec((q, chunk), lambda i: (i, 0))] * 3,
+            out_shape=[
+                jax.ShapeDtypeStruct((b, n), jnp.int32),
+                jax.ShapeDtypeStruct((b, n), jnp.float32),
+                jax.ShapeDtypeStruct((b, n), jnp.float32),
+            ],
+            interpret=interpret,
+        )(hv, pg)
+        if raw:
+            return page_s, rank_s, cnt_s, None, None, None
+        top_rank, top_slot = topk_nonneg(rank_s, topk)
+        valid_top = top_rank > 0
+        top_page = jnp.where(
+            valid_top,
+            jnp.take_along_axis(page_s, top_slot, axis=1), -1
+        )
+        top_cnt = jnp.where(
+            valid_top,
+            jnp.take_along_axis(cnt_s, top_slot, axis=1), 0.0
+        ).astype(jnp.int32)
+        n_pages = jnp.sum((rank_s > 0).astype(jnp.int32), axis=1)
+        return (top_page[:bsz], top_rank[:bsz], top_cnt[:bsz],
+                n_pages[:bsz])
     grid = (b // q, k)
     kernel = functools.partial(_chunked_locate_kernel, n_chunks=k)
     page_s, rank_s, cnt_s, sp, sr, sc = pl.pallas_call(
@@ -1546,7 +1658,7 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
     pages_all = weave(page_s, sp, -1)
     ranks_all = weave(rank_s, sr, 0.0)
     cnts_all = weave(cnt_s, sc, 0.0)
-    top_rank, top_slot = jax.lax.top_k(ranks_all, topk)
+    top_rank, top_slot = topk_nonneg(ranks_all, topk)
     valid_top = top_rank > 0
     top_page = jnp.where(
         valid_top, jnp.take_along_axis(pages_all, top_slot, axis=1), -1

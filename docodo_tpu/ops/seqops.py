@@ -28,6 +28,17 @@ import numpy as np
 INF32 = np.int32(np.iinfo(np.int32).max)
 
 
+def topk_nonneg(ranks, k: int):
+    """lax.top_k keyed on the i32 BITCAST of non-negative f32 ranks —
+    order-preserving (sign bit clear, IEEE magnitude order = integer
+    order) and ~12x faster on TPU, where top_k/sort comparators over
+    f32 dominate (measured 4.92 -> 0.39 ms over a [5000, 2048] rank
+    stream). Tie-break (lowest slot) and values are bit-identical."""
+    bits, slot = jax.lax.top_k(
+        jax.lax.bitcast_convert_type(ranks, jnp.int32), k)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32), slot
+
+
 def pad_to(coords, cap: int):
     """Pad an ascending int array to `cap` with INF sentinels."""
     coords = np.asarray(coords, dtype=np.int64)

@@ -369,16 +369,18 @@ def test_chunked_locate_matches_locate_core(rng):
             return tp, tr, tc, jnp.sum(first.astype(jnp.int32))
 
         want = jax.vmap(one)(jnp.asarray(vals), jnp.asarray(keep))
-        got = pallas_chunked_locate(
-            hv, bj, topk=topk, chunk=chunk, interpret=True)
-        np.testing.assert_array_equal(np.asarray(want[0]),
-                                      np.asarray(got[0]))
-        np.testing.assert_allclose(np.asarray(want[1]),
-                                   np.asarray(got[1]), atol=1e-5)
-        np.testing.assert_array_equal(np.asarray(want[2]),
-                                      np.asarray(got[2]))
-        np.testing.assert_array_equal(np.asarray(want[3]),
-                                      np.asarray(got[3]))
+        for resident in (False, True):   # chunked grid / one-chunk
+            got = pallas_chunked_locate(
+                hv, bj, topk=topk, chunk=chunk, interpret=True,
+                resident=resident)
+            np.testing.assert_array_equal(np.asarray(want[0]),
+                                          np.asarray(got[0]))
+            np.testing.assert_allclose(np.asarray(want[1]),
+                                       np.asarray(got[1]), atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(want[2]),
+                                          np.asarray(got[2]))
+            np.testing.assert_array_equal(np.asarray(want[3]),
+                                          np.asarray(got[3]))
 
 
 def test_chunked_bucket_routing_matches_xla(rng):
