@@ -958,7 +958,8 @@ def _chunked_mode() -> str:
 
 def _locate_full_chunked(hv, bounds, page_doc, is_header,
                          topk: int, hit_cap: int, with_docs: bool,
-                         interpret: bool = False, pg=None) -> LocateFull:
+                         interpret: bool = False, pg=None,
+                         located=None) -> LocateFull:
     """Batched locate_full over an INF-masked kept stream whose
     page/rank/top-k leg rides the CHUNKED Pallas locate kernel
     (ops/pallas_query.pallas_chunked_locate): one sequential-grid
@@ -967,12 +968,18 @@ def _locate_full_chunked(hv, bounds, page_doc, is_header,
     (measured 1.3-1.8x on v5e at n>=2048, B>=4). Hit compaction is one
     lax.sort (ascending kept stream: mask+sort = stable partition, the
     same branch compact_mask takes at these widths); doc grouping stays
-    on its XLA leg."""
+    on its XLA leg.
+
+    `located`: optional precomputed (pages, ranks, counts, n_pages) —
+    the fused merge+AND+locate pipeline already owns them."""
     from docodo_tpu.ops.pallas_query import pallas_chunked_locate
 
-    pages, ranks, counts, n_pages = pallas_chunked_locate(
-        hv, bounds, topk=topk, interpret=interpret, pg=pg
-    )
+    if located is not None:
+        pages, ranks, counts, n_pages = located
+    else:
+        pages, ranks, counts, n_pages = pallas_chunked_locate(
+            hv, bounds, topk=topk, interpret=interpret, pg=pg
+        )
     n_hits = jnp.sum((hv < INF32).astype(jnp.int32), axis=1)
     hits = jax.lax.sort(hv)
     if hit_cap <= hits.shape[1]:
@@ -1036,11 +1043,32 @@ def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
         b, nb = g1(tq[:, 1])
     pg = None
     if carried and c0 == c1:
+        from docodo_tpu.ops.pallas_query import (
+            FUSED_AND_MAX,
+            locate_streams_topk,
+            pallas_bitonic_merge,
+            pallas_merge_and_locate,
+        )
+
+        if 2 * c0 <= FUSED_AND_MAX:
+            # the whole W=2 pipeline in ONE kernel: bitonic merge +
+            # one-pass AND + resident locate, no HBM round-trips
+            # between the stages (pallas_merge_and_locate)
+            hv, page_s, rank_s, cnt_s = pallas_merge_and_locate(
+                a, na, b, nb, apg, bpg, rq[:, :1], rq[:, 1:2],
+                cap=c0, interpret=interpret
+            )
+            located = locate_streams_topk(
+                page_s, rank_s, cnt_s, topk, hv.shape[0]
+            )
+            return _locate_full_chunked(
+                hv, bounds, page_doc, is_header, topk=topk,
+                hit_cap=hit_cap, with_docs=with_docs,
+                interpret=interpret, located=located,
+            )
         # bitonic two-stream merge kernel: one lane-rotation network
         # replaces the vmapped 3-op lax.sort (5.9 -> 2.1 ms at the ru
         # mix's [5000, 2048], checksum-identical)
-        from docodo_tpu.ops.pallas_query import pallas_bitonic_merge
-
         vals, tag, pg = pallas_bitonic_merge(
             a, na, b, nb, apg, bpg, cap=c0, interpret=interpret
         )

@@ -1461,22 +1461,14 @@ CHUNK_LANES = int(_os.environ.get("DOCODO_CHUNK_LANES", "1024"))
 CHUNK_Q = 8         # rows per program (sublane tile)
 
 
-def _resident_locate_kernel(hv_ref, pg_ref, page_ref, rank_ref,
-                            cnt_ref):
-    """ONE-chunk locate: the whole kept stream is resident, so the
-    globally-last run terminates at a VIRTUAL terminal after the last
-    lane (the fused AND's trick) and EVERY run emits in-stream at its
-    start slot — exactly _locate_core's slot order, no side columns,
-    no carries, no weave. The weave's 1-lane-offset concats defeated
-    XLA's top_k operand fusion at k=1 (top_k over the woven (B, 2049)
-    cost 4.67 ms vs 0.83 over the chunked weave; over this kernel's
-    pow2 output it fuses clean)."""
-    q, C = hv_ref.shape
-    lane = _iota((q, C), 1)
-    hv = hv_ref[...]
+def _locate_rank_resident(hv, page, lane, C):
+    """Resident locate body shared by _resident_locate_kernel and the
+    fused merge+AND+locate kernel: the whole kept stream is resident,
+    so the globally-last run terminates at a VIRTUAL terminal after the
+    last lane (the fused AND's trick) and EVERY run emits in-stream at
+    its start slot — exactly _locate_core's slot order, no side
+    columns, no carries, no weave. Returns (page_s, rank_s, cnt_s)."""
     keep = hv < INF32
-    page = pg_ref[...]
-
     pv = _shift_right_fill(_cummax(jnp.where(keep, hv, -1)),
                            np.int32(-1))
     pp = _shift_right_fill(_cummax(jnp.where(keep, page, -1)),
@@ -1503,11 +1495,46 @@ def _resident_locate_kernel(hv_ref, pg_ref, page_ref, rank_ref,
 
     run_bon = cbon_end - cbon
     run_cnt = ccnt_end - ccnt_prev
-    page_ref[...] = jnp.where(first, page, -1)
-    rank_ref[...] = jnp.where(
+    page_s = jnp.where(first, page, -1)
+    rank_s = jnp.where(
         first, 1.0 + run_bon + jnp.log(jnp.maximum(run_cnt, 1.0)), 0.0
     )
-    cnt_ref[...] = jnp.where(first, run_cnt, 0.0)
+    cnt_s = jnp.where(first, run_cnt, 0.0)
+    return page_s, rank_s, cnt_s
+
+
+def _resident_locate_kernel(hv_ref, pg_ref, page_ref, rank_ref,
+                            cnt_ref):
+    """ONE-chunk locate over an INF-masked kept stream (see
+    _locate_rank_resident; the weave's 1-lane-offset concats defeated
+    XLA's top_k operand fusion at k=1 — over this kernel's pow2 output
+    it fuses clean)."""
+    q, C = hv_ref.shape
+    lane = _iota((q, C), 1)
+    page_ref[...], rank_ref[...], cnt_ref[...] = _locate_rank_resident(
+        hv_ref[...], pg_ref[...], lane, C
+    )
+
+
+def locate_streams_topk(page_s, rank_s, cnt_s, topk: int, bsz: int):
+    """Top-k tail over in-slot locate streams (page/rank/count per run
+    start, zeros elsewhere): i32-bitcast top-k on the non-negative rank
+    stream (topk_nonneg), aligned page/count gathers, live-page count.
+    Shared by the resident locate branch and the fused
+    merge+AND+locate pipeline."""
+    top_rank, top_slot = topk_nonneg(rank_s, topk)
+    valid_top = top_rank > 0
+    top_page = jnp.where(
+        valid_top,
+        jnp.take_along_axis(page_s, top_slot, axis=1), -1
+    )
+    top_cnt = jnp.where(
+        valid_top,
+        jnp.take_along_axis(cnt_s, top_slot, axis=1), 0.0
+    ).astype(jnp.int32)
+    n_pages = jnp.sum((rank_s > 0).astype(jnp.int32), axis=1)
+    return (top_page[:bsz], top_rank[:bsz], top_cnt[:bsz],
+            n_pages[:bsz])
 
 
 @functools.partial(jax.jit,
@@ -1598,19 +1625,7 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
         )(hv, pg)
         if raw:
             return page_s, rank_s, cnt_s, None, None, None
-        top_rank, top_slot = topk_nonneg(rank_s, topk)
-        valid_top = top_rank > 0
-        top_page = jnp.where(
-            valid_top,
-            jnp.take_along_axis(page_s, top_slot, axis=1), -1
-        )
-        top_cnt = jnp.where(
-            valid_top,
-            jnp.take_along_axis(cnt_s, top_slot, axis=1), 0.0
-        ).astype(jnp.int32)
-        n_pages = jnp.sum((rank_s > 0).astype(jnp.int32), axis=1)
-        return (top_page[:bsz], top_rank[:bsz], top_cnt[:bsz],
-                n_pages[:bsz])
+        return locate_streams_topk(page_s, rank_s, cnt_s, topk, bsz)
     grid = (b // q, k)
     kernel = functools.partial(_chunked_locate_kernel, n_chunks=k)
     page_s, rank_s, cnt_s, sp, sr, sc = pl.pallas_call(
@@ -2052,6 +2067,110 @@ def pallas_fused_and(vals, tag, ra, rb, *, interpret: bool = False):
         interpret=interpret,
     )(vals, tag, ra, rb)
     return hits[:bsz, :n - lpad] if lpad else hits[:bsz]
+
+
+def _merge_and_locate_kernel(x_ref, t_ref_in, p_ref_in, ra_ref, rb_ref,
+                             hits_ref, page_ref, rank_ref, cnt_ref,
+                             *, cap: int):
+    """Whole W=2 resident pipeline in ONE program: the bitonic
+    two-stream merge (log2(2cap) lane-rotation compare-exchange stages
+    over a concat(a asc, b reversed) row — _bitonic_merge_kernel's
+    body), the one-pass proximity-AND (_sorted_and_keep, packed scans),
+    and the resident locate (_locate_rank_resident) — the merged
+    stream, the kept-hit stream, and the locate inputs never leave
+    VMEM (the three-kernel pipeline wrote and re-read each of them
+    through HBM)."""
+    n = 2 * cap
+    q = x_ref.shape[0]
+    x = x_ref[...]
+    t = t_ref_in[...]
+    p = p_ref_in[...]
+    lane = _iota((q, n), 1)
+    d = n // 2
+    while d >= 1:
+        lo = (lane & d) == 0
+        px_u, pt_u, pp_u = _roll(x, -d), _roll(t, -d), _roll(p, -d)
+        px_d, pt_d, pp_d = _roll(x, d), _roll(t, d), _roll(p, d)
+        px = jnp.where(lo, px_u, px_d)
+        pt = jnp.where(lo, pt_u, pt_d)
+        pp = jnp.where(lo, pp_u, pp_d)
+        p_less = jnp.logical_or(
+            px < x, jnp.logical_and(px == x, pt < t)
+        )
+        take = jnp.logical_or(
+            jnp.logical_and(lo, p_less),
+            jnp.logical_and(~lo, ~p_less),
+        )
+        x = jnp.where(take, px, x)
+        t = jnp.where(take, pt, t)
+        p = jnp.where(take, pp, p)
+        d //= 2
+    keep = _sorted_and_keep(x, t, ra_ref, rb_ref, lane, n, pack=1 << 15)
+    hv = jnp.where(keep, x, INF32)
+    hits_ref[...] = hv
+    page_ref[...], rank_ref[...], cnt_ref[...] = _locate_rank_resident(
+        hv, p, lane, n
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def pallas_merge_and_locate(a, na, b, nb, apg, bpg, ra, rb, *, cap: int,
+                            interpret: bool = False):
+    """Fused merge+AND+locate for carried equal-cap W=2 streams that
+    fit resident (2*cap <= FUSED_AND_MAX). Takes the two per-word
+    posting blocks with their carried page streams; returns
+    (hits, page_s, rank_s, cnt_s) each [B, 2cap] — the kept-hit stream
+    (INF32 at dropped slots, callers compact with one lax.sort) and the
+    in-slot locate streams for locate_streams_topk. Bit-identical to
+    pallas_bitonic_merge -> pallas_fused_and -> the resident chunked
+    locate, without the three HBM round-trips between them
+    (ref IndexSequence.cs:218-284 + Search.cs:365-420 semantics)."""
+    bsz = a.shape[0]
+    n = 2 * cap
+    # bitonic pre-arrangement stays OUTSIDE (Mosaic has no `rev`
+    # lowering; XLA fuses the flip/concat into the kernel's input copy)
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
+    nac, nbc = na[:, None], nb[:, None]
+    av = jnp.where(lane_c < nac, a, INF32)
+    bv = jnp.where(lane_c < nbc, b, INF32)
+    ta = jnp.where(lane_c < nac, 0, 2).astype(jnp.int32)
+    tb = jnp.where(lane_c < nbc, 1, 2).astype(jnp.int32)
+    x0 = jnp.concatenate([av, jnp.flip(bv, axis=1)], axis=1)
+    t0 = jnp.concatenate([ta, jnp.flip(tb, axis=1)], axis=1)
+    p0 = jnp.concatenate([apg, jnp.flip(bpg, axis=1)], axis=1)
+    q = max(8, min(32, (8192 // n) * 8))
+    if bsz < q:
+        q = max(8, ((bsz + 7) // 8) * 8)
+    pad = (-bsz) % q
+    if pad:
+        x0 = jnp.concatenate([x0, jnp.full((pad, n), INF32, jnp.int32)])
+        t0 = jnp.concatenate([t0, jnp.full((pad, n), 2, jnp.int32)])
+        p0 = jnp.concatenate([p0, jnp.full((pad, n), INF32, jnp.int32)])
+        ra = jnp.concatenate([ra, jnp.ones((pad, 1), jnp.int32)])
+        rb = jnp.concatenate([rb, jnp.ones((pad, 1), jnp.int32)])
+    bp = x0.shape[0]
+    kernel = functools.partial(_merge_and_locate_kernel, cap=cap)
+    blk = lambda i: (i, 0)
+    hits, page_s, rank_s, cnt_s = pl.pallas_call(
+        kernel,
+        grid=(bp // q,),
+        in_specs=[
+            pl.BlockSpec((q, n), blk),
+            pl.BlockSpec((q, n), blk),
+            pl.BlockSpec((q, n), blk),
+            pl.BlockSpec((q, 1), blk),
+            pl.BlockSpec((q, 1), blk),
+        ],
+        out_specs=[pl.BlockSpec((q, n), blk)] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, n), jnp.int32),
+            jax.ShapeDtypeStruct((bp, n), jnp.int32),
+            jax.ShapeDtypeStruct((bp, n), jnp.float32),
+            jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x0, t0, p0, ra, rb)
+    return hits[:bsz], page_s[:bsz], rank_s[:bsz], cnt_s[:bsz]
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))

@@ -550,3 +550,70 @@ def test_bitonic_merge_matches_lax_sort(rng):
         np.testing.assert_array_equal(np.asarray(v), np.asarray(vs))
         np.testing.assert_array_equal(np.asarray(t), np.asarray(ts))
         np.testing.assert_array_equal(np.asarray(p), np.asarray(ps))
+
+
+def test_merge_and_locate_matches_three_stage(rng):
+    """The fused merge+AND+locate kernel (pallas_merge_and_locate,
+    interpret mode) is bit-identical to the three-stage pipeline it
+    replaces — pallas_bitonic_merge -> pallas_chunked_and ->
+    pallas_chunked_locate — on random ragged blocks with carried page
+    streams, including empty operands, r<0 ordered rows, and
+    cross-operand duplicates."""
+    from docodo_tpu.ops.pallas_query import (
+        locate_streams_topk,
+        pallas_bitonic_merge,
+        pallas_chunked_and,
+        pallas_chunked_locate,
+        pallas_merge_and_locate,
+    )
+    from docodo_tpu.ops.seqops import INF32
+
+    for cap in (64, 256):
+        B = 12
+        bounds = np.concatenate([
+            [0],
+            np.sort(rng.choice(
+                np.arange(1, 30 * cap), size=40, replace=False)),
+        ]).astype(np.int32)
+        a = np.full((B, cap), INF32, np.int32)
+        b = np.full((B, cap), INF32, np.int32)
+        na = rng.integers(0, cap + 1, B).astype(np.int32)
+        nb = rng.integers(0, cap + 1, B).astype(np.int32)
+        na[0] = 0
+        nb[1] = 0
+        na[2] = nb[2] = cap
+        pool = np.arange(0, 8 * cap) * 3  # duplicates across operands
+        for i in range(B):
+            a[i, : na[i]] = np.sort(rng.choice(pool, na[i], replace=False))
+            b[i, : nb[i]] = np.sort(rng.choice(pool, nb[i], replace=False))
+
+        def pg_of(x):
+            return np.where(
+                x < INF32,
+                np.maximum(
+                    np.searchsorted(bounds, x, side="right") - 1, 0),
+                INF32,
+            ).astype(np.int32)
+
+        apg, bpg = pg_of(a), pg_of(b)
+        ra = rng.integers(1, 40, (B, 1)).astype(np.int32)
+        rb = rng.integers(1, 40, (B, 1)).astype(np.int32)
+        ra[3:5] = -ra[3:5]  # ordered rows
+        rb[3:5] = -np.abs(rb[3:5])
+        args = [jnp.asarray(x) for x in (a, na, b, nb, apg, bpg)]
+        hv_f, ps, rs, cs = pallas_merge_and_locate(
+            args[0], args[1], args[2], args[3], args[4], args[5],
+            jnp.asarray(ra), jnp.asarray(rb), cap=cap, interpret=True)
+        got = locate_streams_topk(ps, rs, cs, 16, B)
+        v, t, p = pallas_bitonic_merge(
+            args[0], args[1], args[2], args[3], args[4], args[5],
+            cap=cap, interpret=True)
+        hv_3 = pallas_chunked_and(
+            v, t, jnp.asarray(ra), jnp.asarray(rb), interpret=True)
+        want = pallas_chunked_locate(
+            hv_3, jnp.asarray(bounds), topk=16, interpret=True, pg=p)
+        np.testing.assert_array_equal(np.asarray(hv_f), np.asarray(hv_3))
+        for g, w, name in zip(got, want,
+                              ["pages", "ranks", "counts", "n_pages"]):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(w), err_msg=name)
