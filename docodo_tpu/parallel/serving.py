@@ -23,8 +23,14 @@ proximity windows can span document boundaries (ref Build.cs:529-531 —
 coord accumulates across docs with no gap). Documents are therefore
 assigned to shards in CONTIGUOUS ranges (assign_docs_contiguous):
 cross-document windows match the host exactly within every shard; only
-matches that would span one of the S-1 shard boundaries are dropped — a
-window-width (default 255+len chars) sliver per boundary.
+matches that would span one of the S-1 shard boundaries could diverge —
+a window-width (default 255+len chars) sliver per boundary. Queries
+whose window could touch such a sliver (boundary_risk, a conservative
+per-term bisect check) RE-SERVE through the parent host engine under
+the default boundary="reserve" policy, exactly like truncated queries:
+mesh results therefore EQUAL single-chip host results for every query
+(ref IndexSequence.cs:218-284 semantics over the global space).
+boundary="flag" keeps the old flag-only behavior for measurement.
 """
 
 from __future__ import annotations
@@ -35,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from docodo_tpu.core.pagetable import PageTable
+from docodo_tpu.core.postings import PostingSeq
 from docodo_tpu.ops.device_index import INT32_MAX, _bucket, _bucket4
 from docodo_tpu.parallel import sharding as sh
 from docodo_tpu.query.search import (
@@ -346,10 +353,38 @@ class ShardedDeviceIndex:
                         return True
         return False
 
+    def _host_reserve(self, q, filters) -> SearchResult:
+        """Evaluate one compiled group query EXACTLY on the host: the
+        parent index's global postings folded through the semantic
+        oracle algebra (or_merge across a group's variant codes, then a
+        left group_and fold — the same composition the device kernels
+        are parity-pinned against, ref IndexSequence.cs:205-322). Used
+        to re-serve boundary-risk queries so mesh serving never returns
+        a result that could silently miss a cross-shard-boundary match."""
+        arr = self.index.arr
+        seq: Optional[PostingSeq] = None
+        for codes, r in q:
+            if isinstance(codes, str):
+                codes = (codes,)
+            cur: Optional[PostingSeq] = None
+            for c in codes:
+                p = arr.get(c)
+                ps = PostingSeq(
+                    p if p is not None else np.zeros(0, np.uint64), r
+                )
+                cur = ps if cur is None else cur + ps
+            seq = cur if seq is None else seq * cur
+        coords = seq.coords if seq is not None else np.zeros(0, np.uint64)
+        res = prepare_search_result(coords, self.index.pages,
+                                    filters or [])
+        res.boundary_reserved = True
+        return res
+
     # ---- serving ---------------------------------------------------------------
     def search_batch(self, queries, topk: int = 64, hit_cap: int = 1024,
                      materialize=True,
                      filters: Optional[List[Optional[list]]] = None,
+                     boundary: str = "reserve",
                      ) -> List[SearchResult]:
         """Evaluate group queries over the mesh and materialize full
         SearchResults with exact host parity.
@@ -357,10 +392,15 @@ class ShardedDeviceIndex:
         queries: per query a list of (codes, R) groups, the same form the
         batcher's compile_request emits. Truncated queries (any shard
         over the topk/hit_cap budget) re-serve via the parent host
-        engine's expression path. Results whose proximity window could
-        cross a shard boundary carry boundary_risk=True (the contiguous
-        sharding contract drops cross-boundary matches — see the module
-        docstring; exact results are unflagged).
+        engine's expression path.
+
+        boundary: "reserve" (default) evaluates queries whose proximity
+        window could cross a shard boundary EXACTLY on the host
+        (_host_reserve; boundary_reserved=True on the result) — every
+        returned result then equals the single-chip host result.
+        "flag" keeps the old behavior: flagged results serve from the
+        mesh with boundary_risk=True and may miss cross-boundary
+        matches (see the module docstring).
 
         materialize: True = full (snippets/headers); False = brief
         (finalize_doc_ranks only); "defer" = RAW results (doc.rank is
@@ -387,6 +427,34 @@ class ShardedDeviceIndex:
         for i, cg in enumerate(compiled):
             if cg is None:
                 results[i] = SearchResult()  # matches nothing
+
+        # boundary policy: pull boundary-risk queries OUT of the device
+        # buckets and evaluate them exactly on the host (rare by
+        # construction — a window-width sliver per shard boundary)
+        reserved: set = set()
+        if boundary == "reserve" and self.boundaries.size:
+            for i, cg in enumerate(compiled):
+                if cg is None or len(queries[i]) < 2:
+                    # single-group queries evaluate no proximity fold —
+                    # per-shard union composes exactly, never reserve
+                    continue
+                max_r = max(
+                    (abs(r) for _, r in queries[i]), default=0
+                )
+                if self.boundary_risk(queries[i], max_r):
+                    reserved.add(i)
+                    results[i] = self._host_reserve(
+                        queries[i],
+                        (filters[i] or []) if filters is not None
+                        else [],
+                    )
+            if reserved:
+                for key in list(buckets):
+                    kept = [i for i in buckets[key] if i not in reserved]
+                    if kept:
+                        buckets[key] = kept
+                    else:
+                        del buckets[key]
 
         bucket_outs = []
         for (cap, w, v), idxs in sorted(buckets.items()):
@@ -465,10 +533,11 @@ class ShardedDeviceIndex:
             combined = results[qi]
             if combined is None or compiled[qi] is None:
                 continue
-            max_r = max(
-                (abs(r) for _, r in q), default=0
-            )
-            combined.boundary_risk = self.boundary_risk(q, max_r)
+            if boundary == "flag" and qi not in reserved:
+                max_r = max(
+                    (abs(r) for _, r in q), default=0
+                )
+                combined.boundary_risk = self.boundary_risk(q, max_r)
             if materialize == "defer":
                 continue  # caller combines rows, then materializes
             if materialize:

@@ -464,10 +464,12 @@ class BatchExecutor:
             # fallback reason, not just the count)
             "fallback_unsupported": 0, "fallback_shape": 0,
             "fallback_no_index": 0, "escalations": 0,
-            # mesh serving: results whose proximity window could cross
-            # a shard boundary (may miss cross-boundary matches; see
-            # parallel/serving.py boundary contract)
-            "boundary_risk": 0,
+            # mesh serving: boundary_reserves = queries whose proximity
+            # window could cross a shard boundary, re-served EXACTLY on
+            # the host (the default boundary="reserve" policy);
+            # boundary_risk counts flag-mode results that may miss
+            # cross-boundary matches (parallel/serving.py contract)
+            "boundary_risk": 0, "boundary_reserves": 0,
         }
         if device_index is not None:
             self._gen = index.generation
@@ -857,6 +859,10 @@ class BatchExecutor:
             if any(results[r].boundary_risk for r in qrows):
                 res.boundary_risk = True
                 self._bump(boundary_risk=1)
+            if any(getattr(results[r], "boundary_reserved", False)
+                   for r in qrows):
+                res.boundary_reserved = True
+                self._bump(boundary_reserves=1)
             if self.materialize:
                 self.index._materialize_docs(res)
                 res.found_docs.sort(key=lambda d: d.rank)

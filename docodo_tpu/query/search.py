@@ -94,8 +94,12 @@ class SearchResult:
         # mesh serving: True when the query's proximity window could
         # cross a shard boundary — contiguous-range document sharding
         # drops matches spanning one of the S-1 boundaries, so a flagged
-        # result MAY miss those (parallel/serving.py boundary contract)
+        # result MAY miss those (parallel/serving.py boundary contract).
+        # Under the default boundary="reserve" policy such queries
+        # re-serve through the parent host engine instead, so this stays
+        # False and boundary_reserved records the exact re-serve.
         self.boundary_risk = False
+        self.boundary_reserved = False
 
     def __eq__(self, other):
         if isinstance(other, SearchResult):

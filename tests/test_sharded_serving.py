@@ -203,12 +203,13 @@ def test_mixed_batch_one_word_queries_not_annihilated(ind, sdi):
         assert res.found_docs or not host.found_docs, req
 
 
-def test_boundary_divergence_flagged(tmp_path):
+def test_boundary_queries_reserve_to_exact_host_results(tmp_path):
     """A query whose proximity window could cross a shard boundary
-    carries boundary_risk=True: contiguous-range sharding drops
-    cross-boundary matches, and a served result affected by that must
-    be distinguishable from an exact one (serving.py boundary
-    contract). Queries clear of every boundary stay unflagged."""
+    re-serves EXACTLY through the parent host engine under the default
+    boundary="reserve" policy: the mesh result EQUALS the single-chip
+    host result, cross-boundary matches included, and carries
+    boundary_reserved=True. boundary="flag" preserves the measurable
+    old behavior (flagged, cross-boundary match dropped)."""
     import docodo_tpu
     from docodo_tpu.parallel import sharding as sh
     from docodo_tpu.parallel.serving import ShardedDeviceIndex
@@ -229,27 +230,82 @@ def test_boundary_divergence_flagged(tmp_path):
     sdi = ShardedDeviceIndex.from_index(ind, sh.make_mesh(2))
     assert sdi.boundaries.size == 1
 
-    res = sdi.search_batch(
-        [
-            [("tail", 259), ("head", 259)],   # window spans the boundary
-            [("alpha", 260)],                  # far from the boundary
-        ],
-        topk=8, hit_cap=64,
-    )
-    # the host engine FINDS the cross-boundary match...
+    queries = [
+        [("tail", 259), ("head", 259)],   # window spans the boundary
+        [("alpha", 260)],                  # far from the boundary
+    ]
+    # the host engine FINDS the cross-boundary match
     host = ind.search("tail head")
     assert host.found_pages
-    # ...the mesh drops it, and the result says so
-    assert res[0] is not None and res[0].boundary_risk
-    assert not res[0].found_pages
-    # "alpha" sits at the corpus start: depending on doc sizes its
-    # window may still reach the boundary; with these tiny docs it does
-    # not extend past d0's end minus R... assert only the flag's
-    # MONOTONICITY: an unflagged result must equal the host result
+
+    # default policy: exact parity, reserve recorded
+    res = sdi.search_batch(queries, topk=8, hit_cap=64)
+    assert res[0] is not None and res[0].boundary_reserved
+    assert not res[0].boundary_risk  # exact — no risk remains
+    assert _doc_view(res[0]) == _doc_view(host)
     host_a = ind.search("alpha")
-    if not res[1].boundary_risk:
-        assert [p.pos for p in res[1].found_pages] == \
-            [p.pos for p in host_a.found_pages]
+    assert res[1] is not None
+    assert _doc_view(res[1]) == _doc_view(host_a)
+
+    # flag mode: mesh serves the flagged query, dropping the match
+    res_f = sdi.search_batch(queries, topk=8, hit_cap=64,
+                             boundary="flag")
+    assert res_f[0] is not None and res_f[0].boundary_risk
+    assert not res_f[0].found_docs  # the cross-boundary match is lost
+    if not res_f[1].boundary_risk:
+        assert _doc_view(res_f[1]) == _doc_view(host_a)
+
+
+def test_boundary_reserve_straddling_windows_fuzz(tmp_path):
+    """Fuzz the reserve policy where it matters: corpora whose query
+    words sit AT shard boundaries so proximity windows genuinely
+    straddle them. Every mesh result must EQUAL the single-chip host
+    result (the reference evaluates one global coordinate space,
+    ref IndexSequence.cs:218-284) — not merely carry a flag."""
+    import random
+
+    import docodo_tpu
+    from docodo_tpu.parallel import sharding as sh
+    from docodo_tpu.parallel.serving import ShardedDeviceIndex
+    from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
+
+    rng = random.Random(4242)
+    vocab = ("tail head alpha omega club dinner noon kent "
+             "pickwick travels").split()
+    for trial in range(4):
+        # short docs (far below the 255-char window) force nearly every
+        # multi-word window across document — and thus shard — bounds
+        docs = [
+            " ".join(rng.choice(vocab)
+                     for _ in range(rng.randrange(3, 9)))
+            for _ in range(rng.randrange(4, 10))
+        ]
+        ind = docodo_tpu.Index(
+            path=str(tmp_path / f"t{trial}"), in_memory=True
+        )
+        ind.max_degree_of_parallelism = 1
+        ind.stemmers.clear()
+        ind.add_data_source(ListDataSource("docs", [
+            IndexPagedTextFile(f"d{i}", t, "")
+            for i, t in enumerate(docs)
+        ]))
+        ind.create()
+        sdi = ShardedDeviceIndex.from_index(
+            ind, sh.make_mesh(2 if trial % 2 else 4)
+        )
+        reqs = [
+            f"{rng.choice(vocab)} {rng.choice(vocab)}",
+            f'"{rng.choice(vocab)} {rng.choice(vocab)}"',
+            f"{rng.choice(vocab)} | {rng.choice(vocab)}",
+            rng.choice(vocab),
+        ]
+        compiled = [compile_request(ind, r) for r in reqs]
+        assert all(c is not None for c in compiled)
+        results = sdi.search_batch(compiled, topk=64, hit_cap=1024)
+        for req, res in zip(reqs, results):
+            host = ind.search(req)
+            assert res is not None, (trial, req)
+            assert _doc_view(res) == _doc_view(host), (trial, req)
 
 
 def test_sharded_serving_pallas_kernels_match_host(ind, sdi, monkeypatch):
