@@ -1359,13 +1359,14 @@ def _chunked_locate_kernel(hv_ref, pg_ref, page_ref, rank_ref, cnt_ref,
         jnp.logical_and(keep, ~first), 30 // jnp.maximum(5, gap), 0
     )
     # (bonus, count) prefix sums PACKED into one i32 scan set (both
-    # non-decreasing; bonus <= 6*C, count <= C, so base 4096 holds any
-    # chunk <= 4096: max packed = 6*4096*4096 + 4096 < 2^27). The
-    # reverse min at terminals picks the FIRST terminal's packed value
-    # — both components at once. Values are small exact integers, so
-    # the f32 conversions below are bit-identical to the f32 scans
+    # non-decreasing; bonus <= 6*C, count <= C; count can reach EXACTLY
+    # C on a fully-kept chunk, so the base must exceed C: 1<<13 holds
+    # any chunk <= 4096 with max packed = 6*4096*8192 + 4096 < 2^31).
+    # The reverse min at terminals picks the FIRST terminal's packed
+    # value — both components at once. Values are small exact integers,
+    # so the f32 conversions below are bit-identical to the f32 scans
     # they replace.
-    _LPK = 4096
+    _LPK = 1 << 13
     pk = _cumsum(bonus * _LPK + keep.astype(jnp.int32))
     cbon = (pk // _LPK).astype(jnp.float32)
     ccnt = (pk % _LPK).astype(jnp.float32)
@@ -1478,8 +1479,11 @@ def _locate_rank_resident(hv, page, lane, C):
     bonus = jnp.where(
         jnp.logical_and(keep, ~first), 30 // jnp.maximum(5, gap), 0
     )
-    # (bonus, count) packed scans — see _chunked_locate_kernel
-    _LPK = 4096
+    # (bonus, count) packed scans — see _chunked_locate_kernel. Base
+    # 1<<13 > FUSED_AND_MAX: a fully-kept 4096-lane stream's final run
+    # count reaches exactly 4096 and would wrap a 4096 base (count -> 0,
+    # bonus +1)
+    _LPK = 1 << 13
     pk = _cumsum(bonus * _LPK + keep.astype(jnp.int32))
     cbon = (pk // _LPK).astype(jnp.float32)
     pk_prev = _shift_right_fill(pk, np.int32(0))
@@ -2021,6 +2025,14 @@ def _fused_and_kernel(vals_ref, tag_ref, ra_ref, rb_ref, hits_ref):
 
 
 FUSED_AND_MAX = int(_os.environ.get("DOCODO_FUSED_AND_MAX", "4096"))
+# the resident kernels' packing invariants are sized for 4096-lane
+# streams (_locate_rank_resident's 1<<13 run-count base, the fused
+# AND's 1<<15 scan pack) — an env override past that must fail loudly,
+# not corrupt ranks
+assert FUSED_AND_MAX <= 4096, (
+    f"DOCODO_FUSED_AND_MAX={FUSED_AND_MAX} exceeds the resident "
+    "kernels' packed-scan bounds (max 4096)"
+)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

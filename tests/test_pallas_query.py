@@ -394,6 +394,10 @@ def test_chunked_bucket_routing_matches_xla(rng):
     nprng = np.random.default_rng(31)
     T = 10
     counts = nprng.integers(600, 1000, size=T)
+    # two SMALL terms so the banded-table chain has its cumulative base
+    # (coverage = cum table + every band up to the cap) — queries below
+    # only touch the big terms, so bucket shapes are unchanged
+    counts[8], counts[9] = 40, 90
     tids = np.repeat(np.arange(T), counts).astype(np.int32)
     coords_np = np.sort(nprng.choice(
         500_000, size=int(counts.sum()), replace=False)).astype(np.int32)
@@ -404,7 +408,7 @@ def test_chunked_bucket_routing_matches_xla(rng):
         np.arange(3000, 503_000, 3000, dtype=np.int32))
     pd = jnp.zeros(bounds.shape[0], jnp.int32)
     hdr = jnp.zeros(bounds.shape[0], dtype=bool)
-    tq = jnp.asarray(nprng.integers(0, T, (8, 2)).astype(np.int32))
+    tq = jnp.asarray(nprng.integers(0, T - 2, (8, 2)).astype(np.int32))
     rq = jnp.asarray(np.broadcast_to(
         np.where(np.arange(8)[:, None] % 2, 300, -300), (8, 2)
     ).astype(np.int32))
@@ -418,6 +422,17 @@ def test_chunked_bucket_routing_matches_xla(rng):
     kw1 = dict(cap=2048, topk=16, hit_cap=256, with_docs=True)
     xla1 = di.batched_query_full(
         off, sc, bounds, pd, hdr, tq1, rq1, use_pallas=False, **kw1)
+    # combined coords||pages tables: with page_of they make the bucket
+    # CARRIED, routing the equal-cap W2 bucket through the fused
+    # merge+AND+locate kernel (2*1024 <= FUSED_AND_MAX) — the branch
+    # the suite previously only covered kernel-level
+    off_np = np.asarray(off).astype(np.int64)
+    small_tabs = di.build_small_tables(off_np, np.asarray(sc),
+                                       pages_np=pages_np)
+    assert di._tab_serves(small_tabs, 1024), \
+        "combined tables must cover cap 1024 for the fused leg"
+    from docodo_tpu.ops.pallas_query import FUSED_AND_MAX
+    assert 2 * 1024 <= FUSED_AND_MAX
     os.environ["DOCODO_CHUNKED"] = "force"
     try:
         chk = di.batched_query_full(
@@ -427,13 +442,17 @@ def test_chunked_bucket_routing_matches_xla(rng):
         chkp = di.batched_query_full(
             off, sc, bounds, pd, hdr, tq, rq, use_pallas=True,
             page_of=page_arr, **kw)
+        # carried fused leg (combined tables + page_of => fused kernel)
+        chkf = di.batched_query_full(
+            off, sc, bounds, pd, hdr, tq, rq, use_pallas=True,
+            page_of=page_arr, small=small_tabs, **kw)
         # W=1 big-cap paged leg (gathered block IS the stream)
         chk1 = di.batched_query_full(
             off, sc, bounds, pd, hdr, tq1, rq1, use_pallas=True,
             page_of=page_arr, **kw1)
     finally:
         os.environ.pop("DOCODO_CHUNKED", None)
-    for want, got in ((xla, chk), (xla, chkp), (xla1, chk1)):
+    for want, got in ((xla, chk), (xla, chkp), (xla, chkf), (xla1, chk1)):
         for name in ("pages", "counts", "n_pages", "n_hits", "hits",
                      "docs"):
             np.testing.assert_array_equal(
@@ -617,3 +636,32 @@ def test_merge_and_locate_matches_three_stage(rng):
                               ["pages", "ranks", "counts", "n_pages"]):
             np.testing.assert_array_equal(
                 np.asarray(g), np.asarray(w), err_msg=name)
+
+
+def test_resident_locate_fully_kept_max_width_run_count(rng):
+    """Regression: a fully-kept FUSED_AND_MAX-wide stream in one page
+    closes its single run with count EXACTLY 4096 — the packed
+    (bonus,count) scan base must exceed it (the old base 4096 wrapped
+    the final count to 0 and bumped the bonus by 1). Covers both the
+    resident one-chunk kernel and the chunked kernel at a 4096 chunk."""
+    from docodo_tpu.ops.pallas_query import pallas_chunked_locate
+
+    B, n = 8, 4096
+    # constant gap 6: every non-first kept slot earns bonus 30//6 = 5
+    vals = (np.arange(n, dtype=np.int64) * 6 + 3).astype(np.int32)
+    hv = jnp.asarray(np.broadcast_to(vals, (B, n)).copy())
+    bounds = jnp.asarray(np.array([n * 6 + 10], dtype=np.int32))
+    want_rank = 1.0 + 5.0 * (n - 1) + np.log(float(n))
+    for resident in (True, False):
+        pages, ranks, counts, n_pages = pallas_chunked_locate(
+            hv, bounds, topk=4, chunk=4096, interpret=True,
+            resident=resident)
+        np.testing.assert_array_equal(
+            np.asarray(n_pages), np.ones(B, np.int32),
+            err_msg=f"resident={resident}")
+        np.testing.assert_array_equal(
+            np.asarray(counts)[:, 0], np.full(B, n, np.int32),
+            err_msg=f"resident={resident}")
+        np.testing.assert_allclose(
+            np.asarray(ranks)[:, 0], want_rank, rtol=1e-5,
+            err_msg=f"resident={resident}")
