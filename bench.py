@@ -46,6 +46,56 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# ---- tunnel-fault hardening -------------------------------------------------
+# The axon TPU tunnel suffers transient outages (FAILED_PRECONDITION /
+# UNAVAILABLE at a readback; multi-hour init outages — see CLAUDE.md).
+# Round 3's driver run died with rc=1 at the FIRST warm readback. Every
+# device stage therefore runs under bounded retry-with-backoff, and a
+# terminal fault emits a PARTIAL result JSON with "degraded": true
+# instead of a non-zero exit.
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE", "FAILED_PRECONDITION", "DEADLINE_EXCEEDED",
+    "ABORTED", "Unable to initialize backend", "Socket closed",
+    "Connection reset", "transport is closing",
+)
+_RETRY_ATTEMPTS = int(os.environ.get("DOCODO_BENCH_RETRIES", "4"))
+_RETRY_BASE_S = float(os.environ.get("DOCODO_BENCH_RETRY_BASE_S", "20"))
+
+
+class TunnelLost(RuntimeError):
+    """A device stage failed transiently and exhausted its retries."""
+
+
+# milestones recorded as stages complete; the degraded-emission path
+# reports whatever was measured before the tunnel disappeared
+PARTIAL: dict = {}
+
+
+def _is_transient(e: BaseException) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return any(m in s for m in _TRANSIENT_MARKERS)
+
+
+def retry_device(fn, what: str):
+    """Run one device stage; retry transient tunnel faults with
+    exponential backoff (the stage re-warms and re-times itself, so a
+    mid-loop fault never contaminates a timing). Non-transient errors
+    propagate unchanged."""
+    for k in range(_RETRY_ATTEMPTS):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — classified below
+            if not _is_transient(e):
+                raise
+            if k == _RETRY_ATTEMPTS - 1:
+                raise TunnelLost(f"{what}: {e}") from e
+            wait = _RETRY_BASE_S * (2 ** k)
+            log(f"transient device fault in {what} "
+                f"(attempt {k + 1}/{_RETRY_ATTEMPTS}), retrying in "
+                f"{wait:.0f}s: {str(e)[:200]}")
+            time.sleep(wait)
+
+
 def load_corpus() -> str:
     if os.path.exists(CORPUS):
         with open(CORPUS, encoding="cp1251", errors="replace") as f:
@@ -68,7 +118,9 @@ def main() -> None:
     if plat:  # the TPU plugin in this image force-sets jax_platforms;
         # honor an explicit override (e.g. cpu validation runs)
         jax.config.update("jax_platforms", plat)
-    log("devices:", jax.devices())
+    # probe the backend BEFORE any corpus work: a tunnel outage at init
+    # is the cheapest place to discover it (and to wait it out)
+    log("devices:", retry_device(jax.devices, "backend probe"))
     text = load_corpus()
     mb = len(text.encode("utf-8", "replace")) / 1e6
 
@@ -90,16 +142,21 @@ def main() -> None:
     build = jax.jit(di.build_postings, static_argnames=("num_terms",))
     dt = jnp.asarray(tids)
     dc = jnp.asarray(coords)
-    st, sc, off = build(dt, dc, num_terms=T)  # compile + warm
-    n_postings = int(off[-1])                 # readback forces completion
-    assert n_postings == tids.size
-    t0 = time.perf_counter()
-    chain = jnp.int32(0)
-    for _ in range(REPS):
-        st, sc, off = build(dt + chain, dc, num_terms=T)
-        chain = (off[-1] * 0).astype(jnp.int32)
-    assert int(off[-1]) == tids.size          # closes the chain
-    t_build = (time.perf_counter() - t0) / REPS
+
+    def _build_stage():
+        st, sc, off = build(dt, dc, num_terms=T)  # compile + warm
+        n_postings = int(off[-1])             # readback forces completion
+        assert n_postings == tids.size
+        t0 = time.perf_counter()
+        chain = jnp.int32(0)
+        for _ in range(REPS):
+            st, sc, off = build(dt + chain, dc, num_terms=T)
+            chain = (off[-1] * 0).astype(jnp.int32)
+        assert int(off[-1]) == tids.size      # closes the chain
+        return (time.perf_counter() - t0) / REPS, st, sc, off
+
+    t_build, st, sc, off = retry_device(_build_stage, "device build")
+    PARTIAL["build_mb_s_device"] = round(mb / t_build, 1)
     log(f"device build: {t_build*1e3:.1f} ms -> {mb / (t_build + t_tok):.1f} MB/s end-to-end, "
         f"{mb / t_build:.1f} MB/s device-only")
 
@@ -193,16 +250,21 @@ def main() -> None:
             use_pallas=use_pallas, small=small, page_of=page_of,
         )
 
-    outs, s = step(jnp.float32(0))  # compile + warm
-    warm_checksum = float(s)        # forces completion (readback)
+    def _page_stage():
+        outs, s = step(jnp.float32(0))  # compile + warm
+        warm = float(s)                 # forces completion (readback)
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            outs, s = step(s)
+        final = float(s)  # single readback closes the dependency chain
+        t_query = (time.perf_counter() - t0) / REPS
+        assert abs(final - warm) < 1e-3 * max(abs(final), 1.0)
+        return t_query, warm
+
+    t_query, warm_checksum = retry_device(_page_stage, "page-level query stage")
     log(f"warm checksum: {warm_checksum:.1f}")
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        outs, s = step(s)
-    final = float(s)  # single readback closes the dependency chain
-    t_query = (time.perf_counter() - t0) / REPS
-    assert abs(final - warm_checksum) < 1e-3 * max(abs(final), 1.0)
     qps = N_QUERIES / t_query
+    PARTIAL["page_qps"] = round(qps, 1)
     log(f"device batch: {N_QUERIES} queries in {t_query*1e3:.1f} ms -> {qps:.0f} QPS, "
         f"p50-equiv latency {t_query / N_QUERIES * 1e6:.1f} us/query")
 
@@ -257,16 +319,21 @@ def main() -> None:
             page_of=page_of,
         )
 
-    fouts, fs = fstep(jnp.float32(0))
-    fwarm = float(fs)
+    def _full_stage():
+        fouts, fs = fstep(jnp.float32(0))
+        fwarm = float(fs)
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            fouts, fs = fstep(fs)
+        ffinal = float(fs)
+        t_full = (time.perf_counter() - t0) / REPS
+        assert abs(ffinal - fwarm) < 1e-3 * max(abs(ffinal), 1.0)
+        return t_full, fwarm
+
+    t_full, fwarm = retry_device(_full_stage, "full-result query stage")
     log(f"full-result warm checksum: {fwarm:.1f}")
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        fouts, fs = fstep(fs)
-    ffinal = float(fs)
-    t_full = (time.perf_counter() - t0) / REPS
-    assert abs(ffinal - fwarm) < 1e-3 * max(abs(ffinal), 1.0)
     full_qps = N_QUERIES / t_full
+    PARTIAL["full_qps"] = round(full_qps, 1)
     log(f"device FULL-RESULT batch: {N_QUERIES} queries in "
         f"{t_full*1e3:.1f} ms -> {full_qps:.0f} QPS "
         f"({t_full / N_QUERIES * 1e6:.1f} us/query)")
@@ -288,4 +355,20 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except TunnelLost as e:
+        # the device disappeared mid-run and outlived every retry:
+        # report what WAS measured as a degraded partial result — the
+        # driver records parsed JSON either way (round 3's rc=1 run
+        # recorded nothing despite a healthy engine)
+        log("DEGRADED RUN (device lost):", e)
+        print(json.dumps({
+            "metric": "full_query_qps",
+            "value": PARTIAL.get("full_qps"),
+            "unit": "qps",
+            "vs_baseline": PARTIAL.get("vs_baseline"),
+            "degraded": True,
+            "partial": PARTIAL,
+            "reason": str(e)[:300],
+        }))
