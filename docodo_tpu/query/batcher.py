@@ -471,6 +471,17 @@ class BatchExecutor:
             # cross-boundary matches (parallel/serving.py contract)
             "boundary_risk": 0, "boundary_reserves": 0,
         }
+        # compiled request-plan cache: serving mixes repeat request
+        # strings heavily, and compile_request re-runs the sanitizer
+        # regexes + word-code/variant expansion per call (measured ~40%
+        # of the host-side per-query cost on the serve path). Keyed on
+        # the raw request string; invalidated on index restage (word
+        # codes and wildcard expansions are generation-scoped). Entries
+        # are immutable after insertion: _Pending shares the cached
+        # groups/words lists read-only.
+        self._plan_cache: "dict" = {}
+        self._plan_lock = threading.Lock()
+        self.PLAN_CACHE_MAX = 8192
         if device_index is not None:
             self._gen = index.generation
         elif index.can_search:
@@ -504,6 +515,8 @@ class BatchExecutor:
                     n: i for i, n in enumerate(self.di.doc_names)
                 }
             self._winfo.clear()
+            with self._plan_lock:
+                self._plan_cache.clear()
             self._gen = self.index.generation
             return True
 
@@ -534,10 +547,13 @@ class BatchExecutor:
         self._winfo[key] = n
         return n
 
-    def search(self, req: str, timeout: float = 120.0) -> SearchResult:
-        if self._gen != self.index.generation and not self._stage():
-            self._bump(host_queries=1, fallback_no_index=1)
-            return self.index.search(req)  # no index yet: host semantics
+    def _compile_plan(self, req: str):
+        """compile_request through the per-generation plan cache:
+        (compiled, field_compiled, filters, words, fail_reason)."""
+        with self._plan_lock:
+            plan = self._plan_cache.get(req)
+        if plan is not None:
+            return plan
         words: list = []
         reason: list = []
         fields: list = []
@@ -546,14 +562,29 @@ class BatchExecutor:
             self.index, req, words_out=words, n_found=self._n_found,
             reason_out=reason, field_out=fields, filters_out=filters,
         )
+        plan = (compiled, fields[0] if fields else None, filters,
+                words, reason[0] if reason else None)
+        with self._plan_lock:
+            if len(self._plan_cache) >= self.PLAN_CACHE_MAX:
+                self._plan_cache.clear()  # bulk reset beats LRU churn
+            self._plan_cache[req] = plan
+        return plan
+
+    def search(self, req: str, timeout: float = 120.0) -> SearchResult:
+        if self._gen != self.index.generation and not self._stage():
+            self._bump(host_queries=1, fallback_no_index=1)
+            return self.index.search(req)  # no index yet: host semantics
+        compiled, field_compiled, filters, words, fail_reason = (
+            self._compile_plan(req)
+        )
         if compiled is None:
             key = ("fallback_unsupported"
-                   if (reason and reason[0] == "unsupported")
+                   if fail_reason == "unsupported"
                    else "fallback_shape")
             self._bump(host_queries=1, **{key: 1})
             return self.index.search(req)
         p = _Pending(req=req, compiled=compiled,
-                     field_compiled=fields[0] if fields else None,
+                     field_compiled=field_compiled,
                      filters=filters, words=words)
         self._q.put(p)
         if not p.event.wait(timeout) or p.result is None:
