@@ -247,6 +247,20 @@ def main() -> int:
             f"{nbytes/1e6:8.2f} MB  {gbs:6.1f} GB/s "
             f"({gbs/V5E_HBM_GBS*100:4.1f}% peak)  {bound}")
 
+    # isolated per-bucket timings ride a per-PROGRAM dispatch floor
+    # (measured ~3 ms over the axon tunnel regardless of bucket size;
+    # the fused batch is ONE program and dodges it 29x). The cheapest
+    # bucket is within noise of the pure floor; adjusted times subtract
+    # it — their sum reproduces the fused batch time, which validates
+    # the decomposition.
+    floor_ms = min(r["t_ms"] for r in rows) if rows else 0.0
+    for r in rows:
+        adj = max(r["t_ms"] - floor_ms, 1e-3)
+        r["t_ms_adj"] = round(adj, 3)
+        gbs = r["bytes_mb"] * 1e6 / (adj * 1e-3) / 1e9
+        r["achieved_gbs_adj"] = round(gbs, 1)
+        r["pct_hbm_peak_adj"] = round(gbs / V5E_HBM_GBS * 100, 1)
+
     sum_t = sum(r["t_ms"] for r in rows)
     batch_gbs = total_bytes / t_full / 1e9
     result = {
@@ -255,7 +269,10 @@ def main() -> int:
         "queries": args.queries,
         "full_batch_ms": round(t_full * 1e3, 3),
         "full_batch_qps": round(args.queries / t_full, 1),
+        "dispatch_floor_ms": round(floor_ms, 3),
         "sum_of_buckets_ms": round(sum_t, 3),
+        "sum_of_buckets_adj_ms": round(
+            sum(r["t_ms_adj"] for r in rows), 3),
         "batch_bytes_mb_lower_bound": round(total_bytes / 1e6, 2),
         "batch_achieved_gbs": round(batch_gbs, 1),
         "batch_pct_hbm_peak": round(batch_gbs / V5E_HBM_GBS * 100, 1),
