@@ -32,6 +32,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10_000)
     ap.add_argument("--platform", default=os.environ.get("DOCODO_BENCH_PLATFORM"))
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON line to this artifact file")
     args = ap.parse_args()
 
     import jax
@@ -195,12 +197,22 @@ def main() -> int:
                 mismatches += 1
     print(f"parity sample mismatches: {mismatches}", file=sys.stderr)
 
-    print(json.dumps({
+    doc = json.dumps({
         "metric": "ru_morph_query_qps", "value": round(qps, 1),
         "unit": "qps", "build_mb_s": round(mb / t_build, 2),
         "host_fallback": n_host, "parity_mismatches": mismatches,
         "engine_qps": round(engine_qps, 1),
-    }))
+        # chained-checksum protocol: the closing readback that bounds
+        # the engine timing; also the cross-run bit-parity pin
+        "warm_checksum": round(ewarm, 2),
+        "engine_ms_per_batch": round(t_engine * 1e3, 2),
+        "queries": len(groups),
+        "platform": jax.default_backend(),
+    })
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(doc + "\n")
+    print(doc)
     return 0
 
 
