@@ -58,6 +58,11 @@ def main() -> int:
     ap.add_argument("--no-overlap", action="store_true",
                     help="disable the tokenize/device pipeline overlap "
                          "(single-chip path)")
+    ap.add_argument("--prefetch-h2d", action="store_true",
+                    help="stage the H2D transfer of chunk i+1 from the "
+                         "producer thread (double-buffered through the "
+                         "queue) instead of on the dispatch thread — "
+                         "the r4 overlap experiment")
     ap.add_argument("--json-out", default=None,
                     help="also write the BENCH-style JSON line to a file "
                          "(the committed BUILD_r*.json artifact)")
@@ -171,6 +176,8 @@ def main() -> int:
         q: "_queue.Queue" = _queue.Queue(maxsize=4)
         tok_busy = [first_tok]
 
+        prefetch = args.prefetch_h2d
+
         def producer():
             for p in parts[1:]:
                 t1 = time.perf_counter()
@@ -178,7 +185,15 @@ def main() -> int:
                 packed_parts = split_packed(packed, cap)
                 tok_busy.append(time.perf_counter() - t1)
                 for pp in packed_parts:
-                    q.put(pp)
+                    if prefetch:
+                        # stage + enqueue the async H2D HERE: the
+                        # transfer rides the link while the dispatch
+                        # thread feeds the device sorts (the r4
+                        # double-buffer experiment; queue depth 4
+                        # bounds in-flight device buffers)
+                        q.put((pad(pp), n_tokens(pp)))
+                    else:
+                        q.put(pp)
             q.put(None)
 
         t0 = time.perf_counter()
@@ -193,10 +208,13 @@ def main() -> int:
             item = q.get()
             if item is None:
                 break
-            pt = pad(item)
+            if prefetch:
+                pt, nreal = item
+            else:
+                pt, nreal = pad(item), n_tokens(item)
             st, sc, off = build(pt + chain, num_terms=T)
             chain = (off[T] * 0).astype(jnp.uint32)
-            tot += (nreal := n_tokens(item))
+            tot += nreal
             last_nreal = nreal
             n_chunks += 1
         last = int(off[T])  # single closing readback drains the chain
