@@ -845,11 +845,25 @@ def locate_full(vals, keep, bounds, page_doc, is_header, topk: int,
     device-side doc ranking (ref Search.cs:552-557)."""
     page, first, slot_rank, slot_count = _locate_core(vals, keep, bounds)
     n_pages = jnp.sum(first.astype(jnp.int32))
-    top_rank, top_slot = topk_nonneg(slot_rank, topk)
+    # first-topk-runs contract (matches the Pallas locate_streams_topk
+    # tail): compact the page runs to the first `topk` in slot order —
+    # the index-bearing full-width top_k paid a ~3.4 ms iota-payload
+    # sort at [5000, 2048] — then top-k at width `topk`. Exact for every
+    # SERVED row (n_pages <= topk means ALL runs were compacted); rows
+    # with more runs always re-serve host-side (n_pages stays exact).
+    run_sel = jnp.where(
+        first, jnp.cumsum(first.astype(jnp.int32)) - 1, -1
+    )
+    j_arr = jnp.arange(topk, dtype=jnp.int32)
+    onehot = run_sel[None, :] == j_arr[:, None]
+    rk_c = jnp.sum(jnp.where(onehot, slot_rank[None, :], 0.0), axis=1)
+    pg_c = jnp.sum(jnp.where(onehot, page[None, :], 0), axis=1)
+    ct_c = jnp.sum(jnp.where(onehot, slot_count[None, :], 0.0), axis=1)
+    top_rank, top_slot = topk_nonneg(rk_c, topk)
     valid_top = top_rank > 0
-    top_page = jnp.where(valid_top, page[top_slot], -1)
+    top_page = jnp.where(valid_top, pg_c[top_slot], -1)
     top_count = jnp.where(
-        valid_top, slot_count[top_slot].astype(jnp.int32), 0
+        valid_top, ct_c[top_slot].astype(jnp.int32), 0
     )
 
     # hits: the kept stream compacted. For every SERVED result this
@@ -1377,12 +1391,14 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             a3, na2 = gather_v(tq[:, 0])
             apg3 = None
         shared = page_of is not None and not carried
-        # variant buckets are small-B in real mixes — kernel-topk mode
-        # (slots mode measured a loss on the small-B union bucket)
+        # slots mode EVERYWHERE on the full path (r4): all full-result
+        # tails share the first-topk-runs contract (Pallas on/off
+        # checksum parity), and the run-compacting tail replaced the
+        # full-width sort that made slots mode a loss here in r3
         if w == 1:
             pg, rk, ct, npg, nht, hits = pallas_union_locate_full(
                 a3, na2, bounds, topk=topk, hit_cap=hit_cap,
-                interpret=interpret, sort_topk=False, a_pg=apg3,
+                interpret=interpret, sort_topk=True, a_pg=apg3,
                 shared_pg=shared,
             )
         else:
@@ -1394,7 +1410,7 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             pg, rk, ct, npg, nht, hits = pallas_variants_and_locate_full(
                 a3, na2, rq[:, 0], b3, nb2, rq[:, 1],
                 tq[:, 1, 0] < 0, bounds, topk=topk, hit_cap=hit_cap,
-                interpret=interpret, sort_topk=False,
+                interpret=interpret, sort_topk=True,
                 a_pg=apg3, b_pg=bpg3, shared_pg=shared,
             )
         docs = doc_ranks = None
@@ -1459,14 +1475,15 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
         apg = None
     shared = page_of is not None and not carried
     interpret = jax.default_backend() != "tpu"
-    # slots-mode (outside-sort) top-k where measured faster on v5e:
-    # merge-free W1 1.18x, sorted W2 1.20x/1.08x/1.06x at caps
-    # 64/128/256; kernel-topk keeps the union route (0.61x in slots
-    # mode at its tiny batches) and W2 cap 512 (0.89x)
+    # slots mode EVERYWHERE on the full path (r4): one shared
+    # run-compacting first-topk-runs tail (narrow index-bearing top_k
+    # replaced the full-width one whose iota payload cost ~3.4 ms at
+    # [5000, 2048]); the r3 per-route kernel-topk wins were measured
+    # against the OLD full-width sort tail
     if single and cap > MAX_PALLAS_CAP:
         pg, rk, ct, npg, nht, hits = pallas_union_locate_full(
             a[:, None, :], na[:, None], bounds, topk=topk,
-            hit_cap=hit_cap, interpret=interpret, sort_topk=False,
+            hit_cap=hit_cap, interpret=interpret, sort_topk=True,
             a_pg=None if apg is None else apg[:, None, :],
             shared_pg=shared,
         )
@@ -1484,7 +1501,7 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             bpg = None
         pg, rk, ct, npg, nht, hits = pallas_sorted_and_locate_full(
             a, na, rq[:, 0], b, nb, rq[:, 1], bounds, cap=cap, topk=topk,
-            hit_cap=hit_cap, interpret=interpret, sort_topk=cap <= 256,
+            hit_cap=hit_cap, interpret=interpret, sort_topk=True,
             a_pg=apg, b_pg=bpg, shared_pg=shared,
         )
     docs = doc_ranks = None

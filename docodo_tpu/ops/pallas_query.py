@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from docodo_tpu.ops.seqops import INF32, topk_nonneg
+from docodo_tpu.ops.seqops import INF32, select_slots, topk_nonneg
 
 Q = 32  # default queries per kernel program (4 sublane tiles)
 
@@ -776,7 +776,9 @@ def _full_stream_call_slots(kernel, bsz: int, q: int, n: int, topk: int,
         ],
         interpret=interpret,
     )(*inputs)
-    pages, ranks, counts = _slots_topk_sort(page_s, rank_s, cnt_s, topk)
+    pages, ranks, counts, _ = locate_streams_topk(
+        page_s, rank_s, cnt_s, topk, page_s.shape[0]
+    )
     hits = jax.lax.sort(hitvals)
     if hit_cap <= n:
         hits = hits[:, :hit_cap]
@@ -1151,7 +1153,9 @@ def pallas_single_locate_full(a, na, bounds, cap: int, topk: int,
             ],
             interpret=interpret,
         )(a, na2, loc)
-        pages, ranks, counts = _slots_topk_sort(page_s, rank_s, cnt_s, topk)
+        pages, ranks, counts, _ = locate_streams_topk(
+            page_s, rank_s, cnt_s, topk, page_s.shape[0]
+        )
     else:
         kernel = functools.partial(
             _single_word_full_kernel, cap=cap, topk=topk, paged=paged
@@ -1520,23 +1524,58 @@ def _resident_locate_kernel(hv_ref, pg_ref, page_ref, rank_ref,
     )
 
 
+def _compact_runs(stream, run_sel, kcap: int, chunk: int = 512):
+    """Compact a sparse in-slot stream to its first `kcap` runs in slot
+    order via chunked compare-all one-hots (no gathers — they serialize
+    on TPU). run_sel[b, lane] = run ordinal at run starts, -1 elsewhere;
+    each ordinal < kcap occurs at most once per row, so the one-hot sum
+    picks exactly that run's value (0 where the row has fewer runs)."""
+    b, n = stream.shape
+    j = jnp.arange(kcap, dtype=jnp.int32)
+    acc = jnp.zeros((b, kcap), dtype=stream.dtype)
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        sel = run_sel[:, None, c0:c1] == j[None, :, None]
+        acc = acc + jnp.sum(
+            jnp.where(sel, stream[:, None, c0:c1],
+                      jnp.zeros((), dtype=stream.dtype)),
+            axis=2,
+        )
+    return acc
+
+
 def locate_streams_topk(page_s, rank_s, cnt_s, topk: int, bsz: int):
     """Top-k tail over in-slot locate streams (page/rank/count per run
-    start, zeros elsewhere): i32-bitcast top-k on the non-negative rank
-    stream (topk_nonneg), aligned page/count gathers, live-page count.
-    Shared by the resident locate branch and the fused
-    merge+AND+locate pipeline."""
-    top_rank, top_slot = topk_nonneg(rank_s, topk)
+    start, zeros elsewhere). Shared by the resident locate branch and
+    the fused merge+AND+locate pipeline.
+
+    The index-bearing lax.top_k over the FULL stream width was the
+    single biggest stage of the dominant ru bucket (values-only top_k
+    measured 1.08 ms at [5000, 2048] but its INDEX payload 4.46 ms —
+    a sort with an iota operand). Runs are sparse and a SERVED row has
+    n_pages <= topk by the truncation contract, so the streams first
+    COMPACT to their first `topk` runs (chunked compare-all one-hots,
+    slot order preserved), and the index-bearing top-k runs at width
+    `topk`. Rows with more runs lose later runs here, but their exact
+    full-width n_pages exceeds topk, so they always re-serve host-side.
+    Tie-break parity: compacted run order IS slot order, so equal ranks
+    resolve to the lowest slot exactly as the full-width top_k did."""
+    start = rank_s > 0
+    run_sel = jnp.where(
+        start, jnp.cumsum(start.astype(jnp.int32), axis=1) - 1, -1
+    )
+    rk_c = _compact_runs(rank_s, run_sel, topk)
+    pg_c = _compact_runs(page_s, run_sel, topk)
+    ct_c = _compact_runs(cnt_s, run_sel, topk)
+    top_rank, top_slot = topk_nonneg(rk_c, topk)
     valid_top = top_rank > 0
     top_page = jnp.where(
-        valid_top,
-        jnp.take_along_axis(page_s, top_slot, axis=1), -1
+        valid_top, select_slots(pg_c, top_slot, chunk=topk), -1
     )
     top_cnt = jnp.where(
-        valid_top,
-        jnp.take_along_axis(cnt_s, top_slot, axis=1), 0.0
+        valid_top, select_slots(ct_c, top_slot, chunk=topk), 0.0
     ).astype(jnp.int32)
-    n_pages = jnp.sum((rank_s > 0).astype(jnp.int32), axis=1)
+    n_pages = jnp.sum(start.astype(jnp.int32), axis=1)
     return (top_page[:bsz], top_rank[:bsz], top_cnt[:bsz],
             n_pages[:bsz])
 
@@ -1677,17 +1716,8 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
     pages_all = weave(page_s, sp, -1)
     ranks_all = weave(rank_s, sr, 0.0)
     cnts_all = weave(cnt_s, sc, 0.0)
-    top_rank, top_slot = topk_nonneg(ranks_all, topk)
-    valid_top = top_rank > 0
-    top_page = jnp.where(
-        valid_top, jnp.take_along_axis(pages_all, top_slot, axis=1), -1
-    )
-    top_cnt = jnp.where(
-        valid_top,
-        jnp.take_along_axis(cnts_all, top_slot, axis=1), 0.0
-    ).astype(jnp.int32)
-    n_pages = jnp.sum((ranks_all > 0).astype(jnp.int32), axis=1)
-    return (top_page[:bsz], top_rank[:bsz], top_cnt[:bsz], n_pages[:bsz])
+    # shared run-compacting top-k tail (narrow index-bearing top_k)
+    return locate_streams_topk(pages_all, ranks_all, cnts_all, topk, bsz)
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,29 @@ def topk_nonneg(ranks, k: int):
     return jax.lax.bitcast_convert_type(bits, jnp.float32), slot
 
 
+def select_slots(stream, slots, chunk: int = 512):
+    """stream[B, n] read at slots[B, k] -> [B, k] WITHOUT per-element
+    gathers: batched take_along_axis serializes on TPU (measured ~5 ms
+    for two k=16 extractions over a [5000, 2048] stream — it was the
+    single biggest stage of the dominant ru bucket); the chunked
+    compare-all one-hot reduce runs vectorized on the VPU (~1e9 lane
+    ops here, sub-ms). Each slot index must occur once per row — the
+    sum over the one-hot picks exactly that element."""
+    b, n = stream.shape
+    k = slots.shape[1]
+    acc = jnp.zeros((b, k), dtype=stream.dtype)
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        lane = jnp.arange(c0, c1, dtype=jnp.int32)
+        eq = slots[:, :, None] == lane[None, None, :]
+        acc = acc + jnp.sum(
+            jnp.where(eq, stream[:, None, c0:c1],
+                      jnp.zeros((), dtype=stream.dtype)),
+            axis=2,
+        )
+    return acc
+
+
 def pad_to(coords, cap: int):
     """Pad an ascending int array to `cap` with INF sentinels."""
     coords = np.asarray(coords, dtype=np.int64)
