@@ -973,7 +973,7 @@ def _chunked_mode() -> str:
 def _locate_full_chunked(hv, bounds, page_doc, is_header,
                          topk: int, hit_cap: int, with_docs: bool,
                          interpret: bool = False, pg=None,
-                         located=None) -> LocateFull:
+                         located=None, hits_pre=None) -> LocateFull:
     """Batched locate_full over an INF-masked kept stream whose
     page/rank/top-k leg rides the CHUNKED Pallas locate kernel
     (ops/pallas_query.pallas_chunked_locate): one sequential-grid
@@ -985,7 +985,10 @@ def _locate_full_chunked(hv, bounds, page_doc, is_header,
     on its XLA leg.
 
     `located`: optional precomputed (pages, ranks, counts, n_pages) —
-    the fused merge+AND+locate pipeline already owns them."""
+    the fused merge+AND+locate pipeline already owns them.
+    `hits_pre`: optional (compacted_hits, n_hits) from an in-kernel
+    hit compaction (pallas_merge_and_locate_topk) — skips the
+    full-width sort (hv may then be None)."""
     from docodo_tpu.ops.pallas_query import pallas_chunked_locate
 
     if located is not None:
@@ -994,14 +997,17 @@ def _locate_full_chunked(hv, bounds, page_doc, is_header,
         pages, ranks, counts, n_pages = pallas_chunked_locate(
             hv, bounds, topk=topk, interpret=interpret, pg=pg
         )
-    n_hits = jnp.sum((hv < INF32).astype(jnp.int32), axis=1)
-    hits = jax.lax.sort(hv)
+    if hits_pre is not None:
+        hits, n_hits = hits_pre
+    else:
+        n_hits = jnp.sum((hv < INF32).astype(jnp.int32), axis=1)
+        hits = jax.lax.sort(hv)
     if hit_cap <= hits.shape[1]:
         hits = hits[:, :hit_cap]
     else:
         hits = jnp.concatenate([
             hits,
-            jnp.full((hv.shape[0], hit_cap - hits.shape[1]), INF32,
+            jnp.full((hits.shape[0], hit_cap - hits.shape[1]), INF32,
                      jnp.int32),
         ], axis=1)
     docs = doc_ranks = None
@@ -1059,26 +1065,36 @@ def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
     if carried and c0 == c1:
         from docodo_tpu.ops.pallas_query import (
             FUSED_AND_MAX,
-            locate_streams_topk,
             pallas_bitonic_merge,
-            pallas_merge_and_locate,
         )
 
         if 2 * c0 <= FUSED_AND_MAX:
             # the whole W=2 pipeline in ONE kernel: bitonic merge +
-            # one-pass AND + resident locate, no HBM round-trips
-            # between the stages (pallas_merge_and_locate)
-            hv, page_s, rank_s, cnt_s = pallas_merge_and_locate(
-                a, na, b, nb, apg, bpg, rq[:, :1], rq[:, 1:2],
-                cap=c0, interpret=interpret
+            # one-pass AND + resident locate + IN-KERNEL tails (hit
+            # compaction + first-k-runs compaction + counts) — no HBM
+            # round-trips between the stages and no full-width streams
+            # written at all (pallas_merge_and_locate_topk; the
+            # external hits lax.sort and the compare-all run
+            # compaction were 3.7 + 2.8 ms of the dominant ru bucket)
+            from docodo_tpu.ops.pallas_query import (
+                pallas_merge_and_locate_topk,
+                streams_topk_tail,
             )
-            located = locate_streams_topk(
-                page_s, rank_s, cnt_s, topk, hv.shape[0]
+
+            hits_c, pg_c, rk_c, ct_c, npg, nht = (
+                pallas_merge_and_locate_topk(
+                    a, na, b, nb, apg, bpg, rq[:, :1], rq[:, 1:2],
+                    cap=c0, hit_cap=hit_cap, interpret=interpret
+                )
+            )
+            located = streams_topk_tail(
+                pg_c, rk_c, ct_c, npg, topk, hits_c.shape[0]
             )
             return _locate_full_chunked(
-                hv, bounds, page_doc, is_header, topk=topk,
+                None, bounds, page_doc, is_header, topk=topk,
                 hit_cap=hit_cap, with_docs=with_docs,
                 interpret=interpret, located=located,
+                hits_pre=(hits_c, nht),
             )
         # bitonic two-stream merge kernel: one lane-rotation network
         # replaces the vmapped 3-op lax.sort (5.9 -> 2.1 ms at the ru

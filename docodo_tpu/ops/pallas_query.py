@@ -554,28 +554,57 @@ def _union_locate_full_kernel(vals_ref, loc_ref, pages_ref, ranks_ref,
 
 
 def _locate_rank_slots(vals, keep, lane, n, bounds_ref, page_ref,
-                       rank_ref, cnt_ref, npages_ref, page=None):
+                       rank_ref, cnt_ref, npages_ref, page=None,
+                       kpad=None):
     """SLOT-MODE result tail: emits the per-slot (page, rank, count)
     streams instead of running the in-kernel top-k — ONE stable vmapped
     lax.sort outside the kernel (key = -rank) extracts the ordered
     top-k. Replacing topk sequential masked-argmax passes with a native
     TPU sort measured 18.4 -> ~12 ms on the dominant cap-64 W2 bucket
     (topk=64); the stable sort preserves the ascending-lane tie-break
-    of the argmax loop exactly."""
+    of the argmax loop exactly.
+
+    kpad: when set, the streams COMPACT IN-KERNEL to their first kpad
+    runs in slot order (_compact_left log-shifts) and the refs are
+    [Q, kpad] — the external compare-all run compaction
+    (locate_streams_topk's _compact_runs) disappears and the kernel
+    writes shrink from 3x[B, n] to 3x[B, kpad]."""
     page, first, slot_rank, slot_count = _locate_rank_core(
         vals, keep, lane, n, bounds_ref, page=page
     )
     npages_ref[:, 0] = jnp.sum(first.astype(jnp.int32), axis=-1)
-    page_ref[...] = page
-    rank_ref[...] = slot_rank
-    cnt_ref[...] = slot_count
+    if kpad is None:
+        page_ref[...] = page
+        rank_ref[...] = slot_rank
+        cnt_ref[...] = slot_count
+        return
+    rc, pc, cc = _compact_left(
+        (slot_rank, page, slot_count),
+        (np.float32(0), np.int32(-1), np.float32(0)), first, lane, n
+    )
+    page_ref[...] = pc[:, :kpad]
+    rank_ref[...] = rc[:, :kpad]
+    cnt_ref[...] = cc[:, :kpad]
+
+
+def _emit_hits(hits_ref, vals, keep, lane, n, hpad):
+    """Kernel hit emission: the raw kept stream (hpad None), or the
+    first-hpad kept values compacted in-kernel (_compact_left) so the
+    external full-width hits lax.sort disappears."""
+    hv = jnp.where(keep, vals, INF32)
+    if hpad is None:
+        hits_ref[...] = hv
+        return
+    (hc,) = _compact_left((hv,), (INF32,), keep, lane, n)
+    hits_ref[...] = hc[:, :hpad]
 
 
 def _sorted_and_locate_full_slots_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
                                          loc_ref, page_ref, rank_ref,
                                          cnt_ref, npages_ref, nhits_ref,
                                          hits_ref, *, cap: int,
-                                         paged: bool = False):
+                                         paged: bool = False,
+                                         kpad=None, hpad=None):
     """SLOT-MODE twin of _sorted_and_locate_full_kernel."""
     n = 2 * cap
     q = vals_ref.shape[0]
@@ -583,11 +612,11 @@ def _sorted_and_locate_full_slots_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
     vals = vals_ref[...]
     keep = _sorted_and_keep(vals, tag_ref[...], ra_ref, rb_ref, lane, n)
     nhits_ref[:, 0] = jnp.sum(keep.astype(jnp.int32), axis=-1)
-    hits_ref[...] = jnp.where(keep, vals, INF32)
+    _emit_hits(hits_ref, vals, keep, lane, n, hpad)
     _locate_rank_slots(
         vals, keep, lane, n, None if paged else loc_ref, page_ref,
         rank_ref, cnt_ref, npages_ref,
-        page=loc_ref[...] if paged else None,
+        page=loc_ref[...] if paged else None, kpad=kpad,
     )
 
 
@@ -595,7 +624,8 @@ def _variants_and_locate_full_slots_kernel(vals_ref, tag_ref, ra_ref,
                                            rb_ref, bpad_ref, loc_ref,
                                            page_ref, rank_ref, cnt_ref,
                                            npages_ref, nhits_ref, hits_ref,
-                                           *, n: int, paged: bool = False):
+                                           *, n: int, paged: bool = False,
+                                           kpad=None, hpad=None):
     """SLOT-MODE twin of _variants_and_locate_full_kernel."""
     q = vals_ref.shape[0]
     lane = _iota((q, n), 1)
@@ -604,18 +634,19 @@ def _variants_and_locate_full_slots_kernel(vals_ref, tag_ref, ra_ref,
         vals, tag_ref[...], ra_ref, rb_ref, bpad_ref, lane, n
     )
     nhits_ref[:, 0] = jnp.sum(keep.astype(jnp.int32), axis=-1)
-    hits_ref[...] = jnp.where(keep, vals, INF32)
+    _emit_hits(hits_ref, vals, keep, lane, n, hpad)
     _locate_rank_slots(
         vals, keep, lane, n, None if paged else loc_ref, page_ref,
         rank_ref, cnt_ref, npages_ref,
-        page=loc_ref[...] if paged else None,
+        page=loc_ref[...] if paged else None, kpad=kpad,
     )
 
 
 def _union_locate_full_slots_kernel(vals_ref, loc_ref, page_ref,
                                     rank_ref, cnt_ref, npages_ref,
                                     nhits_ref, hits_ref, *, n: int,
-                                    paged: bool = False):
+                                    paged: bool = False,
+                                    kpad=None, hpad=None):
     """SLOT-MODE twin of _union_locate_full_kernel."""
     q = vals_ref.shape[0]
     lane = _iota((q, n), 1)
@@ -624,17 +655,18 @@ def _union_locate_full_slots_kernel(vals_ref, loc_ref, page_ref,
     prev_vals = _shift_right_fill(vals, np.int32(-1))
     keep = jnp.logical_and(valid, vals != prev_vals)
     nhits_ref[:, 0] = jnp.sum(keep.astype(jnp.int32), axis=-1)
-    hits_ref[...] = jnp.where(keep, vals, INF32)
+    _emit_hits(hits_ref, vals, keep, lane, n, hpad)
     _locate_rank_slots(
         vals, keep, lane, n, None if paged else loc_ref, page_ref,
         rank_ref, cnt_ref, npages_ref,
-        page=loc_ref[...] if paged else None,
+        page=loc_ref[...] if paged else None, kpad=kpad,
     )
 
 
 def _single_word_full_slots_kernel(a_ref, na_ref, loc_ref, page_ref,
                                    rank_ref, cnt_ref, npages_ref,
-                                   *, cap: int, paged: bool = False):
+                                   *, cap: int, paged: bool = False,
+                                   kpad=None):
     """SLOT-MODE twin of _single_word_full_kernel (hits and n_hits come
     from the gathered block outside, as in the topk-mode wrapper)."""
     q = a_ref.shape[0]
@@ -645,7 +677,7 @@ def _single_word_full_slots_kernel(a_ref, na_ref, loc_ref, page_ref,
     _locate_rank_slots(
         vals, keep, lane, cap, None if paged else loc_ref, page_ref,
         rank_ref, cnt_ref, npages_ref,
-        page=loc_ref[...] if paged else None,
+        page=loc_ref[...] if paged else None, kpad=kpad,
     )
 
 
@@ -1567,15 +1599,25 @@ def locate_streams_topk(page_s, rank_s, cnt_s, topk: int, bsz: int):
     rk_c = _compact_runs(rank_s, run_sel, topk)
     pg_c = _compact_runs(page_s, run_sel, topk)
     ct_c = _compact_runs(cnt_s, run_sel, topk)
-    top_rank, top_slot = topk_nonneg(rk_c, topk)
+    n_pages = jnp.sum(start.astype(jnp.int32), axis=1)
+    return streams_topk_tail(pg_c, rk_c, ct_c, n_pages, topk, bsz)
+
+
+def streams_topk_tail(pg_c, rk_c, ct_c, n_pages, topk: int, bsz: int):
+    """Rank top-k over ALREADY-COMPACTED first-k run streams
+    ([B, >=topk], slot order): the tiny index-bearing top_k + width-k
+    slot selects shared by locate_streams_topk and the in-kernel
+    compaction path (pallas_merge_and_locate_topk)."""
+    top_rank, top_slot = topk_nonneg(rk_c[:, :topk], topk)
     valid_top = top_rank > 0
     top_page = jnp.where(
-        valid_top, select_slots(pg_c, top_slot, chunk=topk), -1
+        valid_top, select_slots(pg_c[:, :topk], top_slot, chunk=topk),
+        -1
     )
     top_cnt = jnp.where(
-        valid_top, select_slots(ct_c, top_slot, chunk=topk), 0.0
+        valid_top, select_slots(ct_c[:, :topk], top_slot, chunk=topk),
+        0.0
     ).astype(jnp.int32)
-    n_pages = jnp.sum(start.astype(jnp.int32), axis=1)
     return (top_page[:bsz], top_rank[:bsz], top_cnt[:bsz],
             n_pages[:bsz])
 
@@ -2111,23 +2153,48 @@ def pallas_fused_and(vals, tag, ra, rb, *, interpret: bool = False):
     return hits[:bsz, :n - lpad] if lpad else hits[:bsz]
 
 
-def _merge_and_locate_kernel(x_ref, t_ref_in, p_ref_in, ra_ref, rb_ref,
-                             hits_ref, page_ref, rank_ref, cnt_ref,
-                             *, cap: int):
-    """Whole W=2 resident pipeline in ONE program: the bitonic
-    two-stream merge (log2(2cap) lane-rotation compare-exchange stages
+def _compact_left(payloads, fills, kp, lane, n):
+    """In-kernel EXACT stream compaction: kept lanes move to the front
+    in order via LSB-first masked log-shifts — O(log n) roll/select
+    stages, no sort, no gathers, no compare-all. Each kept lane's
+    distance d = #dropped lanes before it; processing bit b of d
+    (computed ONCE) with a left-shift by 2^b is collision-free because
+    for kept i < j, d[j] - d[i] <= j - i - 1 (lane i itself is kept),
+    so intermediate positions l - (d & (2^(b+1)-1)) stay STRICTLY
+    increasing. Measured vs the alternatives at the dominant ru shape
+    [5000, 2048] (probe_compact_shift.py): as an XLA-level op this
+    LOSES (6.2 vs 4.9 ms hits / 11.4 vs 2.9 ms runs — XLA materializes
+    every stage through HBM), but resident in VMEM the stages are pure
+    VPU rolls, replacing the 3.7 ms external hits sort and the 2.8 ms
+    compare-all run compaction of the full-result tails."""
+    ki = kp.astype(jnp.int32)  # Mosaic cannot rotate i1 vectors
+    c = _cumsum(ki)
+    # meta packs (d << 1 | kept): one rolled array carries both the
+    # remaining shift distance and the kept flag
+    meta = jnp.where(kp, ((lane - (c - 1)) << 1) | 1, 0)
+    outs = list(payloads)
+    s = 1
+    while s < n:
+        edge = lane < n - s
+        sm = jnp.where(edge, _roll(meta, -s), 0)
+        sbit = (s << 1) | 1
+        inc = (sm & sbit) == sbit
+        stay = (meta & sbit) == 1
+        for i in range(len(outs)):
+            sv = _roll(outs[i], -s)
+            fl = jnp.full((), fills[i], outs[i].dtype)
+            outs[i] = jnp.where(inc, sv, jnp.where(stay, outs[i], fl))
+        meta = jnp.where(inc, sm, jnp.where(stay, meta, 0))
+        s <<= 1
+    return outs
+
+
+def _merge_and_body(x, t, p, ra_ref, rb_ref, lane, n):
+    """Shared body of the fused W=2 resident kernels: the bitonic
+    two-stream merge (log2(n) lane-rotation compare-exchange stages
     over a concat(a asc, b reversed) row — _bitonic_merge_kernel's
-    body), the one-pass proximity-AND (_sorted_and_keep, packed scans),
-    and the resident locate (_locate_rank_resident) — the merged
-    stream, the kept-hit stream, and the locate inputs never leave
-    VMEM (the three-kernel pipeline wrote and re-read each of them
-    through HBM)."""
-    n = 2 * cap
-    q = x_ref.shape[0]
-    x = x_ref[...]
-    t = t_ref_in[...]
-    p = p_ref_in[...]
-    lane = _iota((q, n), 1)
+    body) + the one-pass proximity-AND (_sorted_and_keep, packed
+    scans). Returns (merged x, merged pages, keep flags)."""
     d = n // 2
     while d >= 1:
         lo = (lane & d) == 0
@@ -2148,6 +2215,24 @@ def _merge_and_locate_kernel(x_ref, t_ref_in, p_ref_in, ra_ref, rb_ref,
         p = jnp.where(take, pp, p)
         d //= 2
     keep = _sorted_and_keep(x, t, ra_ref, rb_ref, lane, n, pack=1 << 15)
+    return x, p, keep
+
+
+def _merge_and_locate_kernel(x_ref, t_ref_in, p_ref_in, ra_ref, rb_ref,
+                             hits_ref, page_ref, rank_ref, cnt_ref,
+                             *, cap: int):
+    """Whole W=2 resident pipeline in ONE program: the bitonic
+    two-stream merge, the one-pass proximity-AND, and the resident
+    locate (_locate_rank_resident) — the merged stream, the kept-hit
+    stream, and the locate inputs never leave VMEM (the three-kernel
+    pipeline wrote and re-read each of them through HBM)."""
+    n = 2 * cap
+    q = x_ref.shape[0]
+    lane = _iota((q, n), 1)
+    x, p, keep = _merge_and_body(
+        x_ref[...], t_ref_in[...], p_ref_in[...], ra_ref, rb_ref,
+        lane, n
+    )
     hv = jnp.where(keep, x, INF32)
     hits_ref[...] = hv
     page_ref[...], rank_ref[...], cnt_ref[...] = _locate_rank_resident(
@@ -2155,22 +2240,55 @@ def _merge_and_locate_kernel(x_ref, t_ref_in, p_ref_in, ra_ref, rb_ref,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
-def pallas_merge_and_locate(a, na, b, nb, apg, bpg, ra, rb, *, cap: int,
-                            interpret: bool = False):
-    """Fused merge+AND+locate for carried equal-cap W=2 streams that
-    fit resident (2*cap <= FUSED_AND_MAX). Takes the two per-word
-    posting blocks with their carried page streams; returns
-    (hits, page_s, rank_s, cnt_s) each [B, 2cap] — the kept-hit stream
-    (INF32 at dropped slots, callers compact with one lax.sort) and the
-    in-slot locate streams for locate_streams_topk. Bit-identical to
-    pallas_bitonic_merge -> pallas_fused_and -> the resident chunked
-    locate, without the three HBM round-trips between them
-    (ref IndexSequence.cs:218-284 + Search.cs:365-420 semantics)."""
+def _merge_and_locate_topk_kernel(x_ref, t_ref_in, p_ref_in, ra_ref,
+                                  rb_ref, hits_ref, page_ref, rank_ref,
+                                  cnt_ref, nn_ref, *, cap: int,
+                                  hpad: int, kpad: int):
+    """The fused W=2 resident pipeline with IN-KERNEL tails: after
+    merge+AND+locate, the kept-hit stream compacts to its first `hpad`
+    kept values and the in-slot run streams compact to their first
+    `kpad` runs (both via _compact_left — the full-width streams never
+    reach HBM), and n_pages/n_hits reduce in-kernel (lanes 0/1 of
+    nn_ref). Replaces the external full-width hits lax.sort (3.7 ms at
+    [5000, 2048]) and locate_streams_topk's chunked compare-all run
+    compaction (2.8 ms) AND shrinks the kernel's HBM writes from
+    4x[B, n] to [B, hpad] + 3x[B, kpad] + [B, 128]. Output contracts
+    match _locate_full_chunked + locate_streams_topk bit-for-bit:
+    first-hpad kept hits (rows with more re-serve via exact n_hits),
+    first-kpad runs in slot order (rows with more re-serve via exact
+    n_pages)."""
+    n = 2 * cap
+    q = x_ref.shape[0]
+    lane = _iota((q, n), 1)
+    x, p, keep = _merge_and_body(
+        x_ref[...], t_ref_in[...], p_ref_in[...], ra_ref, rb_ref,
+        lane, n
+    )
+    hv = jnp.where(keep, x, INF32)
+    page_s, rank_s, cnt_s = _locate_rank_resident(hv, p, lane, n)
+    (hc,) = _compact_left((hv,), (INF32,), keep, lane, n)
+    hits_ref[...] = hc[:, :hpad]
+    first = rank_s > 0
+    rc, pc, cc = _compact_left(
+        (rank_s, page_s, cnt_s),
+        (np.float32(0), np.int32(-1), np.float32(0)), first, lane, n
+    )
+    page_ref[...] = pc[:, :kpad]
+    rank_ref[...] = rc[:, :kpad]
+    cnt_ref[...] = cc[:, :kpad]
+    npg = jnp.sum(first.astype(jnp.int32), axis=1, keepdims=True)
+    nht = jnp.sum(keep.astype(jnp.int32), axis=1, keepdims=True)
+    sl = _iota((q, 128), 1)
+    nn_ref[...] = jnp.where(sl == 0, npg, jnp.where(sl == 1, nht, 0))
+
+
+def _fused_prearrange(a, na, b, nb, apg, bpg, ra, rb, cap: int):
+    """Shared input staging for the fused W=2 resident kernels: the
+    bitonic pre-arrangement (concat(a asc, b reversed) — Mosaic has no
+    `rev` lowering; XLA fuses the flip/concat into the kernel's input
+    copy) plus row padding to the program height q."""
     bsz = a.shape[0]
     n = 2 * cap
-    # bitonic pre-arrangement stays OUTSIDE (Mosaic has no `rev`
-    # lowering; XLA fuses the flip/concat into the kernel's input copy)
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
     nac, nbc = na[:, None], nb[:, None]
     av = jnp.where(lane_c < nac, a, INF32)
@@ -2190,6 +2308,26 @@ def pallas_merge_and_locate(a, na, b, nb, apg, bpg, ra, rb, *, cap: int,
         p0 = jnp.concatenate([p0, jnp.full((pad, n), INF32, jnp.int32)])
         ra = jnp.concatenate([ra, jnp.ones((pad, 1), jnp.int32)])
         rb = jnp.concatenate([rb, jnp.ones((pad, 1), jnp.int32)])
+    return x0, t0, p0, ra, rb, q
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def pallas_merge_and_locate(a, na, b, nb, apg, bpg, ra, rb, *, cap: int,
+                            interpret: bool = False):
+    """Fused merge+AND+locate for carried equal-cap W=2 streams that
+    fit resident (2*cap <= FUSED_AND_MAX). Takes the two per-word
+    posting blocks with their carried page streams; returns
+    (hits, page_s, rank_s, cnt_s) each [B, 2cap] — the kept-hit stream
+    (INF32 at dropped slots, callers compact with one lax.sort) and the
+    in-slot locate streams for locate_streams_topk. Bit-identical to
+    pallas_bitonic_merge -> pallas_fused_and -> the resident chunked
+    locate, without the three HBM round-trips between them
+    (ref IndexSequence.cs:218-284 + Search.cs:365-420 semantics)."""
+    bsz = a.shape[0]
+    n = 2 * cap
+    x0, t0, p0, ra, rb, q = _fused_prearrange(
+        a, na, b, nb, apg, bpg, ra, rb, cap
+    )
     bp = x0.shape[0]
     kernel = functools.partial(_merge_and_locate_kernel, cap=cap)
     blk = lambda i: (i, 0)
@@ -2213,6 +2351,66 @@ def pallas_merge_and_locate(a, na, b, nb, apg, bpg, ra, rb, *, cap: int,
         interpret=interpret,
     )(x0, t0, p0, ra, rb)
     return hits[:bsz], page_s[:bsz], rank_s[:bsz], cnt_s[:bsz]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cap", "hit_cap", "interpret"))
+def pallas_merge_and_locate_topk(a, na, b, nb, apg, bpg, ra, rb, *,
+                                 cap: int, hit_cap: int,
+                                 interpret: bool = False):
+    """Fused merge+AND+locate WITH in-kernel tails for carried
+    equal-cap W=2 resident streams (2*cap <= FUSED_AND_MAX): the
+    kept-hit compaction (first hit_cap kept values — replaces the
+    external full-width lax.sort) and the first-k-runs compaction
+    (replaces locate_streams_topk's chunked compare-all) both run as
+    log-shift stages over the VMEM-resident stream (_compact_left),
+    and n_pages/n_hits reduce in-kernel. Returns
+    (hits [B, >=min(hit_cap, 2cap)], pg_c/rk_c/ct_c [B, kpad],
+    n_pages [B], n_hits [B]); the caller finishes with
+    streams_topk_tail (a width-kpad top-k) and crops/pads hits to
+    hit_cap. Bit-identical to pallas_merge_and_locate + lax.sort +
+    locate_streams_topk for every served row
+    (ref IndexSequence.cs:218-284 + Search.cs:365-420 semantics)."""
+    bsz = a.shape[0]
+    n = 2 * cap
+    hpad = min(-(-hit_cap // 128) * 128, n)
+    kpad = min(128, n)
+    x0, t0, p0, ra, rb, q = _fused_prearrange(
+        a, na, b, nb, apg, bpg, ra, rb, cap
+    )
+    bp = x0.shape[0]
+    kernel = functools.partial(
+        _merge_and_locate_topk_kernel, cap=cap, hpad=hpad, kpad=kpad
+    )
+    blk = lambda i: (i, 0)
+    hits, pg_c, rk_c, ct_c, nn = pl.pallas_call(
+        kernel,
+        grid=(bp // q,),
+        in_specs=[
+            pl.BlockSpec((q, n), blk),
+            pl.BlockSpec((q, n), blk),
+            pl.BlockSpec((q, n), blk),
+            pl.BlockSpec((q, 1), blk),
+            pl.BlockSpec((q, 1), blk),
+        ],
+        out_specs=[
+            pl.BlockSpec((q, hpad), blk),
+            pl.BlockSpec((q, kpad), blk),
+            pl.BlockSpec((q, kpad), blk),
+            pl.BlockSpec((q, kpad), blk),
+            pl.BlockSpec((q, 128), blk),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, hpad), jnp.int32),
+            jax.ShapeDtypeStruct((bp, kpad), jnp.int32),
+            jax.ShapeDtypeStruct((bp, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((bp, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x0, t0, p0, ra, rb)
+    return (hits[:bsz], pg_c[:bsz], rk_c[:bsz], ct_c[:bsz],
+            nn[:bsz, 0], nn[:bsz, 1])
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))

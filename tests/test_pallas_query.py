@@ -654,6 +654,85 @@ def test_merge_and_locate_matches_three_stage(rng):
                 np.asarray(g), np.asarray(w), err_msg=name)
 
 
+def test_merge_and_locate_topk_matches_external_tails(rng):
+    """The in-kernel-tails fused kernel (pallas_merge_and_locate_topk:
+    log-shift hit compaction + first-k-runs compaction + in-kernel
+    counts) is bit-identical to pallas_merge_and_locate + the external
+    tails it replaces (full-width hits lax.sort -> crop,
+    locate_streams_topk, outside n_hits/n_pages sums) on random ragged
+    blocks with carried pages, including empty operands, fully-kept
+    rows, ordered (r<0) rows, cross-operand duplicates, rows with
+    n_pages > topk and n_hits > hit_cap."""
+    from docodo_tpu.ops.pallas_query import (
+        locate_streams_topk,
+        pallas_merge_and_locate,
+        pallas_merge_and_locate_topk,
+        streams_topk_tail,
+    )
+    from docodo_tpu.ops.seqops import INF32
+
+    for cap, hit_cap in ((64, 128), (256, 64), (128, 2048)):
+        B = 12
+        topk = 4  # small so some rows exceed it (re-serve contract)
+        bounds = np.concatenate([
+            [0],
+            np.sort(rng.choice(
+                np.arange(1, 30 * cap), size=40, replace=False)),
+        ]).astype(np.int32)
+        a = np.full((B, cap), INF32, np.int32)
+        b = np.full((B, cap), INF32, np.int32)
+        na = rng.integers(0, cap + 1, B).astype(np.int32)
+        nb = rng.integers(0, cap + 1, B).astype(np.int32)
+        na[0] = 0
+        nb[1] = 0
+        na[2] = nb[2] = cap  # fully-kept candidates
+        pool = np.arange(0, 8 * cap) * 3
+        for i in range(B):
+            a[i, : na[i]] = np.sort(rng.choice(pool, na[i], replace=False))
+            b[i, : nb[i]] = np.sort(rng.choice(pool, nb[i], replace=False))
+        # row 2: identical dense operands, huge window -> all kept
+        dense = np.sort(rng.choice(pool, cap, replace=False))
+        a[2] = b[2] = dense
+
+        def pg_of(x):
+            return np.where(
+                x < INF32,
+                np.maximum(
+                    np.searchsorted(bounds, x, side="right") - 1, 0),
+                INF32,
+            ).astype(np.int32)
+
+        apg, bpg = pg_of(a), pg_of(b)
+        ra = rng.integers(1, 40, (B, 1)).astype(np.int32)
+        rb = rng.integers(1, 40, (B, 1)).astype(np.int32)
+        ra[2] = rb[2] = 10 * 24 * cap  # keep everything on row 2
+        ra[3:5] = -ra[3:5]
+        rb[3:5] = -np.abs(rb[3:5])
+        args = [jnp.asarray(x) for x in (a, na, b, nb, apg, bpg)]
+        hits_c, pg_c, rk_c, ct_c, npg, nht = pallas_merge_and_locate_topk(
+            args[0], args[1], args[2], args[3], args[4], args[5],
+            jnp.asarray(ra), jnp.asarray(rb), cap=cap,
+            hit_cap=hit_cap, interpret=True)
+        got = streams_topk_tail(pg_c, rk_c, ct_c, npg, topk, B)
+
+        hv, ps, rs, cs = pallas_merge_and_locate(
+            args[0], args[1], args[2], args[3], args[4], args[5],
+            jnp.asarray(ra), jnp.asarray(rb), cap=cap, interpret=True)
+        want = locate_streams_topk(ps, rs, cs, topk, B)
+        for g, w, name in zip(got, want,
+                              ["pages", "ranks", "counts", "n_pages"]):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(w), err_msg=name)
+        assert np.asarray(npg).max() > topk, "fixture must exceed topk"
+        want_nht = np.sum(np.asarray(hv) < INF32, axis=1)
+        np.testing.assert_array_equal(np.asarray(nht), want_nht)
+        want_hits = np.asarray(jax.lax.sort(hv))[:, :hit_cap]
+        got_hits = np.asarray(hits_c)[:, :hit_cap]
+        width = min(hit_cap, got_hits.shape[1], want_hits.shape[1])
+        np.testing.assert_array_equal(
+            got_hits[:, :width], want_hits[:, :width])
+
+
 def test_resident_locate_fully_kept_max_width_run_count(rng):
     """Regression: a fully-kept FUSED_AND_MAX-wide stream in one page
     closes its single run with count EXACTLY 4096 — the packed
