@@ -769,11 +769,18 @@ def _full_stream_call(kernel, bsz: int, q: int, n: int, topk: int,
 def _full_stream_call_slots(kernel, bsz: int, q: int, n: int, topk: int,
                             hit_cap: int, interpret: bool, inputs,
                             in_specs):
-    """SLOT-MODE pallas_call plumbing: the kernel emits per-slot
-    (page, rank, count) streams; the top-k extraction is ONE outside
-    stable lax.sort (_slots_topk_sort) riding next to the hit
-    compaction sort."""
+    """SLOT-MODE pallas_call plumbing with IN-KERNEL tails: the kernel
+    compacts the run streams to their first min(topk, n) runs and the
+    kept-hit stream to its first ~hit_cap values (_compact_left
+    log-shifts over the VMEM-resident stream), so the external
+    compare-all run compaction (locate_streams_topk) and the
+    full-width hits lax.sort both disappear and the kernel writes
+    shrink from 4x[B, n] to 3x[B, kpad] + [B, hpad]. The top-k
+    finishes with the width-kpad streams_topk_tail."""
     grid = (bsz // q,)
+    kpad = min(topk, n)
+    hpad = min(n, -(-min(hit_cap, n) // 128) * 128)
+    kernel = functools.partial(kernel, kpad=kpad, hpad=hpad)
     extra = {}
     if n >= 2048 and not interpret:
         # wide streams brush the default 16 MB scoped-vmem stack when
@@ -785,38 +792,45 @@ def _full_stream_call_slots(kernel, bsz: int, q: int, n: int, topk: int,
         extra["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         )
-    page_s, rank_s, cnt_s, n_pages, n_hits, hitvals = pl.pallas_call(
+    pg_c, rk_c, ct_c, n_pages, n_hits, hits = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         **extra,
         out_specs=[
-            pl.BlockSpec((q, n), lambda i: (i, 0)),
-            pl.BlockSpec((q, n), lambda i: (i, 0)),
-            pl.BlockSpec((q, n), lambda i: (i, 0)),
+            pl.BlockSpec((q, kpad), lambda i: (i, 0)),
+            pl.BlockSpec((q, kpad), lambda i: (i, 0)),
+            pl.BlockSpec((q, kpad), lambda i: (i, 0)),
             pl.BlockSpec((q, 1), lambda i: (i, 0)),
             pl.BlockSpec((q, 1), lambda i: (i, 0)),
-            pl.BlockSpec((q, n), lambda i: (i, 0)),
+            pl.BlockSpec((q, hpad), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, n), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, n), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, n), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, kpad), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, kpad), jnp.float32),
             jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
             jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, n), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, hpad), jnp.int32),
         ],
         interpret=interpret,
     )(*inputs)
-    pages, ranks, counts, _ = locate_streams_topk(
-        page_s, rank_s, cnt_s, topk, page_s.shape[0]
+    if kpad < topk:
+        zpad = topk - kpad
+        pg_c = jnp.concatenate(
+            [pg_c, jnp.full((bsz, zpad), -1, jnp.int32)], axis=1)
+        rk_c = jnp.concatenate(
+            [rk_c, jnp.zeros((bsz, zpad), jnp.float32)], axis=1)
+        ct_c = jnp.concatenate(
+            [ct_c, jnp.zeros((bsz, zpad), jnp.float32)], axis=1)
+    pages, ranks, counts, _ = streams_topk_tail(
+        pg_c, rk_c, ct_c, n_pages[:, 0], topk, bsz
     )
-    hits = jax.lax.sort(hitvals)
-    if hit_cap <= n:
+    if hit_cap <= hpad:
         hits = hits[:, :hit_cap]
     else:
         hits = jnp.concatenate([
-            hits, jnp.full((bsz, hit_cap - n), INF32, jnp.int32)
+            hits, jnp.full((bsz, hit_cap - hpad), INF32, jnp.int32)
         ], axis=1)
     return pages, ranks, counts, n_pages[:, 0], n_hits[:, 0], hits
 
@@ -1165,28 +1179,38 @@ def pallas_single_locate_full(a, na, bounds, cap: int, topk: int,
         loc_spec,
     ]
     if sort_topk:
+        kpad = min(topk, cap)
         kernel = functools.partial(
-            _single_word_full_slots_kernel, cap=cap, paged=paged)
-        page_s, rank_s, cnt_s, n_pages = pl.pallas_call(
+            _single_word_full_slots_kernel, cap=cap, paged=paged,
+            kpad=kpad)
+        pg_c, rk_c, ct_c, n_pages = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((q, cap), lambda i: (i, 0)),
-                pl.BlockSpec((q, cap), lambda i: (i, 0)),
-                pl.BlockSpec((q, cap), lambda i: (i, 0)),
+                pl.BlockSpec((q, kpad), lambda i: (i, 0)),
+                pl.BlockSpec((q, kpad), lambda i: (i, 0)),
+                pl.BlockSpec((q, kpad), lambda i: (i, 0)),
                 pl.BlockSpec((q, 1), lambda i: (i, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((bsz, cap), jnp.int32),
-                jax.ShapeDtypeStruct((bsz, cap), jnp.float32),
-                jax.ShapeDtypeStruct((bsz, cap), jnp.float32),
+                jax.ShapeDtypeStruct((bsz, kpad), jnp.int32),
+                jax.ShapeDtypeStruct((bsz, kpad), jnp.float32),
+                jax.ShapeDtypeStruct((bsz, kpad), jnp.float32),
                 jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
             ],
             interpret=interpret,
         )(a, na2, loc)
-        pages, ranks, counts, _ = locate_streams_topk(
-            page_s, rank_s, cnt_s, topk, page_s.shape[0]
+        if kpad < topk:
+            zpad = topk - kpad
+            pg_c = jnp.concatenate(
+                [pg_c, jnp.full((bsz, zpad), -1, jnp.int32)], axis=1)
+            rk_c = jnp.concatenate(
+                [rk_c, jnp.zeros((bsz, zpad), jnp.float32)], axis=1)
+            ct_c = jnp.concatenate(
+                [ct_c, jnp.zeros((bsz, zpad), jnp.float32)], axis=1)
+        pages, ranks, counts, _ = streams_topk_tail(
+            pg_c, rk_c, ct_c, n_pages[:, 0], topk, bsz
         )
     else:
         kernel = functools.partial(
