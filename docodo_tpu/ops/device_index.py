@@ -743,6 +743,23 @@ class LocateFull(NamedTuple):
     n_hits: jax.Array     # int32[] total kept hits
 
 
+class PreFull(NamedTuple):
+    """Deferred-tail bucket result: the compacted first-topk-runs
+    streams of a full-result bucket BEFORE the rank top-k and doc
+    grouping. The multi-bucket dispatcher concatenates every bucket's
+    PreFull and runs ONE streams_topk_tail + ONE doc grouping for the
+    whole batch — the per-bucket tail is a fixed ~dozen tiny thunks
+    whose dispatch cost dominates the fused program (PROFILE_r04:
+    thunk-bound, ~0.3-0.4 ms/bucket nearly independent of B)."""
+
+    pg_c: jax.Array       # int32[B, topk] first-topk run pages (slot order)
+    rk_c: jax.Array       # f32[B, topk] their ranks (0 pad)
+    ct_c: jax.Array       # f32[B, topk] their counts
+    n_pages: jax.Array    # int32[B] exact full-width totals
+    n_hits: jax.Array     # int32[B]
+    hits: jax.Array       # int32[B, hit_cap]
+
+
 # page-table size bound for the gather-free doc/header lookups in
 # doc_group_topk: beyond it the [topk, P] compare-all would dominate
 # and the plain table gathers take over (same crossover doctrine as
@@ -840,9 +857,12 @@ def doc_group_topk(top_page, top_rank, page_doc, is_header):
 
 
 def locate_full(vals, keep, bounds, page_doc, is_header, topk: int,
-                hit_cap: int, with_docs: bool = True) -> LocateFull:
+                hit_cap: int, with_docs: bool = True, tail: bool = True):
     """locate_topk_masked plus hit-stream compaction and (with_docs)
-    device-side doc ranking (ref Search.cs:552-557)."""
+    device-side doc ranking (ref Search.cs:552-557).
+
+    tail=False: return the compacted pre-top-k streams (PreFull fields,
+    per query) for the dispatcher's batched shared tail."""
     page, first, slot_rank, slot_count = _locate_core(vals, keep, bounds)
     n_pages = jnp.sum(first.astype(jnp.int32))
     # first-topk-runs contract (matches the Pallas locate_streams_topk
@@ -859,18 +879,28 @@ def locate_full(vals, keep, bounds, page_doc, is_header, topk: int,
     rk_c = jnp.sum(jnp.where(onehot, slot_rank[None, :], 0.0), axis=1)
     pg_c = jnp.sum(jnp.where(onehot, page[None, :], 0), axis=1)
     ct_c = jnp.sum(jnp.where(onehot, slot_count[None, :], 0.0), axis=1)
-    top_rank, top_slot = topk_nonneg(rk_c, topk)
-    valid_top = top_rank > 0
-    top_page = jnp.where(valid_top, pg_c[top_slot], -1)
-    top_count = jnp.where(
-        valid_top, ct_c[top_slot].astype(jnp.int32), 0
-    )
 
     # hits: the kept stream compacted. For every SERVED result this
     # equals "hits restricted to the top-k pages" (n_pages <= topk means
     # all pages are top pages); truncated results re-serve host-side
     n_hits = jnp.sum(keep.astype(jnp.int32))
     hits = compact_mask(vals, keep, hit_cap, ca_max=FULL_CA_MAX)
+
+    if not tail:
+        # parity detail vs the Pallas compaction: runs past topk leave
+        # pg_c at the one-hot sum's 0 fill here vs -1 there — both are
+        # masked to -1 by streams_topk_tail's valid_top, and such rows
+        # re-serve host-side anyway (n_pages > topk)
+        return PreFull(
+            pg_c=pg_c, rk_c=rk_c, ct_c=ct_c, n_pages=n_pages,
+            n_hits=n_hits, hits=hits,
+        )
+    top_rank, top_slot = topk_nonneg(rk_c, topk)
+    valid_top = top_rank > 0
+    top_page = jnp.where(valid_top, pg_c[top_slot], -1)
+    top_count = jnp.where(
+        valid_top, ct_c[top_slot].astype(jnp.int32), 0
+    )
 
     docs = doc_ranks = None
     if with_docs:
@@ -973,7 +1003,7 @@ def _chunked_mode() -> str:
 def _locate_full_chunked(hv, bounds, page_doc, is_header,
                          topk: int, hit_cap: int, with_docs: bool,
                          interpret: bool = False, pg=None,
-                         located=None, hits_pre=None) -> LocateFull:
+                         located=None, hits_pre=None, tail: bool = True):
     """Batched locate_full over an INF-masked kept stream whose
     page/rank/top-k leg rides the CHUNKED Pallas locate kernel
     (ops/pallas_query.pallas_chunked_locate): one sequential-grid
@@ -994,9 +1024,14 @@ def _locate_full_chunked(hv, bounds, page_doc, is_header,
     if located is not None:
         pages, ranks, counts, n_pages = located
     else:
-        pages, ranks, counts, n_pages = pallas_chunked_locate(
-            hv, bounds, topk=topk, interpret=interpret, pg=pg
+        res = pallas_chunked_locate(
+            hv, bounds, topk=topk, interpret=interpret, pg=pg,
+            tail=tail,
         )
+        if not tail:
+            pg_c, rk_c, ct_c, n_pages = res
+        else:
+            pages, ranks, counts, n_pages = res
     if hits_pre is not None:
         hits, n_hits = hits_pre
     else:
@@ -1010,6 +1045,12 @@ def _locate_full_chunked(hv, bounds, page_doc, is_header,
             jnp.full((hits.shape[0], hit_cap - hits.shape[1]), INF32,
                      jnp.int32),
         ], axis=1)
+    if not tail:
+        assert located is None, "deferred tail excludes located"
+        return PreFull(
+            pg_c=pg_c, rk_c=rk_c, ct_c=ct_c, n_pages=n_pages,
+            n_hits=n_hits, hits=hits,
+        )
     docs = doc_ranks = None
     if with_docs:
         docs, doc_ranks = jax.vmap(
@@ -1025,7 +1066,7 @@ def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
                       tq, rq, caps, topk: int, hit_cap: int,
                       with_docs: bool, small=None,
                       interpret: bool = False,
-                      page_of=None) -> LocateFull:
+                      page_of=None, tail: bool = True):
     """W=2 V=1 big-bucket pipeline, fully chunk-streamed: per-word
     gathers -> ONE vmapped tagged lax.sort (the merge) -> the two-pass
     chunked AND (keep resolution) -> the chunked locate. Replaces the
@@ -1087,6 +1128,21 @@ def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
                     cap=c0, hit_cap=hit_cap, interpret=interpret
                 )
             )
+            if hit_cap <= hits_c.shape[1]:
+                hits_c = hits_c[:, :hit_cap]
+            else:
+                hits_c = jnp.concatenate([
+                    hits_c,
+                    jnp.full((hits_c.shape[0],
+                              hit_cap - hits_c.shape[1]), INF32,
+                             jnp.int32),
+                ], axis=1)
+            if not tail:
+                return PreFull(
+                    pg_c=pg_c[:, :topk], rk_c=rk_c[:, :topk],
+                    ct_c=ct_c[:, :topk], n_pages=npg, n_hits=nht,
+                    hits=hits_c,
+                )
             located = streams_topk_tail(
                 pg_c, rk_c, ct_c, npg, topk, hits_c.shape[0]
             )
@@ -1123,14 +1179,15 @@ def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
     )
     return _locate_full_chunked(
         hv, bounds, page_doc, is_header, topk=topk, hit_cap=hit_cap,
-        with_docs=with_docs, interpret=interpret, pg=pg,
+        with_docs=with_docs, interpret=interpret, pg=pg, tail=tail,
     )
 
 
 def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                  tq, rq, cap: int, topk: int, hit_cap: int,
                  with_docs: bool, use_pallas: bool, small=None,
-                 chunked: Optional[str] = None, page_of=None):
+                 chunked: Optional[str] = None, page_of=None,
+                 tail: bool = True):
     """One full-result bucket, routed to the hybrid Pallas kernels when
     the shape qualifies (W<=2, V=1, cap within the kernel budget), else
     the vmapped XLA program (whose locate leg rides the chunked Pallas
@@ -1138,12 +1195,18 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
 
     `chunked`: the DOCODO_CHUNKED mode, threaded as a STATIC arg by
     jitted callers so the jit cache keys on it (None = read the env at
-    trace time)."""
+    trace time).
+
+    tail=False: return a PreFull (compacted pre-top-k streams) where
+    the route supports deferral, so the multi-bucket dispatcher can
+    batch ONE shared tail + doc grouping across all buckets; routes
+    without deferral (the per-query query_step_full fallback) still
+    return a finished LocateFull — callers handle both."""
     if use_pallas:
         out = _pallas_bucket_full(
             term_offsets, coords, bounds, page_doc, is_header, tq, rq,
             cap=cap, topk=topk, hit_cap=hit_cap, with_docs=with_docs,
-            small=small, page_of=page_of,
+            small=small, page_of=page_of, tail=tail,
         )
         if out is not None:
             return out
@@ -1163,7 +1226,7 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                     term_offsets, coords, bounds, page_doc, is_header,
                     t2, rq, caps, topk=topk, hit_cap=hit_cap,
                     with_docs=with_docs, small=small, interpret=interp,
-                    page_of=page_of,
+                    page_of=page_of, tail=tail,
                 )
             if (w == 1 and v == 1 and caps[0] >= 2048
                     and page_of is not None
@@ -1179,7 +1242,7 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                 return _locate_full_chunked(
                     a1, bounds, page_doc, is_header, topk=topk,
                     hit_cap=hit_cap, with_docs=with_docs,
-                    interpret=interp, pg=apg1,
+                    interpret=interp, pg=apg1, tail=tail,
                 )
             gm = functools.partial(
                 eval_query_masked, ca_max=FULL_CA_MAX, small=small
@@ -1191,11 +1254,11 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                 return _locate_full_chunked(
                     jnp.where(keep, vals, INF32), bounds, page_doc,
                     is_header, topk=topk, hit_cap=hit_cap,
-                    with_docs=with_docs, interpret=interp,
+                    with_docs=with_docs, interpret=interp, tail=tail,
                 )
             lf = functools.partial(
                 locate_full, topk=topk, hit_cap=hit_cap,
-                with_docs=with_docs,
+                with_docs=with_docs, tail=tail,
             )
             return jax.vmap(lf, in_axes=(0, 0, None, None, None))(
                 vals, keep, bounds, page_doc, is_header
@@ -1244,7 +1307,16 @@ def multi_bucket_query_full(term_offsets, coords, bounds, page_doc,
 
     hit_cap: one int, or a per-bucket tuple — small-result buckets read
     back small hit buffers (the hits stream dominates device->host
-    bytes)."""
+    bytes).
+
+    DEFERRED TAILS (use_pallas): each bucket returns its compacted
+    pre-top-k streams (PreFull) and the rank top-k + doc grouping run
+    ONCE over the concatenation of all buckets — the per-bucket tail
+    is a fixed ~dozen tiny thunks (top_k, slot selects, the doc
+    grouping's sort/scan chain) whose DISPATCH cost dominates the
+    fused multi-bucket program (PROFILE_r04: ~0.3-0.4 ms/bucket nearly
+    independent of B; the EN mix has ~29 buckets). Row-wise math is
+    identical, so outputs are bit-equal to the per-bucket tails."""
     if isinstance(hit_cap, int):
         hit_cap = (hit_cap,) * len(caps)
     outs = []
@@ -1253,8 +1325,38 @@ def multi_bucket_query_full(term_offsets, coords, bounds, page_doc,
             term_offsets, coords, bounds, page_doc, is_header, tq, rq,
             cap=cap, topk=topk, hit_cap=hb, with_docs=with_docs,
             use_pallas=use_pallas, small=small, chunked=chunked,
-            page_of=page_of,
+            page_of=page_of, tail=not use_pallas,
         ))
+    idxs = [i for i, o in enumerate(outs) if isinstance(o, PreFull)]
+    if idxs:
+        pre = [outs[i] for i in idxs]
+        pg_cat = jnp.concatenate([p.pg_c for p in pre])
+        rk_cat = jnp.concatenate([p.rk_c for p in pre])
+        ct_cat = jnp.concatenate([p.ct_c for p in pre])
+        npg_cat = jnp.concatenate([p.n_pages for p in pre])
+        from docodo_tpu.ops.pallas_query import streams_topk_tail
+
+        pages, ranks, counts, npg_cat = streams_topk_tail(
+            pg_cat, rk_cat, ct_cat, npg_cat, topk, pg_cat.shape[0]
+        )
+        docs_cat = doc_ranks_cat = None
+        if with_docs:
+            docs_cat, doc_ranks_cat = jax.vmap(
+                doc_group_topk, in_axes=(0, 0, None, None)
+            )(pages, ranks, page_doc, is_header)
+        off = 0
+        for i, p in zip(idxs, pre):
+            b = p.pg_c.shape[0]
+            sl = slice(off, off + b)
+            outs[i] = LocateFull(
+                pages=pages[sl], ranks=ranks[sl], counts=counts[sl],
+                n_pages=p.n_pages,
+                docs=None if docs_cat is None else docs_cat[sl],
+                doc_ranks=(None if doc_ranks_cat is None
+                           else doc_ranks_cat[sl]),
+                hits=p.hits, n_hits=p.n_hits,
+            )
+            off += b
     return tuple(outs)
 
 
@@ -1343,7 +1445,8 @@ def _pallas_bucket(term_offsets, coords, bounds, tq, rq, cap: int,
 
 def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                         tq, rq, *, cap: int, topk: int, hit_cap: int,
-                        with_docs: bool, small=None, page_of=None):
+                        with_docs: bool, small=None, page_of=None,
+                        tail: bool = True):
     """Full-result Pallas routing for one bucket: W<=2, V=1 shapes
     within the kernel cap budget evaluate through the hybrid kernels
     (pallas_query.pallas_single_locate_full / pallas_sorted_and_locate_
@@ -1415,7 +1518,7 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             pg, rk, ct, npg, nht, hits = pallas_union_locate_full(
                 a3, na2, bounds, topk=topk, hit_cap=hit_cap,
                 interpret=interpret, sort_topk=True, a_pg=apg3,
-                shared_pg=shared,
+                shared_pg=shared, tail=tail,
             )
         else:
             if carried:
@@ -1427,7 +1530,13 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                 a3, na2, rq[:, 0], b3, nb2, rq[:, 1],
                 tq[:, 1, 0] < 0, bounds, topk=topk, hit_cap=hit_cap,
                 interpret=interpret, sort_topk=True,
-                a_pg=apg3, b_pg=bpg3, shared_pg=shared,
+                a_pg=apg3, b_pg=bpg3, shared_pg=shared, tail=tail,
+            )
+        if not tail:
+            # deferred order: (pg_c, rk_c, ct_c, npg, nht, hits)
+            return PreFull(
+                pg_c=pg[:bsz], rk_c=rk[:bsz], ct_c=ct[:bsz],
+                n_pages=npg[:bsz], n_hits=nht[:bsz], hits=hits[:bsz],
             )
         docs = doc_ranks = None
         if with_docs:
@@ -1501,13 +1610,13 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
             a[:, None, :], na[:, None], bounds, topk=topk,
             hit_cap=hit_cap, interpret=interpret, sort_topk=True,
             a_pg=None if apg is None else apg[:, None, :],
-            shared_pg=shared,
+            shared_pg=shared, tail=tail,
         )
     elif single:
         pg, rk, ct, npg, nht, hits = pallas_single_locate_full(
             a, na, bounds, cap=cap, topk=topk, hit_cap=hit_cap,
             interpret=interpret, sort_topk=True, a_pg=apg,
-            shared_pg=shared,
+            shared_pg=shared, tail=tail,
         )
     else:
         if carried:
@@ -1518,7 +1627,12 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
         pg, rk, ct, npg, nht, hits = pallas_sorted_and_locate_full(
             a, na, rq[:, 0], b, nb, rq[:, 1], bounds, cap=cap, topk=topk,
             hit_cap=hit_cap, interpret=interpret, sort_topk=True,
-            a_pg=apg, b_pg=bpg, shared_pg=shared,
+            a_pg=apg, b_pg=bpg, shared_pg=shared, tail=tail,
+        )
+    if not tail:
+        return PreFull(
+            pg_c=pg[:bsz], rk_c=rk[:bsz], ct_c=ct[:bsz],
+            n_pages=npg[:bsz], n_hits=nht[:bsz], hits=hits[:bsz],
         )
     docs = doc_ranks = None
     if with_docs:

@@ -768,7 +768,7 @@ def _full_stream_call(kernel, bsz: int, q: int, n: int, topk: int,
 
 def _full_stream_call_slots(kernel, bsz: int, q: int, n: int, topk: int,
                             hit_cap: int, interpret: bool, inputs,
-                            in_specs):
+                            in_specs, tail: bool = True):
     """SLOT-MODE pallas_call plumbing with IN-KERNEL tails: the kernel
     compacts the run streams to their first min(topk, n) runs and the
     kept-hit stream to its first ~hit_cap values (_compact_left
@@ -823,26 +823,34 @@ def _full_stream_call_slots(kernel, bsz: int, q: int, n: int, topk: int,
             [rk_c, jnp.zeros((bsz, zpad), jnp.float32)], axis=1)
         ct_c = jnp.concatenate(
             [ct_c, jnp.zeros((bsz, zpad), jnp.float32)], axis=1)
-    pages, ranks, counts, _ = streams_topk_tail(
-        pg_c, rk_c, ct_c, n_pages[:, 0], topk, bsz
-    )
     if hit_cap <= hpad:
         hits = hits[:, :hit_cap]
     else:
         hits = jnp.concatenate([
             hits, jnp.full((bsz, hit_cap - hpad), INF32, jnp.int32)
         ], axis=1)
+    if not tail:
+        # DEFERRED-TAIL mode: return the compacted first-topk-runs
+        # streams so the caller can batch ONE streams_topk_tail (+ one
+        # doc grouping) across ALL buckets — the per-bucket tail is a
+        # fixed ~dozen small thunks whose dispatch cost dominates the
+        # fused multi-bucket program (PROFILE_r04: thunk-bound)
+        return (pg_c, rk_c, ct_c, n_pages[:, 0], n_hits[:, 0], hits)
+    pages, ranks, counts, _ = streams_topk_tail(
+        pg_c, rk_c, ct_c, n_pages[:, 0], topk, bsz
+    )
     return pages, ranks, counts, n_pages[:, 0], n_hits[:, 0], hits
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "topk", "hit_cap", "interpret", "sort_topk", "shared_pg"))
+    "topk", "hit_cap", "interpret", "sort_topk", "shared_pg", "tail"))
 def pallas_variants_and_locate_full(a, na, ra, b, nb, rb, b_pad, bounds,
                                     topk: int, hit_cap: int,
                                     interpret: bool = False,
                                     sort_topk: bool = True,
                                     a_pg=None, b_pg=None,
-                                    shared_pg: bool = False):
+                                    shared_pg: bool = False,
+                                    tail: bool = True):
     """Hybrid FULL-RESULT variant AND: a [B, Va, cap] / [B, Vb, cap]
     pair of variant posting blocks merges in ONE vmapped lax.sort of
     the word-tagged concatenation; the Pallas kernel run-dedupes and
@@ -896,7 +904,8 @@ def pallas_variants_and_locate_full(a, na, ra, b, nb, rb, b_pad, bounds,
             _variants_and_locate_full_slots_kernel, n=n, paged=paged
         )
         return _full_stream_call_slots(
-            kernel, bsz, q, n, topk, hit_cap, interpret, inputs, in_specs
+            kernel, bsz, q, n, topk, hit_cap, interpret, inputs,
+            in_specs, tail=tail,
         )
     kernel = functools.partial(
         _variants_and_locate_full_kernel, n=n, topk=topk, paged=paged
@@ -907,11 +916,12 @@ def pallas_variants_and_locate_full(a, na, ra, b, nb, rb, b_pad, bounds,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "topk", "hit_cap", "interpret", "sort_topk", "shared_pg"))
+    "topk", "hit_cap", "interpret", "sort_topk", "shared_pg", "tail"))
 def pallas_union_locate_full(a, na, bounds, topk: int, hit_cap: int,
                              interpret: bool = False,
                              sort_topk: bool = True, a_pg=None,
-                             shared_pg: bool = False):
+                             shared_pg: bool = False,
+                             tail: bool = True):
     """FULL-RESULT W=1 variant union: one vmapped lax.sort of the
     [B, V, cap] variant blocks, run-dedupe + locate in the kernel
     (the kernel twin of or_variants_sorted). a_pg: optional precomputed
@@ -953,7 +963,8 @@ def pallas_union_locate_full(a, na, bounds, topk: int, hit_cap: int,
             _union_locate_full_slots_kernel, n=n, paged=paged
         )
         return _full_stream_call_slots(
-            kernel, bsz, q, n, topk, hit_cap, interpret, inputs, in_specs
+            kernel, bsz, q, n, topk, hit_cap, interpret, inputs,
+            in_specs, tail=tail,
         )
     kernel = functools.partial(
         _union_locate_full_kernel, n=n, topk=topk, paged=paged
@@ -1069,13 +1080,15 @@ def _shared_pg(vals, bounds):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cap", "topk", "hit_cap", "interpret", "sort_topk", "shared_pg"))
+    "cap", "topk", "hit_cap", "interpret", "sort_topk", "shared_pg",
+    "tail"))
 def pallas_sorted_and_locate_full(a, na, ra, b, nb, rb, bounds,
                                   cap: int, topk: int, hit_cap: int,
                                   interpret: bool = False,
                                   sort_topk: bool = True,
                                   a_pg=None, b_pg=None,
-                                  shared_pg: bool = False):
+                                  shared_pg: bool = False,
+                                  tail: bool = True):
     """Hybrid FULL-RESULT AND: one vmapped lax.sort merges the tagged
     operand concatenation, the Pallas kernel runs the scan-only
     segmentation/locate/rank/top-k AND emits the kept hit stream +
@@ -1134,7 +1147,8 @@ def pallas_sorted_and_locate_full(a, na, ra, b, nb, rb, bounds,
             _sorted_and_locate_full_slots_kernel, cap=cap, paged=paged
         )
         return _full_stream_call_slots(
-            kernel, bsz, q, n, topk, hit_cap, interpret, inputs, in_specs
+            kernel, bsz, q, n, topk, hit_cap, interpret, inputs,
+            in_specs, tail=tail,
         )
     kernel = functools.partial(
         _sorted_and_locate_full_kernel, cap=cap, topk=topk, paged=paged
@@ -1145,11 +1159,13 @@ def pallas_sorted_and_locate_full(a, na, ra, b, nb, rb, bounds,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cap", "topk", "hit_cap", "interpret", "sort_topk", "shared_pg"))
+    "cap", "topk", "hit_cap", "interpret", "sort_topk", "shared_pg",
+    "tail"))
 def pallas_single_locate_full(a, na, bounds, cap: int, topk: int,
                               hit_cap: int, interpret: bool = False,
                               sort_topk: bool = True, a_pg=None,
-                              shared_pg: bool = False):
+                              shared_pg: bool = False,
+                              tail: bool = True):
     """FULL-RESULT W=1: the gathered posting block IS the compacted hit
     stream — the kernel only adds the locate/rank/top-k tail + n_pages.
     a_pg: optional precomputed page stream (no sort here — it aligns
@@ -1209,6 +1225,17 @@ def pallas_single_locate_full(a, na, bounds, cap: int, topk: int,
                 [rk_c, jnp.zeros((bsz, zpad), jnp.float32)], axis=1)
             ct_c = jnp.concatenate(
                 [ct_c, jnp.zeros((bsz, zpad), jnp.float32)], axis=1)
+        if not tail:
+            lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
+            block = jnp.where(lane_c < na[:, None], a, INF32)
+            if hit_cap <= cap:
+                hits = block[:, :hit_cap]
+            else:
+                hits = jnp.concatenate([
+                    block,
+                    jnp.full((bsz, hit_cap - cap), INF32, jnp.int32)
+                ], axis=1)
+            return (pg_c, rk_c, ct_c, n_pages[:, 0], na, hits)
         pages, ranks, counts, _ = streams_topk_tail(
             pg_c, rk_c, ct_c, n_pages[:, 0], topk, bsz
         )
@@ -1616,6 +1643,17 @@ def locate_streams_topk(page_s, rank_s, cnt_s, topk: int, bsz: int):
     full-width n_pages exceeds topk, so they always re-serve host-side.
     Tie-break parity: compacted run order IS slot order, so equal ranks
     resolve to the lowest slot exactly as the full-width top_k did."""
+    pg_c, rk_c, ct_c, n_pages = compact_streams_topk(
+        page_s, rank_s, cnt_s, topk
+    )
+    return streams_topk_tail(pg_c, rk_c, ct_c, n_pages, topk, bsz)
+
+
+def compact_streams_topk(page_s, rank_s, cnt_s, topk: int):
+    """The compaction half of locate_streams_topk: first-topk runs in
+    slot order (chunked compare-all) + exact full-width n_pages,
+    WITHOUT the top-k tail — deferred-tail callers batch ONE
+    streams_topk_tail across all buckets."""
     start = rank_s > 0
     run_sel = jnp.where(
         start, jnp.cumsum(start.astype(jnp.int32), axis=1) - 1, -1
@@ -1624,7 +1662,7 @@ def locate_streams_topk(page_s, rank_s, cnt_s, topk: int, bsz: int):
     pg_c = _compact_runs(page_s, run_sel, topk)
     ct_c = _compact_runs(cnt_s, run_sel, topk)
     n_pages = jnp.sum(start.astype(jnp.int32), axis=1)
-    return streams_topk_tail(pg_c, rk_c, ct_c, n_pages, topk, bsz)
+    return pg_c, rk_c, ct_c, n_pages
 
 
 def streams_topk_tail(pg_c, rk_c, ct_c, n_pages, topk: int, bsz: int):
@@ -1648,11 +1686,12 @@ def streams_topk_tail(pg_c, rk_c, ct_c, n_pages, topk: int, bsz: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("topk", "chunk", "interpret", "raw",
-                                    "resident"))
+                                    "resident", "tail"))
 def pallas_chunked_locate(hv, bounds, *, topk: int,
                           chunk: int = CHUNK_LANES,
                           interpret: bool = False, pg=None,
-                          raw: bool = False, resident=None):
+                          raw: bool = False, resident=None,
+                          tail: bool = True):
     """Locate+rank+topk over an INF-masked kept stream of ANY width
     (chunked sequential grid). Returns (pages, ranks, counts, n_pages)
     — the caller owns hits/n_hits (for a dense W=1 stream they are the
@@ -1663,6 +1702,10 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
 
     raw: return the kernel's six output streams before the weave/top-k
     tail (stage profiling only).
+
+    tail=False: return the COMPACTED first-topk-runs streams
+    (pg_c, rk_c, ct_c, n_pages) instead of running streams_topk_tail —
+    deferred-tail callers batch one tail across all buckets.
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1734,6 +1777,11 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
         )(hv, pg)
         if raw:
             return page_s, rank_s, cnt_s, None, None, None
+        if not tail:
+            pg_c, rk_c, ct_c, n_pages = compact_streams_topk(
+                page_s, rank_s, cnt_s, topk
+            )
+            return pg_c[:bsz], rk_c[:bsz], ct_c[:bsz], n_pages[:bsz]
         return locate_streams_topk(page_s, rank_s, cnt_s, topk, bsz)
     grid = (b // q, k)
     kernel = functools.partial(_chunked_locate_kernel, n_chunks=k)
@@ -1782,6 +1830,11 @@ def pallas_chunked_locate(hv, bounds, *, topk: int,
     pages_all = weave(page_s, sp, -1)
     ranks_all = weave(rank_s, sr, 0.0)
     cnts_all = weave(cnt_s, sc, 0.0)
+    if not tail:
+        pg_c, rk_c, ct_c, n_pages = compact_streams_topk(
+            pages_all, ranks_all, cnts_all, topk
+        )
+        return pg_c[:bsz], rk_c[:bsz], ct_c[:bsz], n_pages[:bsz]
     # shared run-compacting top-k tail (narrow index-bearing top_k)
     return locate_streams_topk(pages_all, ranks_all, cnts_all, topk, bsz)
 

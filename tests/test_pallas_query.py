@@ -100,6 +100,52 @@ def test_multi_bucket_pallas_matches_xla(rng):
         np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
 
+def test_multi_bucket_full_deferred_tail_matches_xla(rng):
+    """multi_bucket_query_full with use_pallas=True defers every
+    bucket's rank top-k + doc grouping into ONE shared tail over the
+    concatenated buckets (PreFull path) — outputs must be bit-identical
+    to the per-bucket XLA program across mixed bucket shapes (W=1, W=2,
+    W=1 V=2 variants, ordered rows, per-bucket hit_cap tiers)."""
+    from docodo_tpu.ops import device_index as di
+
+    T = 50
+    tids = rng.integers(0, T, 3000).astype(np.int32)
+    coords = np.sort(rng.integers(0, 1 << 18, 3000)).astype(np.int32)
+    st, sc, off = di.build_postings(tids, coords, T)
+    n_pg = 89
+    bounds = jnp.asarray(np.arange(1, n_pg + 1, dtype=np.int32) * 3000)
+    pd = jnp.asarray((np.arange(n_pg) // 10).astype(np.int32))
+    hdr = jnp.asarray(np.arange(n_pg) % 10 == 0)
+    t1 = jnp.asarray(rng.integers(0, T, (5, 1)).astype(np.int32))
+    r1 = jnp.asarray(np.full((5, 1), 260, np.int32))
+    t2 = rng.integers(0, T, (11, 2)).astype(np.int32)
+    r2 = np.full((11, 2), 300, np.int32)
+    r2[5:] = -40  # ordered rows
+    t3 = rng.integers(0, T, (6, 1, 2)).astype(np.int32)
+    t3[2, 0, 1] = -1  # variant padding
+    r3 = np.full((6, 1), 260, np.int32)
+    terms = (t1, jnp.asarray(t2), jnp.asarray(t3))
+    rs = (r1, jnp.asarray(r2), jnp.asarray(r3))
+    args = (off, sc, bounds, pd, hdr, terms, rs, (64, 64, 64), 8,
+            (128, 512, 128))
+    xla = di.multi_bucket_query_full(*args, use_pallas=False)
+    pls = di.multi_bucket_query_full(*args, use_pallas=True)
+    for o1, o2 in zip(xla, pls):
+        for f in LocateFullFields:
+            a1, a2 = getattr(o1, f), getattr(o2, f)
+            if f in ("ranks", "doc_ranks"):
+                np.testing.assert_allclose(
+                    np.asarray(a1), np.asarray(a2), atol=1e-4,
+                    err_msg=f)
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(a1), np.asarray(a2), err_msg=f)
+
+
+LocateFullFields = ("pages", "ranks", "counts", "n_pages", "docs",
+                    "doc_ranks", "hits", "n_hits")
+
+
 def test_pallas_single_word_kernel(rng):
     """Merge-free W=1 kernel must equal the XLA locate pipeline."""
     cap = 64
