@@ -988,10 +988,16 @@ def query_step_full(term_offsets, coords, bounds, page_doc, is_header,
 
 def _chunk_min_b() -> int:
     """DOCODO_CHUNK_MIN_B: smallest bucket batch admitted to the chunked
-    kernels (rows pad to CHUNK_Q=8 inside, so tiny batches pay 8-row
-    kernel work — but the XLA scan chain they replace pays ~90 launches;
-    measured on the ru mix's B=1-2 big-cap tail)."""
-    return int(_os.environ.get("DOCODO_CHUNK_MIN_B", "4"))
+    kernel pipeline. r3 measured B>=4 (admitting every B lost 813 vs
+    890k against the then-external tails); with the r4 IN-KERNEL tails
+    the trade inverted — sparse wide XLA-routed buckets were the top
+    remaining EN cost (a single cap-4096 query measured 2.6 ms adj on
+    the per-query scan chain) and B>=1 admission measured 954.3 ->
+    981.5k on the 10k mix (checksum identical). ru unaffected (all its
+    buckets are B>=419). Rows pad to CHUNK_Q=8 inside, so tiny batches
+    pay 8-row kernel work — but the XLA scan chain they replace pays
+    ~90 launches."""
+    return int(_os.environ.get("DOCODO_CHUNK_MIN_B", "1"))
 
 
 def _chunked_mode() -> str:
