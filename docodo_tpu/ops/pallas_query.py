@@ -663,6 +663,48 @@ def _union_locate_full_slots_kernel(vals_ref, loc_ref, page_ref,
     )
 
 
+def _union2_merge_locate_slots_kernel(x_ref, p_ref, page_ref, rank_ref,
+                                      cnt_ref, npages_ref, nhits_ref,
+                                      hits_ref, *, cap: int,
+                                      kpad=None, hpad=None):
+    """V=2 variant union with the bitonic two-stream merge IN-KERNEL:
+    the input is the bitonic pre-arrangement concat(a asc, b reversed)
+    with its page payload, the merge is log2(2cap) lane-rotation
+    compare-exchange stages (no tag operand — equal coords across
+    variants carry EQUAL pages since page is a function of the coord,
+    so comparator instability cannot diverge the payload), then the
+    union run-dedupe + locate + in-kernel tails. Replaces the vmapped
+    2-op lax.sort the union route paid per V=2 bucket (the bitonic
+    network measured 2.8x the sort on the W2 merge at [5000, 2048])."""
+    n = 2 * cap
+    q = x_ref.shape[0]
+    lane = _iota((q, n), 1)
+    x = x_ref[...]
+    p = p_ref[...]
+    d = n // 2
+    while d >= 1:
+        lo = (lane & d) == 0
+        px = jnp.where(lo, _roll(x, -d), _roll(x, d))
+        pp = jnp.where(lo, _roll(p, -d), _roll(p, d))
+        p_less = px < x
+        take = jnp.logical_or(
+            jnp.logical_and(lo, p_less),
+            jnp.logical_and(~lo, ~p_less),
+        )
+        x = jnp.where(take, px, x)
+        p = jnp.where(take, pp, p)
+        d //= 2
+    valid = x < INF32
+    prev_vals = _shift_right_fill(x, np.int32(-1))
+    keep = jnp.logical_and(valid, x != prev_vals)
+    nhits_ref[:, 0] = jnp.sum(keep.astype(jnp.int32), axis=-1)
+    _emit_hits(hits_ref, x, keep, lane, n, hpad)
+    _locate_rank_slots(
+        x, keep, lane, n, None, page_ref, rank_ref, cnt_ref,
+        npages_ref, page=p, kpad=kpad,
+    )
+
+
 def _single_word_full_slots_kernel(a_ref, na_ref, loc_ref, page_ref,
                                    rank_ref, cnt_ref, npages_ref,
                                    *, cap: int, paged: bool = False,
@@ -932,6 +974,28 @@ def pallas_union_locate_full(a, na, bounds, topk: int, hit_cap: int,
     assert bsz % q == 0, f"batch {bsz} must be a multiple of {q}"
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, v, cap), 2)
     av = jnp.where(lane_c < na[:, :, None], a, INF32).reshape(bsz, -1)
+    if v == 2 and a_pg is not None and sort_topk:
+        # V=2 carried: the two variant blocks are each sorted — merge
+        # them IN-KERNEL via the bitonic network instead of paying the
+        # vmapped 2-op lax.sort (_union2_merge_locate_slots_kernel);
+        # pages mask to INF beyond na like the values so padding lanes
+        # carry deterministic payloads
+        pgm = jnp.where(lane_c < na[:, :, None], a_pg, INF32)
+        x0 = jnp.concatenate(
+            [av[:, :cap], jnp.flip(av[:, cap:], axis=1)], axis=1)
+        p0 = jnp.concatenate(
+            [pgm[:, 0], jnp.flip(pgm[:, 1], axis=1)], axis=1)
+        kernel = functools.partial(
+            _union2_merge_locate_slots_kernel, cap=cap
+        )
+        in_specs = [
+            pl.BlockSpec((q, n), lambda i: (i, 0)),
+            pl.BlockSpec((q, n), lambda i: (i, 0)),
+        ]
+        return _full_stream_call_slots(
+            kernel, bsz, q, n, topk, hit_cap, interpret, (x0, p0),
+            in_specs, tail=tail,
+        )
     # V=1: a single posting block is already ascending + INF-padded —
     # no merge sort needed (this also serves plain W=1 queries at caps
     # beyond the in-kernel-merge kernel's budget)

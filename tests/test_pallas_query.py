@@ -779,6 +779,54 @@ def test_merge_and_locate_topk_matches_external_tails(rng):
             got_hits[:, :width], want_hits[:, :width])
 
 
+def test_union2_merge_kernel_matches_unpaged_route(rng):
+    """The V=2 carried union route (in-kernel bitonic merge + dedupe +
+    locate, _union2_merge_locate_slots_kernel) equals the unpaged union
+    route (vmapped lax.sort + kernel) on random variant blocks incl.
+    cross-variant duplicate coords, empty variants, and n_pages > topk
+    rows."""
+    from docodo_tpu.ops.pallas_query import pallas_union_locate_full
+    from docodo_tpu.ops.seqops import INF32
+
+    cap, B, topk, hit_cap = 128, 16, 4, 64
+    bounds_np = np.sort(
+        rng.choice(np.arange(1, 20 * cap), 30, replace=False)
+    ).astype(np.int32)
+    a = np.full((B, 2, cap), INF32, np.int32)
+    na = rng.integers(0, cap + 1, (B, 2)).astype(np.int32)
+    na[0, 0] = 0
+    na[1] = 0
+    pool = np.arange(0, 6 * cap) * 2
+    for i in range(B):
+        for v in range(2):
+            a[i, v, : na[i, v]] = np.sort(
+                rng.choice(pool, na[i, v], replace=False))
+    # force cross-variant duplicates on row 2
+    na[2] = (cap, cap)
+    shared = np.sort(rng.choice(pool, cap, replace=False))
+    a[2, 0] = shared
+    a[2, 1] = shared
+    # page = #{bounds <= coord} clipped to P-1 (_shared_pg convention)
+    pg = np.where(
+        a < INF32,
+        np.minimum(np.searchsorted(bounds_np, a, side="right"),
+                   bounds_np.shape[0] - 1),
+        INF32,
+    ).astype(np.int32)
+    bounds = jnp.asarray(bounds_np)
+    got = pallas_union_locate_full(
+        jnp.asarray(a), jnp.asarray(na), bounds, topk=topk,
+        hit_cap=hit_cap, interpret=True, sort_topk=True,
+        a_pg=jnp.asarray(pg))
+    want = pallas_union_locate_full(
+        jnp.asarray(a), jnp.asarray(na), bounds, topk=topk,
+        hit_cap=hit_cap, interpret=True, sort_topk=True)
+    names = ["pages", "ranks", "counts", "n_pages", "n_hits", "hits"]
+    for g, w, name in zip(got, want, names):
+        np.testing.assert_array_equal(
+            np.asarray(g), np.asarray(w), err_msg=name)
+
+
 def test_resident_locate_fully_kept_max_width_run_count(rng):
     """Regression: a fully-kept FUSED_AND_MAX-wide stream in one page
     closes its single run with count EXACTLY 4096 — the packed
