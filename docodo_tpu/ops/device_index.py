@@ -2127,6 +2127,36 @@ class DeviceIndex:
                 (qcap, w, vb, hit_tier(min_need)), []
             ).append(i)
 
+        # SMALL-BUCKET MERGING (fused path, measured NEGATIVE — default
+        # OFF): buckets sharing (W, V, hit tier) that differ only in
+        # small caps can merge into one bucket at the largest member
+        # cap (readback bytes unchanged — same hit tier; hcap merging
+        # would grow the readback this tunnel-bound path exists to
+        # avoid). A/B on the 10k EN mix (back-to-back, final r4 kernel
+        # set): OFF 995.4k / ON 975.0k QPS — the padded kernel work
+        # exceeds the saved per-bucket thunk cost, consistent with the
+        # refreshed PROFILE_r04 where the small-B per-bucket "fixed
+        # cost" turned out to be isolated-measurement noise, not real
+        # fused-program time. Kept env-gated (DOCODO_MERGE_SMALL_B=n
+        # admits buckets with B<=n) for future hardware re-tests.
+        merge_b = int(_os.environ.get("DOCODO_MERGE_SMALL_B", "0"))
+        merge_cap = int(_os.environ.get("DOCODO_MERGE_CAP_MAX", "512"))
+        if fused and cap is None and merge_b:
+            mgroups = {}
+            for key in list(buckets):
+                qc, w, vb, hb = key
+                if (isinstance(qc, int) and qc <= merge_cap
+                        and len(buckets[key]) <= merge_b):
+                    mgroups.setdefault((w, vb, hb), []).append(key)
+            for (w, vb, hb), keys in mgroups.items():
+                if len(keys) < 2:
+                    continue
+                tkey = (max(k[0] for k in keys), w, vb, hb)
+                merged = []
+                for k in keys:
+                    merged.extend(buckets.pop(k))
+                buckets.setdefault(tkey, []).extend(merged)
+
         terms_list, rs_list, caps_list, hcaps_list, idx_list = (
             [], [], [], [], []
         )
