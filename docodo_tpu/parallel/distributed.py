@@ -260,6 +260,111 @@ def distributed_query(mesh, term_offsets, coords, bounds, page_doc,
     return fn(term_offsets, coords, bounds, page_doc, page_base, terms, rs)
 
 
+@functools.lru_cache(maxsize=128)
+def _distributed_query_full_jit(mesh, cap: int, topk: int, hit_cap: int,
+                                t_ndim: int, with_docs: bool,
+                                use_pallas: bool, chunked: str,
+                                small_widths: tuple, with_pg: bool):
+    """2-D twin of sharding._sharded_query_full_jit, DCN-aware: every
+    shard of the ("h", "d") mesh runs the same routed full-result
+    kernel stack (_bucket_full) on its local CSR, and the LocateFull
+    STREAM fields (pages/ranks/counts/hits — the big tensors) ride ONE
+    all_gather over "d" (ICI) only, leaving the outputs SHARDED over
+    "h": in a jax.distributed fleet each process reads back only its
+    addressable rows, so hit streams never cross DCN (per-shard
+    materialization is host-local; the application combines the small
+    materialized doc lists). Only the [S, B] truncation counts
+    (n_pages/n_hits) additionally cross DCN, so every host makes the
+    identical re-serve decision (the batcher's truncation contract,
+    ref Search.cs:365-420)."""
+    from docodo_tpu.ops.device_index import SmallTab, _bucket_full
+
+    def local_query(off, co, bo, pd, hd, pg, *rest):
+        ns = len(small_widths)
+        small_flat, (tq, rq) = rest[: 2 * ns], rest[2 * ns:]
+        off, co, bo, pd, hd = off[0], co[0], bo[0], pd[0], hd[0]
+        small = tuple(
+            SmallTab(w, small_flat[2 * i][0], small_flat[2 * i + 1][0],
+                     band=band)
+            for i, (w, band) in enumerate(small_widths)
+        ) or None
+        lf = _bucket_full(
+            off, co, bo, pd, hd, tq, rq, cap=cap, topk=topk,
+            hit_cap=hit_cap, with_docs=with_docs, use_pallas=use_pallas,
+            small=small, chunked=chunked,
+            page_of=pg[0] if with_pg else None,
+        )
+        out = []
+        for x in lf:
+            if x is None:
+                continue
+            g = jax.lax.all_gather(x, "d")  # ICI: [D, B, ...]
+            if x.ndim == 1:
+                # n_pages / n_hits: [D, B] int32 — the only DCN bytes
+                gh = jax.lax.all_gather(g, "h")  # [H, D, B]
+                out.append(gh.reshape(-1, gh.shape[-1]))  # [S, B]
+            else:
+                out.append(g)  # stays h-sharded: global [H*D, B, ...]
+        return tuple(out)
+
+    t_spec = P(*([None] * t_ndim))
+    # stream fields shard dim0 over "h" (each host holds its D shards);
+    # count fields are fully replicated
+    p3h = P("h", None, None)
+    p2r = P(None, None)
+    out_specs = (p3h, p3h, p3h, p2r) + ((p3h, p3h) if with_docs
+                                        else ()) + (p3h, p2r)
+    small_specs = sum(
+        ((P(("h", "d"), None), P(("h", "d"), None, None)),)
+        * len(small_widths), ()
+    ) if small_widths else ()
+    sh2 = P(("h", "d"), None)
+    fn = shard_map(
+        local_query, mesh=mesh,
+        in_specs=(sh2, sh2, sh2, sh2, sh2, sh2) + small_specs
+        + (t_spec, P(None, None)),
+        out_specs=out_specs,
+        check_vma=False,  # replication by construction, as in the 1-D leg
+    )
+    return jax.jit(fn)
+
+
+def distributed_query_full(mesh, term_offsets, coords, bounds, page_doc,
+                           is_header, terms, rs, cap: int, topk: int,
+                           hit_cap: int, with_docs: bool = True,
+                           small=None, page_of=None,
+                           use_pallas: Optional[bool] = None):
+    """Full-result (positions) serving over the 2-D hosts x devices
+    mesh — same signature and [S, B, ...] return contract as
+    sharding.sharded_query_full, so ShardedDeviceIndex serves either
+    layout with the identical materialization/boundary machinery
+    (ref Search.cs:365-420: ResultDocPage.pos for every query)."""
+    import os
+
+    if use_pallas is None:
+        env = os.environ.get("DOCODO_PALLAS")
+        use_pallas = (env == "1") if env is not None else (
+            jax.default_backend() == "tpu")
+    from docodo_tpu.ops.device_index import _chunked_mode
+
+    small = small or ()
+    widths = tuple((w, band) for w, band, _, _ in small)
+    with_pg = page_of is not None
+    if not with_pg:
+        page_of = jnp.zeros((coords.shape[0], 1), dtype=jnp.int32)
+    fn = _distributed_query_full_jit(
+        mesh, cap, topk, hit_cap, terms.ndim, with_docs,
+        use_pallas, _chunked_mode(), widths, with_pg,
+    )
+    small_flat = sum(((rm, tb) for _, _, rm, tb in small), ())
+    out = fn(term_offsets, coords, bounds, page_doc, is_header, page_of,
+             *small_flat, terms, rs)
+    if with_docs:
+        return out
+    pages, ranks, counts, n_pages, hits, n_hits = out
+    return pages, ranks, counts, n_pages, None, None, hits, n_hits
+
+
 def assemble_global(rows_per_process: Sequence[ProcessShards]) -> ShardedCorpus:
     """Single-process helper (tests/dryrun): stack every process's rows
     into the global [H*D, ...] arrays a real fleet would form with

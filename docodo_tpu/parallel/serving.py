@@ -64,11 +64,23 @@ class ShardedDeviceIndex:
         self._tmap = {t: i for i, t in enumerate(self.terms)}
         counts = index.arr.offsets[1:] - index.arr.offsets[:-1]
         self._counts = np.asarray(counts, dtype=np.int64)
+        # 2-D hosts x devices layout (parallel/distributed): shard s
+        # lives at [h, d] = divmod(s, D); build/query dispatch to the
+        # DCN-aware twins (hit streams ride ICI only and stay h-sharded)
+        self._is2d = tuple(getattr(mesh, "axis_names", ())) == ("h", "d")
         # device arrays
-        self._st, self._sc, self._off = sh.sharded_build(
-            mesh, jnp.asarray(corpus.term_ids), jnp.asarray(corpus.coords),
-            len(self.terms),
-        )
+        if self._is2d:
+            from docodo_tpu.parallel import distributed as dd
+
+            self._st, self._sc, self._off = dd.distributed_build(
+                mesh, jnp.asarray(corpus.term_ids),
+                jnp.asarray(corpus.coords), len(self.terms),
+            )
+        else:
+            self._st, self._sc, self._off = sh.sharded_build(
+                mesh, jnp.asarray(corpus.term_ids),
+                jnp.asarray(corpus.coords), len(self.terms),
+            )
         self._bounds = jnp.asarray(corpus.bounds)
         self._page_doc = jnp.asarray(corpus.page_doc)
         header = np.zeros(corpus.bounds.shape, dtype=bool)
@@ -472,7 +484,13 @@ class ShardedDeviceIndex:
                     else:
                         terms[row, j, : len(ids)] = ids
                     rs[row, j] = r
-            out = sh.sharded_query_full(
+            if self._is2d:
+                from docodo_tpu.parallel import distributed as dd
+
+                qf = dd.distributed_query_full
+            else:
+                qf = sh.sharded_query_full
+            out = qf(
                 self.mesh, self._off, self._sc, self._bounds,
                 self._page_doc, self._is_header, jnp.asarray(terms),
                 jnp.asarray(rs), cap=cap, topk=topk, hit_cap=hit_cap,

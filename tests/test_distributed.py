@@ -122,6 +122,116 @@ def test_distributed_build_query_equals_single_device():
             assert got == want[q], q
 
 
+def test_distributed_full_result_serving_matches_host(tmp_path):
+    """Full-result (positions) serving over the 2-D hosts x devices
+    mesh: ShardedDeviceIndex on a ("h", "d") = (2, 4) mesh must return
+    docs, pages, in-page POSITIONS and ranks equal to the host engine
+    for every query — the VERDICT r4 gap (the 2-D layout was page-level
+    only; ref Search.cs:365-420 serves ResultDocPage.pos everywhere)."""
+    import jax
+
+    import docodo_tpu
+    from docodo_tpu.parallel.serving import ShardedDeviceIndex
+    from docodo_tpu.query.batcher import compile_request
+    from docodo_tpu.sources.base import IndexPagedTextFile, ListDataSource
+
+    assert len(jax.devices()) >= 8
+    bodies = [
+        "the pickwick club met at noon and the club adjourned for dinner",
+        "mr pickwick spoke to the club about travels and adventures abroad",
+        "travels through kent were recounted by the club members at length",
+        "noon came and went while pickwick pondered the proposed club rules",
+        "the lady smiled at the club members who wandered through the town",
+        "dinner was served at noon and the members of the club were pleased",
+        "kent roads carried the club carriage through villages and fields",
+        "adventures abroad were rare but the club pondered them at dinner",
+        "a quiet dinner for the club closed the adventures of the evening",
+        "pickwick and the club wandered through kent before dinner at noon",
+    ]
+    texts = [
+        b + " " + " ".join(f"filler{i}x{j}" for j in range(60))
+        for i, b in enumerate(bodies)
+    ]
+    ind = docodo_tpu.Index(path=str(tmp_path), in_memory=True)
+    ind.max_degree_of_parallelism = 1
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile(f"d{i}", t, "") for i, t in enumerate(texts)
+    ]))
+    ind.create()
+    try:
+        mesh = dd.make_global_mesh(jax.devices()[:8], num_hosts=2)
+        sdi = ShardedDeviceIndex.from_index(ind, mesh)
+        assert sdi._is2d
+        reqs = [
+            "club", "pickwick club", '"pickwick club"', "dinner noon",
+            "adventures abroad", '"the club"',
+        ]
+        compiled = [compile_request(ind, r) for r in reqs]
+        assert all(c is not None for c in compiled)
+        got = sdi.search_batch(compiled, topk=64, hit_cap=1024)
+        for r, res in zip(reqs, got):
+            want = ind.search(r)
+            want_view = [
+                (d.name, [(p.id, list(p.pos)) for p in d.pages],
+                 round(d.rank, 5))
+                for d in want.found_docs
+            ]
+            got_view = [
+                (d.name, [(p.id, list(p.pos)) for p in d.pages],
+                 round(d.rank, 5))
+                for d in res.found_docs
+            ]
+            assert got_view == want_view, r
+    finally:
+        ind.dispose()
+
+
+def test_distributed_query_full_equals_1d_leg():
+    """distributed_query_full over a (2, 4) mesh returns the same
+    [S, B, ...] LocateFull fields as sharded_query_full over the
+    8-shard 1-D mesh on the identical staged corpus (the shard order
+    s = h*D + d matches the 1-D shard numbering)."""
+    import jax
+    import jax.numpy as jnp
+
+    from docodo_tpu.parallel import sharding as sh
+
+    assert len(jax.devices()) >= 8
+    term_to_id, doc_tids, doc_coords, doc_pages = _corpus(n_docs=12, seed=7)
+    T = len(term_to_id)
+    corpus = sh.stage_shards_arrays(doc_tids, doc_coords, doc_pages, 8)
+    mesh1 = sh.make_mesh(8)
+    mesh2 = dd.make_global_mesh(jax.devices()[:8], num_hosts=2)
+    _, sc1, off1 = sh.sharded_build(
+        mesh1, jnp.asarray(corpus.term_ids), jnp.asarray(corpus.coords), T)
+    _, sc2, off2 = dd.distributed_build(
+        mesh2, jnp.asarray(corpus.term_ids), jnp.asarray(corpus.coords), T)
+    np.testing.assert_array_equal(np.asarray(sc1), np.asarray(sc2))
+    np.testing.assert_array_equal(np.asarray(off1), np.asarray(off2))
+
+    rng = np.random.default_rng(11)
+    terms = rng.integers(0, T, size=(6, 2)).astype(np.int32)
+    rs = np.full((6, 2), 60, dtype=np.int32)
+    bo = jnp.asarray(corpus.bounds)
+    pd = jnp.asarray(corpus.page_doc)
+    hd = jnp.zeros(corpus.bounds.shape, dtype=bool)
+    kw = dict(cap=64, topk=16, hit_cap=128, with_docs=False)
+    w1 = sh.sharded_query_full(
+        mesh1, off1, sc1, bo, pd, hd, jnp.asarray(terms),
+        jnp.asarray(rs), **kw)
+    w2 = dd.distributed_query_full(
+        mesh2, off2, sc2, bo, pd, hd, jnp.asarray(terms),
+        jnp.asarray(rs), **kw)
+    names = ["pages", "ranks", "counts", "n_pages", "docs", "doc_ranks",
+             "hits", "n_hits"]
+    for a, b, name in zip(w1, w2, names):
+        if a is None or b is None:
+            assert a is None and b is None, name
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name)
+
+
 def test_real_multiprocess_dryrun():
     """REAL 2-process jax.distributed run (Gloo over loopback): process-
     local staging -> make_array_from_process_local_data -> 2-D sharded
