@@ -1131,7 +1131,8 @@ def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
             hits_c, pg_c, rk_c, ct_c, npg, nht = (
                 pallas_merge_and_locate_topk(
                     a, na, b, nb, apg, bpg, rq[:, :1], rq[:, 1:2],
-                    cap=c0, hit_cap=hit_cap, interpret=interpret
+                    cap=c0, hit_cap=hit_cap, topk=topk,
+                    interpret=interpret
                 )
             )
             if hit_cap <= hits_c.shape[1]:

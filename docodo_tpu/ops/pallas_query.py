@@ -2242,10 +2242,11 @@ FUSED_AND_MAX = int(_os.environ.get("DOCODO_FUSED_AND_MAX", "4096"))
 # streams (_locate_rank_resident's 1<<13 run-count base, the fused
 # AND's 1<<15 scan pack) — an env override past that must fail loudly,
 # not corrupt ranks
-assert FUSED_AND_MAX <= 4096, (
-    f"DOCODO_FUSED_AND_MAX={FUSED_AND_MAX} exceeds the resident "
-    "kernels' packed-scan bounds (max 4096)"
-)
+if FUSED_AND_MAX > 4096:  # not assert: python -O must not strip this
+    raise ValueError(
+        f"DOCODO_FUSED_AND_MAX={FUSED_AND_MAX} exceeds the resident "
+        "kernels' packed-scan bounds (max 4096)"
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -2495,9 +2496,10 @@ def pallas_merge_and_locate(a, na, b, nb, apg, bpg, ra, rb, *, cap: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cap", "hit_cap", "interpret"))
+                   static_argnames=("cap", "hit_cap", "topk",
+                                    "interpret"))
 def pallas_merge_and_locate_topk(a, na, b, nb, apg, bpg, ra, rb, *,
-                                 cap: int, hit_cap: int,
+                                 cap: int, hit_cap: int, topk: int = 128,
                                  interpret: bool = False):
     """Fused merge+AND+locate WITH in-kernel tails for carried
     equal-cap W=2 resident streams (2*cap <= FUSED_AND_MAX): the
@@ -2506,16 +2508,20 @@ def pallas_merge_and_locate_topk(a, na, b, nb, apg, bpg, ra, rb, *,
     (replaces locate_streams_topk's chunked compare-all) both run as
     log-shift stages over the VMEM-resident stream (_compact_left),
     and n_pages/n_hits reduce in-kernel. Returns
-    (hits [B, >=min(hit_cap, 2cap)], pg_c/rk_c/ct_c [B, kpad],
+    (hits [B, >=min(hit_cap, 2cap)], pg_c/rk_c/ct_c [B, >=topk],
     n_pages [B], n_hits [B]); the caller finishes with
-    streams_topk_tail (a width-kpad top-k) and crops/pads hits to
-    hit_cap. Bit-identical to pallas_merge_and_locate + lax.sort +
-    locate_streams_topk for every served row
+    streams_topk_tail (a width-topk top-k) and crops/pads hits to
+    hit_cap. The run streams compact to the first min(topk, 2cap) runs
+    and pad to topk outside (escalated budgets reach topk=2048 — a
+    hardcoded 128 here broke lax.top_k in streams_topk_tail, exactly
+    the shape _full_stream_call_slots already handles). Bit-identical
+    to pallas_merge_and_locate + lax.sort + locate_streams_topk for
+    every served row
     (ref IndexSequence.cs:218-284 + Search.cs:365-420 semantics)."""
     bsz = a.shape[0]
     n = 2 * cap
     hpad = min(-(-hit_cap // 128) * 128, n)
-    kpad = min(128, n)
+    kpad = min(topk, n)
     x0, t0, p0, ra, rb, q = _fused_prearrange(
         a, na, b, nb, apg, bpg, ra, rb, cap
     )
@@ -2550,8 +2556,16 @@ def pallas_merge_and_locate_topk(a, na, b, nb, apg, bpg, ra, rb, *,
         ],
         interpret=interpret,
     )(x0, t0, p0, ra, rb)
-    return (hits[:bsz], pg_c[:bsz], rk_c[:bsz], ct_c[:bsz],
-            nn[:bsz, 0], nn[:bsz, 1])
+    hits, pg_c, rk_c, ct_c = hits[:bsz], pg_c[:bsz], rk_c[:bsz], ct_c[:bsz]
+    if kpad < topk:
+        zpad = topk - kpad
+        pg_c = jnp.concatenate(
+            [pg_c, jnp.full((bsz, zpad), -1, jnp.int32)], axis=1)
+        rk_c = jnp.concatenate(
+            [rk_c, jnp.zeros((bsz, zpad), jnp.float32)], axis=1)
+        ct_c = jnp.concatenate(
+            [ct_c, jnp.zeros((bsz, zpad), jnp.float32)], axis=1)
+    return (hits, pg_c, rk_c, ct_c, nn[:bsz, 0], nn[:bsz, 1])
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))

@@ -562,8 +562,11 @@ class BatchExecutor:
             self.index, req, words_out=words, n_found=self._n_found,
             reason_out=reason, field_out=fields, filters_out=filters,
         )
-        plan = (compiled, fields[0] if fields else None, filters,
-                words, reason[0] if reason else None)
+        # tuples: consumers receive fresh lists per call (below), so a
+        # caller mutating SearchResult.words/filters cannot corrupt the
+        # cached plan or other in-flight results for the same request
+        plan = (compiled, fields[0] if fields else None, tuple(filters),
+                tuple(words), reason[0] if reason else None)
         with self._plan_lock:
             if len(self._plan_cache) >= self.PLAN_CACHE_MAX:
                 self._plan_cache.clear()  # bulk reset beats LRU churn
@@ -585,7 +588,7 @@ class BatchExecutor:
             return self.index.search(req)
         p = _Pending(req=req, compiled=compiled,
                      field_compiled=field_compiled,
-                     filters=filters, words=words)
+                     filters=list(filters), words=list(words))
         self._q.put(p)
         if not p.event.wait(timeout) or p.result is None:
             # device stall, or a result that overflowed even the

@@ -779,6 +779,66 @@ def test_merge_and_locate_topk_matches_external_tails(rng):
             got_hits[:, :width], want_hits[:, :width])
 
 
+def test_merge_and_locate_topk_escalated_topk(rng):
+    """Escalated budgets (BatchExecutor ESC_TOPK=2048, topk_b =
+    min(2048, qcap)) route W=2 equal-cap carried buckets through the
+    fused kernel with topk > 128. The kernel must compact to
+    min(topk, 2cap) runs and pad to topk — a hardcoded kpad=128 made
+    streams_topk_tail's lax.top_k raise ('k must be no larger than
+    size along axis') and the collector then failed the whole batch
+    (ADVICE r4 high)."""
+    from docodo_tpu.ops.pallas_query import (
+        locate_streams_topk,
+        pallas_merge_and_locate,
+        pallas_merge_and_locate_topk,
+        streams_topk_tail,
+    )
+    from docodo_tpu.ops.seqops import INF32
+
+    cap, hit_cap, B = 256, 512, 6
+    bounds = np.concatenate([
+        [0],
+        np.sort(rng.choice(np.arange(1, 30 * cap), 40, replace=False)),
+    ]).astype(np.int32)
+    pool = np.arange(0, 8 * cap) * 3
+    a = np.full((B, cap), INF32, np.int32)
+    b = np.full((B, cap), INF32, np.int32)
+    na = rng.integers(cap // 2, cap + 1, B).astype(np.int32)
+    nb = rng.integers(cap // 2, cap + 1, B).astype(np.int32)
+    for i in range(B):
+        a[i, : na[i]] = np.sort(rng.choice(pool, na[i], replace=False))
+        b[i, : nb[i]] = np.sort(rng.choice(pool, nb[i], replace=False))
+
+    def pg_of(x):
+        return np.where(
+            x < INF32,
+            np.maximum(np.searchsorted(bounds, x, side="right") - 1, 0),
+            INF32,
+        ).astype(np.int32)
+
+    apg, bpg = pg_of(a), pg_of(b)
+    ra = np.full((B, 1), 3 * pool[-1], np.int32)  # keep everything
+    rb = np.full((B, 1), 3 * pool[-1], np.int32)
+    args = [jnp.asarray(x) for x in (a, na, b, nb, apg, bpg)]
+    hv, ps, rs, cs = pallas_merge_and_locate(
+        args[0], args[1], args[2], args[3], args[4], args[5],
+        jnp.asarray(ra), jnp.asarray(rb), cap=cap, interpret=True)
+    # topk > kernel width (2048 > 2cap=512) AND 128 < topk <= width
+    for topk in (512, 2048):
+        hits_c, pg_c, rk_c, ct_c, npg, nht = (
+            pallas_merge_and_locate_topk(
+                args[0], args[1], args[2], args[3], args[4], args[5],
+                jnp.asarray(ra), jnp.asarray(rb), cap=cap,
+                hit_cap=hit_cap, topk=topk, interpret=True))
+        assert pg_c.shape[1] >= topk
+        got = streams_topk_tail(pg_c, rk_c, ct_c, npg, topk, B)
+        want = locate_streams_topk(ps, rs, cs, topk, B)
+        for g, w, name in zip(got, want,
+                              ["pages", "ranks", "counts", "n_pages"]):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(w), err_msg=name)
+
+
 def test_union2_merge_kernel_matches_unpaged_route(rng):
     """The V=2 carried union route (in-kernel bitonic merge + dedupe +
     locate, _union2_merge_locate_slots_kernel) equals the unpaged union
