@@ -346,11 +346,59 @@ def main() -> None:
     log(f"host sequential full-result baseline (best of 3): "
         f"{host_full_qps:.0f} QPS")
 
+    # ---- WIDE-MIX leg: the reference's full request surface ------------
+    # (ref XUnitDocodoTest/IndexTest.cs:164-226) — 3-4-word phrases,
+    # nested OR variant groups, wildcard-style unions, field rows; the
+    # standard mix (W<=2, V=1) is kept above for cross-round continuity
+    wterms, wrs, wqid = bc.wide_mix(counts, id_to_term, N_QUERIES)
+    wt_t, wr_t, wcaps, whcaps = bc.full_buckets_wide(
+        wterms, wrs, counts, HIT_CAP
+    )
+    log(f"wide buckets: "
+        f"{[(c, tuple(t.shape)) for c, t in zip(wcaps, wt_t)]}")
+
+    def wstep(chain):
+        return di.multi_bucket_query_full_chained(
+            off, sc, _bounds, _page_doc, _is_header, wt_t, wr_t, chain,
+            wcaps, FULL_TOPK, whcaps, use_pallas=use_pallas, small=small,
+            page_of=page_of,
+        )
+
+    def _wide_stage():
+        wouts, ws = wstep(jnp.float32(0))
+        wwarm = float(ws)
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            wouts, ws = wstep(ws)
+        wfinal = float(ws)
+        t_w = (time.perf_counter() - t0) / REPS
+        assert abs(wfinal - wwarm) < 1e-3 * max(abs(wfinal), 1.0)
+        return t_w, wwarm
+
+    t_wide, wwarm = retry_device(_wide_stage, "wide-mix query stage")
+    log(f"wide-mix warm checksum: {wwarm:.1f}")
+    wide_qps = N_QUERIES / t_wide  # logical queries (field rows extra)
+    PARTIAL["wide_qps"] = round(wide_qps, 1)
+    log(f"device WIDE-MIX batch: {N_QUERIES} queries "
+        f"({wterms.shape[0]} rows) in {t_wide*1e3:.1f} ms -> "
+        f"{wide_qps:.0f} QPS")
+
+    host_wide_qps = bc.host_wide_baseline(
+        wterms, wrs, wqid, sc_np, off_np, bounds_np, FULL_TOPK,
+        min(128, N_QUERIES)
+    )
+    log(f"host sequential wide-mix baseline (best of 3): "
+        f"{host_wide_qps:.0f} QPS")
+    PARTIAL["wide_vs_baseline"] = round(wide_qps / host_wide_qps, 2)
+
     print(json.dumps({
         "metric": "full_query_qps",
         "value": round(full_qps, 1),
         "unit": "qps",
         "vs_baseline": round(full_qps / host_full_qps, 2),
+        "wide_qps": round(wide_qps, 1),
+        "wide_vs_baseline": round(wide_qps / host_wide_qps, 2),
+        "wide_checksum": round(wwarm, 1),
     }))
 
 

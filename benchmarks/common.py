@@ -37,6 +37,169 @@ def standard_mix(counts: np.ndarray, id_to_term, n_queries: int,
     return terms, rs
 
 
+W_WIDE = 4
+V_WIDE = 8
+
+
+def wide_mix(counts: np.ndarray, id_to_term, n_queries: int,
+             seed: int = 77):
+    """Second recorded mix covering the reference's own request surface
+    (ref XUnitDocodoTest/IndexTest.cs:164-226 — e.g.
+    `"old (lady|ladies) (who|were|looked)"`, `?an?` wildcards,
+    `{Name=Dump}` fields): 3-4-word phrases, nested OR variant groups,
+    wildcard-style variant unions, and field rows — all the shapes
+    standard_mix (W<=2, V=1, no fields) never exercises.
+
+    Returns (terms int32[R, 4, 8], rs int32[R, 4], qid int32[R]): row r
+    belongs to logical query qid[r]. Field queries emit TWO rows (main
+    + the field row — the serving layout: the field row is a separate
+    device row doc-intersected in delivery, see query/batcher.py), so
+    R >= n_queries; QPS counts logical queries."""
+    rng = np.random.default_rng(seed)
+    eligible = np.flatnonzero(counts >= 2)
+    by_freq = eligible[np.argsort(counts[eligible])]
+    # wildcard expansions (?an?) hit mostly rare terms plus a few
+    # frequent ones; the batcher's _ROW_BUDGET gates the worst blowups
+    rare = by_freq[: max(8, int(by_freq.size * 0.8))]
+    rows_t, rows_r, rows_q = [], [], []
+
+    def wlen(t):
+        return len(id_to_term[int(t)])
+
+    def emit(words, ordered, qid):
+        """words: list of per-word variant lists."""
+        t = np.full((W_WIDE, V_WIDE), -1, np.int32)
+        r = np.ones(W_WIDE, np.int32)
+        for w, vs in enumerate(words):
+            t[w, : len(vs)] = vs
+            ml = max(wlen(v) for v in vs)
+            r[w] = -(ml + 4) if ordered else 255 + ml
+        rows_t.append(t)
+        rows_r.append(r)
+        rows_q.append(qid)
+
+    for i in range(n_queries):
+        kind = i % 7
+        picks = rng.choice(eligible, size=4, replace=False)
+        if kind == 0:    # single word
+            emit([[picks[0]]], False, i)
+        elif kind == 1:  # 2-word proximity (continuity with standard)
+            emit([[picks[0]], [picks[1]]], False, i)
+        elif kind == 2:  # 3-word exact phrase
+            emit([[p] for p in picks[:3]], True, i)
+        elif kind == 3:  # 4-word proximity AND
+            emit([[p] for p in picks], False, i)
+        elif kind == 4:  # nested OR: w1 (a|b|c) — ref "old (lady|ladies)"
+            emit([[picks[0]], list(picks[1:4])], False, i)
+        elif kind == 5:  # wildcard-style union: one word, 8 variants
+            vs = rng.choice(rare, size=V_WIDE, replace=False)
+            emit([list(vs)], False, i)
+        else:            # field query: main pair + separate field row
+            emit([[picks[0]], [picks[1]]], False, i)
+            emit([[picks[2]]], False, i)
+    return (np.stack(rows_t), np.stack(rows_r),
+            np.asarray(rows_q, np.int32))
+
+
+def full_buckets_wide(terms: np.ndarray, rs: np.ndarray,
+                      counts: np.ndarray, hit_cap: int):
+    """full_buckets twin for the wide mix: rows grouped by
+    (posting-cap, W, V, hit-tier); V=1 buckets ship 2-D [B, W] terms
+    (the engine dispatches on ndim), variant buckets ship [B, W, V]."""
+    import jax.numpy as jnp
+
+    from docodo_tpu.ops.device_index import _bucket_sort_key
+
+    def pow2(n: int) -> int:
+        c = 64
+        while c < n:
+            c <<= 1
+        return c
+
+    buckets = {}
+    for i in range(terms.shape[0]):
+        valid = terms[i] >= 0
+        w = int(valid.any(axis=1).sum()) or 1
+        v = int(valid[:w].sum(axis=1).max()) or 1
+        need = int(counts[terms[i][valid]].max())
+        # per-word union volume bound = sum of its variants' counts
+        per_word = [
+            int(counts[terms[i, j][valid[j]]].sum()) for j in range(w)
+        ]
+        min_need = min(per_word)
+        key = (pow2(need), w, v, tier_of(min_need, hit_cap))
+        buckets.setdefault(key, []).append(i)
+    terms_t, rs_t, caps_t, hcaps_t = [], [], [], []
+    for (qcap, w, v, hb), idxs in sorted(
+            buckets.items(), key=_bucket_sort_key):
+        t = terms[idxs][:, :w, :v]
+        if v == 1:
+            t = t[:, :, 0]
+        terms_t.append(jnp.asarray(t))
+        rs_t.append(jnp.asarray(rs[idxs][:, :w]))
+        caps_t.append(qcap)
+        hcaps_t.append(hb)
+    return (tuple(terms_t), tuple(rs_t), tuple(caps_t), tuple(hcaps_t))
+
+
+def host_wide_baseline(terms: np.ndarray, rs: np.ndarray, qid: np.ndarray,
+                       sc_host: np.ndarray, off_np: np.ndarray,
+                       bounds_np: np.ndarray, topk: int,
+                       n_base: int = 128, best_of: int = 3) -> float:
+    """Sequential host FULL-RESULT engine over the wide mix (variant
+    OR folds + W-word proximity folds + locate + rank + positions) —
+    the reference-analog per-query loop for vs_baseline on the wide
+    leg. Returns best-of QPS over the first `n_base` LOGICAL queries."""
+    from docodo_tpu.core.postings import group_and, or_merge
+
+    n_rows = terms.shape[0]
+    n_base = min(n_base, int(qid.max()) + 1)
+    rows = [r for r in range(n_rows) if qid[r] < n_base]
+
+    def fetch(t):
+        return sc_host[off_np[t]: off_np[t + 1]].astype(np.uint64)
+
+    def chunk():
+        t0 = time.perf_counter()
+        for r in rows:
+            acc = None
+            r_acc = 0
+            for j in range(terms.shape[1]):
+                vs = terms[r, j][terms[r, j] >= 0]
+                if vs.size == 0:
+                    continue
+                b = fetch(vs[0])
+                for vv in vs[1:]:
+                    b, _ = or_merge(b, fetch(vv), 1, 1)
+                if acc is None:
+                    acc, r_acc = b, int(rs[r, j])
+                else:
+                    acc, r_acc = group_and(acc, b, r_acc, int(rs[r, j]))
+            page = np.searchsorted(bounds_np, acc, side="right")
+            if acc.size:
+                first = np.concatenate([[True], page[1:] != page[:-1]])
+                run = np.cumsum(first) - 1
+                gaps = np.diff(acc.astype(np.int64), prepend=0)
+                bonus = np.where(~first, 30 // np.maximum(5, gaps), 0)
+                nb = np.bincount(run)
+                rank = (1 + np.bincount(run, weights=bonus)
+                        + np.log(np.maximum(nb, 1)))
+                k = min(topk, rank.size)
+                top = np.argpartition(-rank, k - 1)[:k]
+                starts = np.flatnonzero(first)
+                ends = np.append(starts[1:], acc.size)
+                base = np.where(
+                    page > 0, bounds_np[np.maximum(page - 1, 0)], 0
+                )
+                for t_ in top:
+                    _ = (acc[starts[t_]:ends[t_]]
+                         - base[starts[t_]]).tolist()
+                1 + np.log(max(rank[top].sum(), 1e-30))
+        return (time.perf_counter() - t0) / n_base
+
+    return 1.0 / min(chunk() for _ in range(best_of))
+
+
 def tier_of(min_need: int, hit_cap: int) -> int:
     """Hit-buffer readback tier from the smallest operand's volume."""
     want = 4 * min_need + 16

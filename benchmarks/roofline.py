@@ -19,7 +19,18 @@ Traffic model (documented assumptions, all LOWER bounds):
 
 Usage:
     python benchmarks/roofline.py [--queries 10000] [--reps 10]
-        [--out PROFILE_r04.json] [--platform cpu]
+        [--out PROFILE_r05.json] [--platform cpu] [--ablate]
+        [--mix standard|wide]
+
+--ablate: INTRA-PROGRAM attribution. Isolated per-bucket dispatches hit
+a ~2.8 ms per-PROGRAM floor over the tunnel, which r4's floor
+adjustment could no longer resolve at sub-ms bucket costs
+(PROFILE_r04: sum_adj 24.7 vs real batch 9.9 ms). Ablation re-times
+the FUSED batch with one bucket GROUP removed (groups = route x cap
+class, so the extra compiles stay bounded); marginal_ms = t_full -
+t_without is each group's true share of the one fused program.
+Marginals are subadditive (shared fetch/tail work re-overlaps), so the
+sum is reported against t_full as a coverage check.
 
 Writes the JSON artifact and prints a per-bucket table to stderr.
 """
@@ -142,6 +153,10 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", default=os.environ.get("DOCODO_BENCH_PLATFORM"))
+    ap.add_argument("--ablate", action="store_true",
+                    help="fused-batch group ablation (see module doc)")
+    ap.add_argument("--mix", choices=("standard", "wide"),
+                    default="standard")
     args = ap.parse_args()
 
     import jax
@@ -184,9 +199,15 @@ def main() -> int:
     is_header = jnp.zeros(n_pages, dtype=bool)
 
     id_to_term = {i: w for i, w in enumerate(terms_list)}
-    terms, rs = bc.standard_mix(counts, id_to_term, args.queries)
     FULL_TOPK, HIT_CAP = 64, 1024
-    fterms, frs, fcaps, fhcaps = bc.full_buckets(terms, rs, counts, HIT_CAP)
+    if args.mix == "wide":
+        terms, rs, _qid = bc.wide_mix(counts, id_to_term, args.queries)
+        fterms, frs, fcaps, fhcaps = bc.full_buckets_wide(
+            terms, rs, counts, HIT_CAP)
+    else:
+        terms, rs = bc.standard_mix(counts, id_to_term, args.queries)
+        fterms, frs, fcaps, fhcaps = bc.full_buckets(
+            terms, rs, counts, HIT_CAP)
     use_pallas = backend == "tpu"
 
     def time_buckets(sel):
@@ -215,6 +236,73 @@ def main() -> int:
     t_full = time_buckets(range(len(fterms)))
     log(f"full batch: {t_full*1e3:.2f} ms "
         f"({args.queries / t_full:.0f} QPS)")
+
+    def bucket_meta(i):
+        tq = fterms[i]
+        B, w = int(tq.shape[0]), int(tq.shape[1])
+        v = int(tq.shape[2]) if tq.ndim == 3 else 1
+        cap = fcaps[i]
+        carried = (page_of is not None and not isinstance(cap, tuple)
+                   and di._tab_serves(small, cap))
+        route = route_of(di, pq, B, cap, w, v, carried, backend)
+        return B, w, v, cap, carried, route
+
+    if args.ablate:
+        # INTRA-PROGRAM attribution: marginal cost of each route group
+        # inside the ONE fused program (isolated dispatches ride the
+        # ~2.8 ms per-program tunnel floor and can't see sub-ms buckets)
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for i in range(len(fterms)):
+            _B, _w, _v, _cap, _carried, route = bucket_meta(i)
+            groups[route].append(i)
+        abl_rows = []
+        for route, idxs in sorted(groups.items()):
+            drop = set(idxs)
+            keep = [i for i in range(len(fterms)) if i not in drop]
+            t_wo = time_buckets(keep) if keep else 0.0
+            nq = sum(int(fterms[i].shape[0]) for i in idxs)
+            marg_ms = (t_full - t_wo) * 1e3
+            abl_rows.append({
+                "group": route,
+                "buckets": [
+                    f"cap={fcaps[i]} W={fterms[i].shape[1]} "
+                    f"V={fterms[i].shape[2] if fterms[i].ndim == 3 else 1} "
+                    f"B={fterms[i].shape[0]}" for i in idxs],
+                "rows": nq,
+                "t_without_ms": round(t_wo * 1e3, 3),
+                "marginal_ms": round(marg_ms, 3),
+                "marginal_us_per_row": round(marg_ms * 1e3 / max(nq, 1),
+                                             3),
+            })
+            log(f"ablate {route:12s} ({len(idxs):2d} buckets, "
+                f"{nq:5d} rows): without {t_wo*1e3:7.3f} ms, marginal "
+                f"{marg_ms:7.3f} ms ({marg_ms*1e3/max(nq,1):.2f} us/row)")
+        abl_rows.sort(key=lambda r: -r["marginal_ms"])
+        sum_marg = sum(r["marginal_ms"] for r in abl_rows)
+        result = {
+            "platform": backend,
+            "mix": args.mix,
+            "queries": args.queries,
+            "full_batch_ms": round(t_full * 1e3, 3),
+            "full_batch_qps": round(args.queries / t_full, 1),
+            "mode": "ablation",
+            "sum_of_marginals_ms": round(sum_marg, 3),
+            "coverage_vs_full": round(sum_marg / (t_full * 1e3), 3),
+            "ablation": abl_rows,
+            "note": "marginal_ms = t(full fused batch) - t(batch with "
+                    "the group's buckets removed); subadditive where "
+                    "groups overlap shared work, so coverage < 1 means "
+                    "overlap, > 1 means removal unblocked scheduling",
+        }
+        doc = json.dumps(result, indent=1)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(doc + "\n")
+            log(f"wrote {args.out}")
+        print(doc)
+        return 0
 
     rows = []
     total_bytes = 0
