@@ -116,11 +116,20 @@ def full_buckets_wide(terms: np.ndarray, rs: np.ndarray,
             c <<= 1
         return c
 
+    def pow2v(n: int) -> int:
+        c = 1
+        while c < n:
+            c <<= 1
+        return c
+
     buckets = {}
     for i in range(terms.shape[0]):
         valid = terms[i] >= 0
         w = int(valid.any(axis=1).sum()) or 1
-        v = int(valid[:w].sum(axis=1).max()) or 1
+        # V rounds to a power of two exactly like production bucketing
+        # (search_batch_full's _bucket(v, lo=1)): odd-V kernel shapes
+        # are never exercised in serving and Mosaic rejects them
+        v = pow2v(int(valid[:w].sum(axis=1).max()) or 1)
         need = int(counts[terms[i][valid]].max())
         # per-word union volume bound = sum of its variants' counts
         per_word = [

@@ -1490,6 +1490,19 @@ def _pallas_bucket_full(term_offsets, coords, bounds, page_doc, is_header,
         w, v = tq.shape[1], tq.shape[2]
         if w > 2:
             return None
+        # Mosaic landmine: odd variant counts fail to compile on real
+        # TPU ("Unsupported target bitwidth for truncation", r5) —
+        # production bucketing always rounds V to a power of two
+        # (_bucket(v, lo=1)), so pad non-pow2 V the same way here
+        # (padded variant slots are -1 = identity in the union fold)
+        vp = 1
+        while vp < v:
+            vp <<= 1
+        if vp != v:
+            tq = jnp.concatenate([
+                tq, jnp.full((tq.shape[0], w, vp - v), -1, jnp.int32)
+            ], axis=2)
+            v = vp
         n = w * v * cap
         if n > MAX_STREAM_WIDTH:
             return None

@@ -455,8 +455,15 @@ def _variants_and_keep(vals, tag, ra_ref, rb_ref, bpad_ref, lane, n):
     keep = _segment_and_k(
         vals, isa, isb, ghost, valid, ra_ref, rb_ref, lane, n
     )
+    # Mosaic landmine (r5): a broadcast select over i1 vectors fails to
+    # compile on real TPU ("Unsupported target bitwidth for
+    # truncation") — like the i1-rotate, run boolean selects in i32.
+    # (Never hit before r5: W=2 variant buckets wide enough to matter
+    # exceed MAX_STREAM_WIDTH and ride XLA; the wide bench's small-cap
+    # variant shapes are the first to compile this kernel for real.)
     b_pad = bpad_ref[:, 0][:, None] > 0
-    return jnp.where(b_pad, jnp.logical_and(run_start, valid), keep)
+    union_only = jnp.logical_and(run_start, valid).astype(jnp.int32)
+    return jnp.where(b_pad, union_only, keep.astype(jnp.int32)) > 0
 
 
 def _sorted_and_locate_kernel(vals_ref, tag_ref, ra_ref, rb_ref,

@@ -79,7 +79,8 @@ def test_wide_mix_device_matches_host_and_pallas(corpus, rng_module):
     ft, fr, fc, fh = bc.full_buckets_wide(terms, rs, cx["counts"], 1024)
     ws = {t.shape[1] for t in ft}
     vs = {t.shape[2] if t.ndim == 3 else 1 for t in ft}
-    assert {3, 4} <= ws and {3, 8} <= vs, (ws, vs)
+    # V buckets are pow2-rounded (production mirror): V=3 rows land in 4
+    assert {3, 4} <= ws and {4, 8} <= vs, (ws, vs)
 
     bounds = jnp.asarray(cx["bounds_np"])
     pd = jnp.asarray((np.arange(cx["n_pg"]) // 7).astype(np.int32))
@@ -105,6 +106,10 @@ def test_wide_mix_device_matches_host_and_pallas(corpus, rng_module):
         valid = terms[i] >= 0
         w = int(valid.any(axis=1).sum()) or 1
         v = int(valid[:w].sum(axis=1).max()) or 1
+        vp = 1  # production pow2-V rounding (full_buckets_wide mirrors)
+        while vp < v:
+            vp <<= 1
+        v = vp
         need = int(cx["counts"][terms[i][valid]].max())
         per_word = [int(cx["counts"][terms[i, j][valid[j]]].sum())
                     for j in range(w)]
