@@ -261,9 +261,14 @@ def main() -> int:
         for route, idxs in sorted(groups.items()):
             drop = set(idxs)
             keep = [i for i in range(len(fterms)) if i not in drop]
+            # contemporaneous full-batch reference: the tunnel drifts
+            # between ablations (r5 saw one window 30% slow, flipping a
+            # marginal negative) — the full program is already compiled
+            # so this re-measure is cheap and the drift cancels
+            t_ref = time_buckets(range(len(fterms)))
             t_wo = time_buckets(keep) if keep else 0.0
             nq = sum(int(fterms[i].shape[0]) for i in idxs)
-            marg_ms = (t_full - t_wo) * 1e3
+            marg_ms = (t_ref - t_wo) * 1e3
             abl_rows.append({
                 "group": route,
                 "buckets": [
@@ -271,13 +276,15 @@ def main() -> int:
                     f"V={fterms[i].shape[2] if fterms[i].ndim == 3 else 1} "
                     f"B={fterms[i].shape[0]}" for i in idxs],
                 "rows": nq,
+                "t_full_ref_ms": round(t_ref * 1e3, 3),
                 "t_without_ms": round(t_wo * 1e3, 3),
                 "marginal_ms": round(marg_ms, 3),
                 "marginal_us_per_row": round(marg_ms * 1e3 / max(nq, 1),
                                              3),
             })
             log(f"ablate {route:12s} ({len(idxs):2d} buckets, "
-                f"{nq:5d} rows): without {t_wo*1e3:7.3f} ms, marginal "
+                f"{nq:5d} rows): ref {t_ref*1e3:7.3f} / without "
+                f"{t_wo*1e3:7.3f} ms, marginal "
                 f"{marg_ms:7.3f} ms ({marg_ms*1e3/max(nq,1):.2f} us/row)")
         abl_rows.sort(key=lambda r: -r["marginal_ms"])
         sum_marg = sum(r["marginal_ms"] for r in abl_rows)
