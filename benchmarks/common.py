@@ -249,6 +249,37 @@ def full_buckets(terms: np.ndarray, rs: np.ndarray, counts: np.ndarray,
         buckets.setdefault(
             (c, w, tier_of(min_need, hit_cap)), []
         ).append(i)
+    # WIDE-bucket merging (A/B, DOCODO_MERGE_WIDE_B — measured
+    # NEUTRAL-to-NEGATIVE r5, default OFF): PROFILE_r05's ablation
+    # names the sparse wide W2 chunked buckets (14 rows over 5 buckets,
+    # cap 4096-32768) as 3.15 ms of the 10.2 ms batch. Rows pad to the
+    # Mosaic block height 8 per bucket, so merging B<=n same-(W, tier)
+    # buckets above FUSED_AND_MAX into one bucket at the largest cap
+    # keeps total kernel lanes ~equal while cutting the per-bucket
+    # stage chains 4-5x. Back-to-back A/B (full_result.py protocol):
+    # OFF 459.6k / ON 447.1k QPS — the padded lanes at the max cap eat
+    # the thunk save, consistent with r4's finding that thunks inside
+    # one fused program are cheap. Kept env-gated for re-tests after
+    # the next kernel-structure change (crossover doctrine).
+    import os as _os2
+
+    merge_b = int(_os2.environ.get("DOCODO_MERGE_WIDE_B", "0"))
+    if merge_b:
+        groups: dict = {}
+        for key in list(buckets):
+            qcap, w, hb = key
+            if (isinstance(qcap, int) and w == 2 and qcap >= 2048
+                    and len(buckets[key]) <= merge_b):
+                groups.setdefault((w, hb), []).append(key)
+        for (w, hb), keys in groups.items():
+            if len(keys) < 2:
+                continue
+            tkey = (max(k[0] for k in keys), w, hb)
+            merged = []
+            for k in keys:
+                merged.extend(buckets.pop(k))
+            buckets.setdefault(tkey, []).extend(merged)
+
     terms_t, rs_t, caps_t, hcaps_t = [], [], [], []
     for (qcap, w, hb), idxs in sorted(
             buckets.items(), key=_bucket_sort_key):

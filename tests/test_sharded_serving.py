@@ -321,3 +321,65 @@ def test_sharded_serving_pallas_kernels_match_host(ind, sdi, monkeypatch):
         assert res is not None, f"unexpected truncation for {req}"
         host = ind.search(req)
         assert _doc_view(res) == _doc_view(host), req
+
+
+def test_mesh_reserve_rate_bounds_at_corpus_scale():
+    """Serving-shape mix over a REAL corpus slice on an 8-shard mesh:
+    the boundary-reserve policy must re-serve a bounded minority —
+    reserves exist (phrase windows straddle some of the 7 boundaries)
+    but stay rare (a window-width sliver per boundary), and every
+    result equals the host engine (MESH_SCALE artifact's contract,
+    ref IndexSequence.cs:218-284 global-space windows)."""
+    import random
+    import tempfile
+
+    raw = open(
+        "/root/reference/Test/Dickens Charles. The Pickwick Papers"
+        " - royallib.ru.txt", encoding="cp1251").read()[:200_000]
+    ind = docodo_tpu.Index(path=tempfile.mkdtemp(), in_memory=True)
+    ind.max_degree_of_parallelism = 1
+    n_docs = 16
+    step = len(raw) // n_docs
+    ind.add_data_source(ListDataSource("docs", [
+        IndexPagedTextFile(f"d{i:02d}", raw[i * step: (i + 1) * step], "")
+        for i in range(n_docs)
+    ]))
+    ind.create()
+    sdi = ShardedDeviceIndex.from_index(ind, sh.make_mesh(8))
+    assert sdi.boundaries.size == 7
+
+    hist = docodo_tpu.Index.calc_histogram(ind, 400)
+    words = [w for w in hist if w[0].isalpha() and len(w) >= 4][20:120]
+    rng = random.Random(11)
+    reqs = []
+    for i in range(120):
+        kind = i % 3
+        if kind == 0:
+            reqs.append(rng.choice(words))
+        elif kind == 1:
+            reqs.append(f'"{rng.choice(words)} {rng.choice(words)}"')
+        else:
+            reqs.append(f"{rng.choice(words)} {rng.choice(words)}")
+    compiled = [compile_request(ind, r) for r in reqs]
+    assert all(c is not None for c in compiled)
+    results = sdi.search_batch(compiled, topk=64, hit_cap=1024)
+
+    reserved = sum(
+        1 for r in results
+        if r is not None and getattr(r, "boundary_reserved", False)
+    )
+    served = sum(1 for r in results if r is not None)
+    # singles never reserve; pairs reserve only when a term posting
+    # falls within a window of one of the 7 boundaries
+    assert served >= 100, served
+    assert 0 < reserved <= served // 3, (reserved, served)
+
+    # exact parity for a sample incl. every reserved query
+    sample = [i for i, r in enumerate(results)
+              if r is not None and getattr(r, "boundary_reserved", False)]
+    sample += [i for i in range(0, len(reqs), 7)
+               if results[i] is not None]
+    for i in set(sample):
+        host = ind.search(reqs[i])
+        assert _doc_view(results[i]) == _doc_view(host), reqs[i]
+    ind.dispose()
