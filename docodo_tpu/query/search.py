@@ -38,15 +38,22 @@ class WordInfo:
 
 
 class ResultDocPage:
-    __slots__ = ("id", "pos", "text")
+    __slots__ = ("id", "pos", "text", "_rank")
 
-    def __init__(self, page_id: str, pos=None):
+    def __init__(self, page_id: str, pos=None, rank: float = None):
         self.id = page_id
         self.pos: List[int] = pos if pos is not None else []
         self.text: Optional[str] = None
+        # batch materialization precomputes ranks vectorized (one
+        # reduceat across all runs — the per-position Python loop was
+        # 57% of the host serving path, SERVE_PROFILE_r05); ad-hoc
+        # construction leaves it None and the property computes lazily
+        self._rank = rank
 
     @property
     def rank(self) -> float:
+        if self._rank is not None:
+            return self._rank
         bonus = 0
         p = self.pos
         for q in range(1, len(p)):
@@ -147,14 +154,36 @@ def prepare_search_result(coords: np.ndarray, page_table, doc_filter,
     run_starts = np.flatnonzero(change)
     run_ends = np.append(run_starts[1:], n)
 
+    # page ranks VECTORIZED across all runs (1 + sum(30 // max(5, gap))
+    # + ln(n_pos), ref Search.cs:99-111 integer division) — but only
+    # for BIG results: measured 9.9 us (python per-page loops) vs
+    # 13.4 us (always-vectorized) per call on the serving mix whose
+    # results average ~5 positions — the numpy op overhead beats short
+    # loops, and long position lists invert the trade. Threshold from
+    # that A/B (benchmarks/profile_serve.py drives it).
+    big = n >= 64
+    if big:
+        pos64 = pos.astype(np.int64)
+        d = np.empty(n, dtype=np.int64)
+        d[0] = 5
+        np.subtract(pos64[1:], pos64[:-1], out=d[1:])
+        bonus = np.where(change, 0, 30 // np.maximum(5, d))
+        run_bonus = np.add.reduceat(bonus, run_starts)
+        run_counts = run_ends - run_starts
+        run_ranks = 1.0 + run_bonus + np.log(run_counts)
+
     filters = [re.compile(f) for f in doc_filter]
     last_doc: Optional[ResultDocument] = None
     prev_doc_idx = -1
-    for a, b in zip(run_starts.tolist(), run_ends.tolist()):
+    page_doc_arr = page_table.page_doc
+    page_ids = page_table.page_ids
+    for ri, (a, b) in enumerate(zip(run_starts.tolist(),
+                                    run_ends.tolist())):
         pg = int(page_idx[a])
-        page = ResultDocPage(page_table.page_ids[pg], pos[a:b].tolist())
+        page = ResultDocPage(page_ids[pg], pos[a:b].tolist(),
+                             rank=float(run_ranks[ri]) if big else None)
         result.found_pages.append(page)
-        doc_idx = int(page_table.page_doc[pg])
+        doc_idx = int(page_doc_arr[pg])
         if doc_idx != prev_doc_idx or last_doc is None:
             doc = ResultDocument(page_table.doc_names[doc_idx])
             if len(result.found_docs) < MAX_FOUND_DOCS:
