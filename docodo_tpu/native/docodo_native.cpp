@@ -25,47 +25,72 @@ namespace {
 
 struct Interner {
     // open addressing, power-of-two capacity
-    std::vector<int64_t> slots;      // index into entries, -1 empty
-    std::vector<uint64_t> hashes;
+    // ONE 8-byte record per slot: (hash high-32 tag << 32) | (id + 1),
+    // 0 = empty. The old layout probed two side-by-side arrays (16 B
+    // per slot) and the intern pass is probe-latency-bound once the
+    // table outgrows L2 (r5 probe: intern 119.6 vs scan-only 269.7
+    // MB/s); halving the random-access footprint is the lever. A
+    // 32-bit tag false positive is rejected by the memcmp, so
+    // correctness is unchanged.
+    std::vector<uint64_t> slots;
     // entries: flat arena of u16 strings
     std::vector<uint16_t> arena;
     std::vector<int64_t> offs;       // entry -> arena offset
     std::vector<int32_t> lens;       // entry -> length
 
-    Interner() : slots(1 << 16, -1), hashes(1 << 16, 0) {}
+    Interner() : slots(1 << 16, 0) {}
 
     static uint64_t hash(const uint16_t* s, int32_t len) {
-        uint64_t h = 1469598103934665603ull;
-        for (int32_t i = 0; i < len; i++) {
-            h ^= s[i];
-            h *= 1099511628211ull;
+        // chunked multiply-xor (4 units = 8 bytes per mix): the
+        // per-unit FNV loop was ~5-8 dependent multiplies per token
+        // and the intern pass bounds the build producer (r5 probe:
+        // 119.6 MB/s intern vs 269.7 scan-only). Hash choice is
+        // internal — term ids stay insertion-ordered, outputs
+        // bit-identical.
+        const uint64_t M = 0x9DDFEA08EB382D69ull;
+        uint64_t h = 0x9E3779B97F4A7C15ull ^ ((uint64_t)len << 1);
+        int32_t i = 0;
+        for (; i + 4 <= len; i += 4) {
+            uint64_t k;
+            std::memcpy(&k, s + i, 8);
+            k *= M;
+            k ^= k >> 29;
+            h = (h ^ k) * M;
         }
+        if (i < len) {
+            uint64_t tail = 0;
+            std::memcpy(&tail, s + i, (size_t)(len - i) * 2);
+            h = (h ^ tail) * M;
+        }
+        h ^= h >> 32;
         return h | 1;  // nonzero
     }
 
     void grow() {
         size_t ncap = slots.size() * 2;
-        std::vector<int64_t> ns(ncap, -1);
-        std::vector<uint64_t> nh(ncap, 0);
+        std::vector<uint64_t> ns(ncap, 0);
         for (size_t i = 0; i < slots.size(); i++) {
-            if (slots[i] < 0) continue;
-            size_t j = hashes[i] & (ncap - 1);
-            while (ns[j] >= 0) j = (j + 1) & (ncap - 1);
-            ns[j] = slots[i];
-            nh[j] = hashes[i];
+            uint64_t rec = slots[i];
+            if (!rec) continue;
+            int64_t e = (int64_t)(uint32_t)rec - 1;
+            uint64_t h = hash(&arena[offs[e]], lens[e]);
+            size_t j = h & (ncap - 1);
+            while (ns[j]) j = (j + 1) & (ncap - 1);
+            ns[j] = rec;
         }
         slots.swap(ns);
-        hashes.swap(nh);
     }
 
     int32_t intern(const uint16_t* s, int32_t len) {
         if (offs.size() * 10 >= slots.size() * 7) grow();
         uint64_t h = hash(s, len);
+        uint64_t tag = h & 0xFFFFFFFF00000000ull;
         size_t mask = slots.size() - 1;
         size_t j = h & mask;
-        while (slots[j] >= 0) {
-            if (hashes[j] == h) {
-                int64_t e = slots[j];
+        uint64_t rec;
+        while ((rec = slots[j])) {
+            if ((rec & 0xFFFFFFFF00000000ull) == tag) {
+                int64_t e = (int64_t)(uint32_t)rec - 1;
                 if (lens[e] == len &&
                     std::memcmp(&arena[offs[e]], s, len * 2) == 0)
                     return (int32_t)e;
@@ -76,8 +101,7 @@ struct Interner {
         offs.push_back((int64_t)arena.size());
         lens.push_back(len);
         arena.insert(arena.end(), s, s + len);
-        slots[j] = id;
-        hashes[j] = h;
+        slots[j] = tag | (uint32_t)(id + 1);
         return id;
     }
 };
