@@ -1190,6 +1190,59 @@ def _chunked_and_full(term_offsets, coords, bounds, page_doc, is_header,
     )
 
 
+def _chunked_and_full_multi(term_offsets, coords, bounds, page_doc,
+                            is_header, tq, rq, cap: int, topk: int,
+                            hit_cap: int, with_docs: bool, small=None,
+                            interpret: bool = False, page_of=None,
+                            tail: bool = True):
+    """W>=3 V=1 carried left fold through the chunked kernel pipeline
+    (ref Search.cs:501 expression fold over IndexSequence.cs:218-284):
+    each fold step is ONE vmapped tagged lax.sort of the kept stream
+    (tag 0, INF at dropped lanes — the sort doubles as the compaction)
+    concatenated with the next word's carried block (tag 1), feeding
+    pallas_chunked_and (one-pass resident under FUSED_AND_MAX, two-pass
+    chunked above). Page streams ride the sort payload so the final
+    locate skips its page lookup. Replaces the per-query XLA scan-chain
+    fold that PROFILE_WIDE_r05's ablation priced at 47.2 ms of the
+    57.7 ms wide batch (16 us/row over 2,930 W>2 rows); bit-identical
+    to vmapped eval_and_query + locate_full (the tagged-sort merge is
+    the W2 chunked pipeline's proven-equivalent form, and the fold's
+    window combines exactly as seqops.combine_r)."""
+    from docodo_tpu.ops.pallas_query import pallas_chunked_and
+    from docodo_tpu.ops.seqops import combine_r
+
+    bsz, w = tq.shape[0], tq.shape[1]
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (bsz, cap), 1)
+    g = jax.vmap(lambda t: gather_term_paged(
+        coords, page_of, term_offsets, t, cap, small))
+    a, apg, na = g(tq[:, 0])
+    hv = jnp.where(lane_c < na[:, None], a, INF32)
+    pg = apg
+    r_acc = rq[:, 0:1]
+    for q in range(1, w):
+        b, bpg, nb = g(tq[:, q])
+        bv = jnp.where(lane_c < nb[:, None], b, INF32)
+        tag = jnp.concatenate([
+            jnp.where(hv < INF32, 0, 2),
+            jnp.where(lane_c < nb[:, None], 1, 2),
+        ], axis=1).astype(jnp.int32)
+        cat = jnp.concatenate([hv, bv], axis=1)
+        pcat = jnp.concatenate([pg, bpg], axis=1)
+        vals, tag, pgs = jax.vmap(
+            lambda v, t, p: jax.lax.sort((v, t, p), num_keys=2)
+        )(cat, tag, pcat)
+        rb_col = rq[:, q:q + 1]
+        hv = pallas_chunked_and(
+            vals, tag, r_acc, rb_col, interpret=interpret
+        )
+        pg = pgs
+        r_acc = combine_r(r_acc, rb_col)
+    return _locate_full_chunked(
+        hv, bounds, page_doc, is_header, topk=topk, hit_cap=hit_cap,
+        with_docs=with_docs, interpret=interpret, pg=pg, tail=tail,
+    )
+
+
 def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                  tq, rq, cap: int, topk: int, hit_cap: int,
                  with_docs: bool, use_pallas: bool, small=None,
@@ -1232,6 +1285,18 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                 return _chunked_and_full(
                     term_offsets, coords, bounds, page_doc, is_header,
                     t2, rq, caps, topk=topk, hit_cap=hit_cap,
+                    with_docs=with_docs, small=small, interpret=interp,
+                    page_of=page_of, tail=tail,
+                )
+            if (w >= 3 and v == 1 and not isinstance(cap, tuple)
+                    and page_of is not None
+                    and _tab_serves(small, cap)):
+                # W>=3 carried fold (PROFILE_WIDE_r05: the XLA W>2
+                # fold was 82% of the wide batch)
+                t3 = tq if tq.ndim == 2 else tq[:, :, 0]
+                return _chunked_and_full_multi(
+                    term_offsets, coords, bounds, page_doc, is_header,
+                    t3, rq, cap=cap, topk=topk, hit_cap=hit_cap,
                     with_docs=with_docs, small=small, interpret=interp,
                     page_of=page_of, tail=tail,
                 )

@@ -526,6 +526,64 @@ def test_chunked_bucket_routing_matches_xla(rng):
                                    np.asarray(got.doc_ranks), atol=1e-4)
 
 
+def test_multiword_chunked_fold_matches_xla(rng):
+    """The W>=3 carried fold (_chunked_and_full_multi: tagged-sort
+    merge + chunked AND per fold step, carried page streams) equals the
+    vmapped XLA eval_and_query + locate_full program field-for-field —
+    W=3 and W=4, ordered and proximity rows, small and big caps, rows
+    with empty results. This is the route PROFILE_WIDE_r05's ablation
+    motivated (the XLA W>2 fold was 82% of the wide batch)."""
+    import os
+
+    from docodo_tpu.ops import device_index as di
+
+    nprng = np.random.default_rng(77)
+    T = 12
+    counts = nprng.integers(200, 900, size=T)
+    counts[10], counts[11] = 30, 70  # banded-table cumulative base
+    tids = np.repeat(np.arange(T), counts).astype(np.int32)
+    coords_np = np.sort(nprng.choice(
+        400_000, size=int(counts.sum()), replace=False)).astype(np.int32)
+    nprng.shuffle(tids)
+    st, sc, off = di.build_postings(
+        jnp.asarray(tids), jnp.asarray(coords_np), T)
+    bounds = jnp.asarray(np.arange(3000, 403_000, 3000, dtype=np.int32))
+    pd = jnp.asarray((np.arange(bounds.shape[0]) // 9).astype(np.int32))
+    hdr = jnp.asarray(np.arange(bounds.shape[0]) % 9 == 0)
+    pages_np = di.build_page_of(np.asarray(bounds), np.asarray(sc))
+    page_arr = jnp.asarray(pages_np)
+    off_np = np.asarray(off).astype(np.int64)
+    small_tabs = di.build_small_tables(off_np, np.asarray(sc),
+                                       pages_np=pages_np)
+    assert di._tab_serves(small_tabs, 1024)
+    for w, bsz in ((3, 9), (4, 6)):
+        tq = jnp.asarray(
+            nprng.integers(0, T - 2, (bsz, w)).astype(np.int32))
+        # huge windows on half the rows (big kept groups), ordered
+        # phrase windows on the rest (mostly-empty results)
+        rv = np.where(np.arange(bsz)[:, None] % 2, 5000, -9)
+        rq = jnp.asarray(np.broadcast_to(rv, (bsz, w)).astype(np.int32))
+        kw = dict(cap=1024, topk=16, hit_cap=512, with_docs=True)
+        xla = di.batched_query_full(
+            off, sc, bounds, pd, hdr, tq, rq, use_pallas=False, **kw)
+        os.environ["DOCODO_CHUNKED"] = "force"
+        try:
+            got = di.batched_query_full(
+                off, sc, bounds, pd, hdr, tq, rq, use_pallas=True,
+                page_of=page_arr, small=small_tabs, **kw)
+        finally:
+            os.environ.pop("DOCODO_CHUNKED", None)
+        for name in ("pages", "counts", "n_pages", "n_hits", "hits",
+                     "docs"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(xla, name)),
+                np.asarray(getattr(got, name)), err_msg=f"W{w}:{name}")
+        np.testing.assert_allclose(np.asarray(xla.ranks),
+                                   np.asarray(got.ranks), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(xla.doc_ranks),
+                                   np.asarray(got.doc_ranks), atol=1e-4)
+
+
 def test_fused_and_matches_two_pass_chunked(rng):
     """The ONE-pass full-width AND kernel (pallas_fused_and, interpret
     mode) equals the two-pass chunked AND on random merged tagged
