@@ -1243,6 +1243,52 @@ def _chunked_and_full_multi(term_offsets, coords, bounds, page_doc,
     )
 
 
+def _chunked_variants_full(term_offsets, coords, bounds, page_doc,
+                           is_header, tq, rq, cap: int, topk: int,
+                           hit_cap: int, with_docs: bool, small=None,
+                           interpret: bool = False, page_of=None,
+                           tail: bool = True):
+    """W=2 V>1 carried OVERSIZE variant route (streams past the slots
+    kernels' MAX_STREAM_WIDTH but within FUSED_AND_MAX): ONE vmapped
+    word-tagged lax.sort of every variant block feeds the resident
+    fused variants AND kernel (run-dedupe + both-word spans + AND
+    segmentation in one program), page streams riding the sort payload
+    into the chunked locate. The XLA and_variants_sorted scan chains
+    these buckets previously rode were the wide mix's dominant
+    remaining cost (ref Search.cs:226-247 variant sets + 351
+    alternations; bit-parity with eval_query_masked)."""
+    from docodo_tpu.ops.pallas_query import pallas_fused_variants_and
+
+    bsz, _w, v = tq.shape
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (bsz, v, cap), 2)
+    g = jax.vmap(jax.vmap(lambda t: gather_term_paged(
+        coords, page_of, term_offsets, t, cap, small)))
+    a3, apg3, na2 = g(tq[:, 0])
+    b3, bpg3, nb2 = g(tq[:, 1])
+    va = lane3 < na2[:, :, None]
+    vb = lane3 < nb2[:, :, None]
+    av = jnp.where(va, a3, INF32).reshape(bsz, v * cap)
+    bv = jnp.where(vb, b3, INF32).reshape(bsz, v * cap)
+    ta = jnp.where(va, 0, 2).astype(jnp.int32).reshape(bsz, v * cap)
+    tb = jnp.where(vb, 1, 2).astype(jnp.int32).reshape(bsz, v * cap)
+    cat = jnp.concatenate([av, bv], axis=1)
+    tag = jnp.concatenate([ta, tb], axis=1)
+    pcat = jnp.concatenate([
+        apg3.reshape(bsz, v * cap), bpg3.reshape(bsz, v * cap)
+    ], axis=1)
+    vals, tags, pgs = jax.vmap(
+        lambda vv, tt, pp: jax.lax.sort((vv, tt, pp), num_keys=2)
+    )(cat, tag, pcat)
+    bpad = (tq[:, 1, 0] < 0).astype(jnp.int32)[:, None]
+    hv = pallas_fused_variants_and(
+        vals, tags, rq[:, 0:1], rq[:, 1:2], bpad, interpret=interpret
+    )
+    return _locate_full_chunked(
+        hv, bounds, page_doc, is_header, topk=topk, hit_cap=hit_cap,
+        with_docs=with_docs, interpret=interpret, pg=pgs, tail=tail,
+    )
+
+
 def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                  tq, rq, cap: int, topk: int, hit_cap: int,
                  with_docs: bool, use_pallas: bool, small=None,
@@ -1288,6 +1334,20 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                     with_docs=with_docs, small=small, interpret=interp,
                     page_of=page_of, tail=tail,
                 )
+            if (w == 2 and v > 1 and not isinstance(cap, tuple)
+                    and page_of is not None and _tab_serves(small, cap)):
+                from docodo_tpu.ops.pallas_query import FUSED_AND_MAX
+
+                if 2 * v * cap <= FUSED_AND_MAX:
+                    # oversize variant bucket within the resident
+                    # fused budget (PROFILE_WIDE_r05's remaining cost)
+                    return _chunked_variants_full(
+                        term_offsets, coords, bounds, page_doc,
+                        is_header, tq, rq, cap=cap, topk=topk,
+                        hit_cap=hit_cap, with_docs=with_docs,
+                        small=small, interpret=interp,
+                        page_of=page_of, tail=tail,
+                    )
             if (w >= 3 and v == 1 and not isinstance(cap, tuple)
                     and page_of is not None
                     and _tab_serves(small, cap)):

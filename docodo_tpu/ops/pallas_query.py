@@ -415,29 +415,35 @@ def _span_contains_k(marks, starts, terminals, lane):
     return (end - before) > 0
 
 
-def _span_contains2_k(marks0, marks1, starts, terminals, lane):
+def _span_contains2_k(marks0, marks1, starts, terminals, lane,
+                      pack: int = _PACK):
     """Two _span_contains_k queries sharing starts/terminals, PACKED
-    into one scan set (both prefix sums non-decreasing and < _PACK)."""
+    into one scan set (both prefix sums non-decreasing and < pack —
+    _PACK=2048 for the <=1024-lane resident kernels, 1<<15 for the
+    fused <=4096-lane variants AND)."""
     bigi = jnp.int32(np.iinfo(np.int32).max)
-    cum = _cumsum(marks0.astype(jnp.int32) + _PACK * marks1.astype(jnp.int32))
+    cum = _cumsum(marks0.astype(jnp.int32) + pack * marks1.astype(jnp.int32))
     prev = _shift_right_fill(cum, np.int32(0))
     before = _cummax(jnp.where(starts, prev, -1))
     end = _rev_cummin(jnp.where(terminals, cum, bigi), bigi)
     # lane 0 is always a span start, so `before` >= 0 everywhere
     return (
-        (end % _PACK - before % _PACK) > 0,
-        (end // _PACK - before // _PACK) > 0,
+        (end % pack - before % pack) > 0,
+        (end // pack - before // pack) > 0,
     )
 
 
-def _variants_and_keep(vals, tag, ra_ref, rb_ref, bpad_ref, lane, n):
+def _variants_and_keep(vals, tag, ra_ref, rb_ref, bpad_ref, lane, n,
+                       pack: int = _PACK):
     """Keep mask for a PRE-MERGED stream of MANY variant substreams of
     two words (tag 0 = word A variants, 1 = B, 2 = padding): run-dedupe
     folds every equal-coordinate run (length up to Va+Vb) onto its
     first slot carrying the union of word tags, then the shared AND
     segmentation — the kernel twin of ops/seqops.and_variants_sorted.
     bpad_ref[:, 0] > 0 marks rows whose word-B slot is query padding:
-    the AND is the identity and the result is word A's deduped union."""
+    the AND is the identity and the result is word A's deduped union.
+    `pack` sizes the packed scans (1<<15 for the fused <=4096-lane
+    form, _PACK for the <=1024-lane slots kernels)."""
     valid = vals < INF32
     is0 = jnp.logical_and(tag == 0, valid)
     is1 = jnp.logical_and(tag == 1, valid)
@@ -448,12 +454,14 @@ def _variants_and_keep(vals, tag, ra_ref, rb_ref, bpad_ref, lane, n):
     nxt_valid = _roll(valid.astype(jnp.int32), -1) > 0
     terminal = jnp.logical_or(nxt_rs, ~nxt_valid)
     terminal = jnp.logical_or(terminal, lane == n - 1)
-    span0, span1 = _span_contains2_k(is0, is1, run_start, terminal, lane)
+    span0, span1 = _span_contains2_k(is0, is1, run_start, terminal,
+                                     lane, pack=pack)
     isa = jnp.logical_and(run_start, span0)
     isb = jnp.logical_and(run_start, span1)
     ghost = jnp.logical_and(valid, ~run_start)
     keep = _segment_and_k(
-        vals, isa, isb, ghost, valid, ra_ref, rb_ref, lane, n
+        vals, isa, isb, ghost, valid, ra_ref, rb_ref, lane, n,
+        pack=pack,
     )
     # Mosaic landmine (r5): a broadcast select over i1 vectors fails to
     # compile on real TPU ("Unsupported target bitwidth for
@@ -2242,6 +2250,73 @@ def _fused_and_kernel(vals_ref, tag_ref, ra_ref, rb_ref, hits_ref):
         vals, tag_ref[...], ra_ref, rb_ref, lane, n, pack=1 << 15
     )
     hits_ref[...] = jnp.where(keep, vals, INF32)
+
+
+def _fused_variants_and_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
+                               bpad_ref, hits_ref):
+    """ONE-pass full-width VARIANTS proximity-AND: the word-tagged
+    merged variant stream resident, run-dedupe + both-word span
+    queries + the shared AND segmentation in one program — the fused
+    (<=4096-lane) twin of the <=1024-lane variant slots kernels, for
+    the oversize variant buckets that otherwise fall to the per-query
+    XLA scan chains (PROFILE_WIDE_r05: the XLA group was 82% of the
+    wide batch). Packed scans at base 1<<15 (prefix counts <= 4096)."""
+    q, n = vals_ref.shape
+    lane = _iota((q, n), 1)
+    vals = vals_ref[...]
+    keep = _variants_and_keep(
+        vals, tag_ref[...], ra_ref, rb_ref, bpad_ref, lane, n,
+        pack=1 << 15,
+    )
+    hits_ref[...] = jnp.where(keep, vals, INF32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_fused_variants_and(vals, tag, ra, rb, bpad, *,
+                              interpret: bool = False):
+    """One-pass full-width variants AND for word-tagged merged variant
+    streams that fit resident (n <= FUSED_AND_MAX). vals/tag [B, n]
+    (INF / tag-2 padded), ra/rb [B, 1] per-word windows, bpad [B, 1]
+    word-B-padding flags. Returns the kept-hit stream (INF32 at
+    dropped slots) — same contract as pallas_fused_and."""
+    bsz, n = vals.shape
+    lpad = (-n) % 128
+    if lpad:
+        vals = jnp.concatenate(
+            [vals, jnp.full((bsz, lpad), INF32, jnp.int32)], axis=1
+        )
+        tag = jnp.concatenate(
+            [tag, jnp.full((bsz, lpad), 2, jnp.int32)], axis=1
+        )
+        n += lpad
+    q = max(8, min(32, (8192 // n) * 8))
+    if bsz < q:
+        q = max(8, ((bsz + 7) // 8) * 8)
+    pad = (-bsz) % q
+    if pad:
+        vals = jnp.concatenate(
+            [vals, jnp.full((pad, n), INF32, jnp.int32)]
+        )
+        tag = jnp.concatenate([tag, jnp.full((pad, n), 2, jnp.int32)])
+        ra = jnp.concatenate([ra, jnp.ones((pad, 1), jnp.int32)])
+        rb = jnp.concatenate([rb, jnp.ones((pad, 1), jnp.int32)])
+        bpad = jnp.concatenate([bpad, jnp.zeros((pad, 1), jnp.int32)])
+    b = vals.shape[0]
+    hits = pl.pallas_call(
+        _fused_variants_and_kernel,
+        grid=(b // q,),
+        in_specs=[
+            pl.BlockSpec((q, n), lambda i: (i, 0)),
+            pl.BlockSpec((q, n), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((q, n), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
+        interpret=interpret,
+    )(vals, tag, ra, rb, bpad)
+    return hits[:bsz, :n - lpad] if lpad else hits[:bsz]
 
 
 FUSED_AND_MAX = int(_os.environ.get("DOCODO_FUSED_AND_MAX", "4096"))

@@ -584,6 +584,69 @@ def test_multiword_chunked_fold_matches_xla(rng):
                                    np.asarray(got.doc_ranks), atol=1e-4)
 
 
+def test_oversize_variants_chunked_matches_xla(rng):
+    """W=2 V>1 buckets past the slots kernels' MAX_STREAM_WIDTH but
+    within FUSED_AND_MAX route through the fused variants AND kernel
+    (_chunked_variants_full, DOCODO_CHUNKED=force) — field-for-field
+    equal to the XLA and_variants_sorted program, incl. cross-variant
+    duplicate coords (multi-key words share coordinates), empty
+    variants, padded word-B rows, ordered and proximity windows."""
+    import os
+
+    from docodo_tpu.ops import device_index as di
+    from docodo_tpu.ops.pallas_query import MAX_STREAM_WIDTH
+
+    nprng = np.random.default_rng(55)
+    T = 16
+    counts = nprng.integers(150, 500, size=T)
+    counts[14], counts[15] = 25, 60  # banded-table cumulative base
+    tids = np.repeat(np.arange(T), counts).astype(np.int32)
+    coords_np = np.sort(nprng.choice(
+        300_000, size=int(counts.sum()), replace=False)).astype(np.int32)
+    nprng.shuffle(tids)
+    st, sc, off = di.build_postings(
+        jnp.asarray(tids), jnp.asarray(coords_np), T)
+    bounds = jnp.asarray(np.arange(3000, 303_000, 3000, dtype=np.int32))
+    pd = jnp.asarray((np.arange(bounds.shape[0]) // 8).astype(np.int32))
+    hdr = jnp.asarray(np.arange(bounds.shape[0]) % 8 == 0)
+    pages_np = di.build_page_of(np.asarray(bounds), np.asarray(sc))
+    page_arr = jnp.asarray(pages_np)
+    small_tabs = di.build_small_tables(
+        np.asarray(off).astype(np.int64), np.asarray(sc),
+        pages_np=pages_np)
+    # cap must cover every term count (512 >= max 500): the carried
+    # tables cannot serve truncated terms, and production caps are
+    # pow2(max count) so they never truncate
+    for v, bsz, cap in ((3, 8, 512), (4, 6, 512)):
+        assert 2 * v * cap > MAX_STREAM_WIDTH  # really oversize
+        tq = nprng.integers(0, T - 2, (bsz, 2, v)).astype(np.int32)
+        tq[0, 1, :] = -1          # word-B padded row (union identity)
+        tq[1, 0, 1:] = -1         # single-variant word
+        tq[2, 1, 0] = tq[2, 0, 0]  # shared term across words
+        rv = np.where(np.arange(bsz)[:, None] % 2, 4000, -9)
+        rq = jnp.asarray(np.broadcast_to(rv, (bsz, 2)).astype(np.int32))
+        tqj = jnp.asarray(tq)
+        kw = dict(cap=cap, topk=16, hit_cap=512, with_docs=True)
+        xla = di.batched_query_full(
+            off, sc, bounds, pd, hdr, tqj, rq, use_pallas=False, **kw)
+        os.environ["DOCODO_CHUNKED"] = "force"
+        try:
+            got = di.batched_query_full(
+                off, sc, bounds, pd, hdr, tqj, rq, use_pallas=True,
+                page_of=page_arr, small=small_tabs, **kw)
+        finally:
+            os.environ.pop("DOCODO_CHUNKED", None)
+        for name in ("pages", "counts", "n_pages", "n_hits", "hits",
+                     "docs"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(xla, name)),
+                np.asarray(getattr(got, name)), err_msg=f"V{v}:{name}")
+        np.testing.assert_allclose(np.asarray(xla.ranks),
+                                   np.asarray(got.ranks), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(xla.doc_ranks),
+                                   np.asarray(got.doc_ranks), atol=1e-4)
+
+
 def test_fused_and_matches_two_pass_chunked(rng):
     """The ONE-pass full-width AND kernel (pallas_fused_and, interpret
     mode) equals the two-pass chunked AND on random merged tagged
