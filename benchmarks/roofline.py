@@ -88,6 +88,21 @@ def bucket_traffic(B: int, cap, w: int, v: int, topk: int, hit_cap: int,
         stream = row * n * (6 + 3 + and_extra + 5)
         scan_ops = B * n * (math.log2(max(n, 2)) * (3 + 4 + 10))
         launches = 3
+    elif route == "chunked_variants":
+        # r5 oversize variant route: one vmapped 3-op tagged sort over
+        # the w*v*cap stream + fused variants-AND kernel + chunked locate
+        n = w * max(v, 1) * caps[0]
+        stream = row * n * (6 + 3 + 5)
+        scan_ops = B * n * (math.log2(max(n, 2)) * (3 + 4 + 10))
+        launches = 3
+    elif route == "chunked_multi":
+        # r5 W>=3 carried fold: (w-1) vmapped tagged sorts of the kept
+        # stream + next word (each <= 2*cap wide) + fused AND + locate
+        n = 2 * caps[0]
+        stream = row * n * ((w - 1) * 6 + 3 + 5)
+        scan_ops = B * n * ((w - 1) * math.log2(max(n, 2)) * 3
+                            + math.log2(max(n, 2)) * 14)
+        launches = w + 1
     elif route == "w1_chunked":
         # gathered block IS the stream: locate reads it + pages, writes 3
         stream = row * n * 5
@@ -142,6 +157,12 @@ def route_of(di_mod, pq_mod, B, cap, w, v, carried, backend):
         if carried and caps[0] == caps[1] and 2 * caps[0] <= pq_mod.FUSED_AND_MAX:
             return "fused_mal"
         return "chunked"
+    if (chunk_ok and w == 2 and v > 1 and carried
+            and not isinstance(cap, tuple)):
+        return "chunked_variants"       # r5 oversize variant kernel route
+    if (chunk_ok and w >= 3 and v == 1 and carried
+            and not isinstance(cap, tuple)):
+        return "chunked_multi"          # r5 W>=3 carried fold route
     if chunk_ok and w == 1 and v == 1 and caps[0] >= 2048 and carried:
         return "w1_chunked"
     return "xla"

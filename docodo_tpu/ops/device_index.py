@@ -236,7 +236,13 @@ def build_small_tables(offsets_np, coords_np,
     # with count in (w/2, w] — total banded bytes stay within ~2-4x the
     # postings they cover, so block-DMA caps get latency-bound row
     # gathers too (measured 24 ns/row vs ~1.3 us/row dynamic_slice)
-    band_max = int(_os.environ.get("DOCODO_SMALL_TAB_BAND_MAX", "16384"))
+    # 32768 (r5): band 32768 makes cap-32768 buckets CARRIED, unlocking
+    # the chunked kernel routes (w1_chunked / chunked_multi /
+    # chunked_variants) for the wide mix's giant-cap tail — the band
+    # holds counts in (16384, 32768], a handful of stopword-class terms
+    # per corpus (~2 MB combined on Pickwick), still within the ~2-4x
+    # postings-covered envelope
+    band_max = int(_os.environ.get("DOCODO_SMALL_TAB_BAND_MAX", "32768"))
     w = max(widths) * 2 if widths else 0
     while w and w <= band_max and budget > 0:
         tids = np.flatnonzero(
@@ -1249,15 +1255,18 @@ def _chunked_variants_full(term_offsets, coords, bounds, page_doc,
                            interpret: bool = False, page_of=None,
                            tail: bool = True):
     """W=2 V>1 carried OVERSIZE variant route (streams past the slots
-    kernels' MAX_STREAM_WIDTH but within FUSED_AND_MAX): ONE vmapped
-    word-tagged lax.sort of every variant block feeds the resident
-    fused variants AND kernel (run-dedupe + both-word spans + AND
-    segmentation in one program), page streams riding the sort payload
-    into the chunked locate. The XLA and_variants_sorted scan chains
-    these buckets previously rode were the wide mix's dominant
-    remaining cost (ref Search.cs:226-247 variant sets + 351
-    alternations; bit-parity with eval_query_masked)."""
-    from docodo_tpu.ops.pallas_query import pallas_fused_variants_and
+    kernels' MAX_STREAM_WIDTH): ONE vmapped word-tagged lax.sort of
+    every variant block feeds the variants AND (run-dedupe + both-word
+    spans + AND segmentation — the resident one-pass kernel within
+    FUSED_AND_MAX, the two-pass chunk-streamed form above it), page
+    streams riding the sort payload into the chunked locate. The XLA
+    and_variants_sorted scan chains these buckets previously rode were
+    the wide mix's dominant remaining cost both times it was profiled
+    (PROFILE_WIDE_r05: first the <=4096-lane V=4 buckets, then the
+    giant cap>=1024 ones at ~34 ms of the 49.8 ms batch). Ref
+    Search.cs:226-247 variant sets + 351 alternations; bit-parity
+    with eval_query_masked."""
+    from docodo_tpu.ops.pallas_query import pallas_chunked_variants_and
 
     bsz, _w, v = tq.shape
     lane3 = jax.lax.broadcasted_iota(jnp.int32, (bsz, v, cap), 2)
@@ -1280,9 +1289,10 @@ def _chunked_variants_full(term_offsets, coords, bounds, page_doc,
         lambda vv, tt, pp: jax.lax.sort((vv, tt, pp), num_keys=2)
     )(cat, tag, pcat)
     bpad = (tq[:, 1, 0] < 0).astype(jnp.int32)[:, None]
-    hv = pallas_fused_variants_and(
+    hv = pallas_chunked_variants_and(
         vals, tags, rq[:, 0:1], rq[:, 1:2], bpad, interpret=interpret
     )
+    hv = hv[:, :pgs.shape[1]]  # crop any chunk padding (INF lanes)
     return _locate_full_chunked(
         hv, bounds, page_doc, is_header, topk=topk, hit_cap=hit_cap,
         with_docs=with_docs, interpret=interpret, pg=pgs, tail=tail,
@@ -1336,18 +1346,16 @@ def _bucket_full(term_offsets, coords, bounds, page_doc, is_header,
                 )
             if (w == 2 and v > 1 and not isinstance(cap, tuple)
                     and page_of is not None and _tab_serves(small, cap)):
-                from docodo_tpu.ops.pallas_query import FUSED_AND_MAX
-
-                if 2 * v * cap <= FUSED_AND_MAX:
-                    # oversize variant bucket within the resident
-                    # fused budget (PROFILE_WIDE_r05's remaining cost)
-                    return _chunked_variants_full(
-                        term_offsets, coords, bounds, page_doc,
-                        is_header, tq, rq, cap=cap, topk=topk,
-                        hit_cap=hit_cap, with_docs=with_docs,
-                        small=small, interpret=interp,
-                        page_of=page_of, tail=tail,
-                    )
+                # oversize variant bucket: resident fused kernel within
+                # FUSED_AND_MAX, two-pass chunked variants AND above it
+                # (PROFILE_WIDE_r05's dominant remaining cost both ways)
+                return _chunked_variants_full(
+                    term_offsets, coords, bounds, page_doc,
+                    is_header, tq, rq, cap=cap, topk=topk,
+                    hit_cap=hit_cap, with_docs=with_docs,
+                    small=small, interpret=interp,
+                    page_of=page_of, tail=tail,
+                )
             if (w >= 3 and v == 1 and not isinstance(cap, tuple)
                     and page_of is not None
                     and _tab_serves(small, cap)):

@@ -2068,6 +2068,162 @@ def _chunked_and_fwd_kernel(vals_ref, tag_ref, vals_r_ref, tag_r_ref,
     icar_ref[...] = new
 
 
+def _chunked_variants_fwd_kernel(vals_ref, tag_ref, ra_ref, rb_ref,
+                                 bpad_ref, flags_ref, cum_a_ref,
+                                 cum_b_ref, bef_a_ref, bef_b_ref,
+                                 icar_ref, *, n_total: int):
+    """Forward pass of the CHUNKED variants AND (W=2 words, each an OR
+    of variants) — the chunk-streamed twin of _variants_and_keep for
+    streams past FUSED_AND_MAX (ref Search.cs:226-247 variant sets).
+
+    The resident kernel resolves "does this equal-coord run contain
+    word A / word B" with span queries (prefix + reverse running min —
+    a backward data dependency). Chunked forward needs those marks
+    WITHOUT the reverse pass, and the merge sort makes that possible:
+    the stream is sorted 2-key (coord, tag), so tags ASCEND within
+    each run — "run contains A" is simply `run start opens with tag
+    0`, and "run contains B" marks the run's FIRST tag-1 lane. Both
+    are one-lane-local. A run never spans a gap-segment cut (equal
+    coords have gap 0) and the ordered cut only fires at A marks (run
+    starts), so moving the B increment inside its run never crosses a
+    segment boundary and the per-segment (end - before) counts are
+    unchanged — bit-parity with ops/seqops.and_variants_sorted.
+
+    Word-B-padded rows (bpad: the AND is the identity on word A's
+    deduped union) alias the B marks onto the A marks: every segment's
+    has_a & has_b collapses to has_a and exactly the run starts keep.
+
+    icar scratch (Q, 128) i32: col 0 last val, 1 cum_a, 2 cum_b,
+    3 before_at_start (ordered cut), 4 bef_a, 5 bef_b, 6 start idx,
+    7 last lane's tag (cross-chunk A->B transition detection)."""
+    c = pl.program_id(1)
+    q, C = vals_ref.shape
+    lane = _iota((q, C), 1)
+    glane = lane + c * C
+
+    @pl.when(c == 0)
+    def _init():
+        sl = _iota(icar_ref.shape, 1)
+        icar_ref[...] = jnp.where(
+            sl < 3, 0, jnp.where(sl == 7, 2, -1)
+        )
+
+    vals = vals_ref[...]
+    tag = tag_ref[...]
+    valid = vals < INF32
+
+    carry_lv = icar_ref[:, 0][:, None]
+    carry_ca = icar_ref[:, 1][:, None]
+    carry_cb = icar_ref[:, 2][:, None]
+    carry_bas = icar_ref[:, 3][:, None]
+    carry_ba = icar_ref[:, 4][:, None]
+    carry_bb = icar_ref[:, 5][:, None]
+    carry_si = icar_ref[:, 6][:, None]
+    carry_lt = icar_ref[:, 7][:, None]
+
+    prev_vals = _shift_right_fill(vals, np.int32(0))
+    prev_vals = jnp.where(lane == 0, carry_lv, prev_vals)
+    prev_tag = _shift_right_fill(tag, np.int32(2))
+    prev_tag = jnp.where(lane == 0, carry_lt, prev_tag)
+
+    new_coord = jnp.logical_or(vals != prev_vals, glane == 0)
+    run_start = jnp.logical_and(valid, new_coord)
+    isa2 = jnp.logical_and(run_start, tag == 0)
+    isb2 = jnp.logical_and(
+        jnp.logical_and(valid, tag == 1),
+        jnp.logical_or(new_coord, prev_tag == 0),
+    )
+    # (broadcast select over i1 vectors trips Mosaic — select in i32)
+    b_pad = bpad_ref[:, 0][:, None] > 0
+    isb2 = jnp.where(
+        b_pad, isa2.astype(jnp.int32), isb2.astype(jnp.int32)
+    ) > 0
+
+    r1 = ra_ref[:, 0][:, None]
+    r2 = rb_ref[:, 0][:, None]
+    abs_r = jnp.maximum(jnp.abs(r1), jnp.abs(r2))
+    ordered = jnp.logical_and(r1 < 0, r2 < 0)
+
+    gap_prev = vals - jnp.where(glane == 0, 0, prev_vals)
+    gap_cut = jnp.logical_and(abs_r != 0, gap_prev > abs_r)
+    seg_start = jnp.logical_or(
+        glane == 0, jnp.logical_and(gap_cut, valid)
+    )
+
+    cum_a = _cumsum(isa2.astype(jnp.int32)) + carry_ca
+    cum_b = _cumsum(isb2.astype(jnp.int32)) + carry_cb
+
+    start_idx = jnp.maximum(
+        _cummax(jnp.where(seg_start, glane, -1)), carry_si
+    )
+    before = cum_a - isa2.astype(jnp.int32)
+    before_at_start = jnp.maximum(
+        _cummax(jnp.where(seg_start, before, -1)), carry_bas
+    )
+    ordered_cut = jnp.logical_and(
+        jnp.logical_and(isa2, (before - before_at_start) == 0),
+        glane != start_idx,
+    )
+    seg_start2 = jnp.logical_or(
+        seg_start, jnp.logical_and(ordered, ordered_cut)
+    )
+
+    prev_cum_a = _shift_right_fill(cum_a, np.int32(0))
+    prev_cum_a = jnp.where(lane == 0, carry_ca, prev_cum_a)
+    prev_cum_b = _shift_right_fill(cum_b, np.int32(0))
+    prev_cum_b = jnp.where(lane == 0, carry_cb, prev_cum_b)
+    bef_a = jnp.maximum(
+        _cummax(jnp.where(seg_start2, prev_cum_a, -1)), carry_ba
+    )
+    bef_b = jnp.maximum(
+        _cummax(jnp.where(seg_start2, prev_cum_b, -1)), carry_bb
+    )
+
+    # run starts are the representative (dedupe) slots
+    flags_ref[...] = (
+        seg_start2.astype(jnp.int32) + 2 * run_start.astype(jnp.int32)
+    )
+    cum_a_ref[...] = cum_a
+    cum_b_ref[...] = cum_b
+    bef_a_ref[...] = bef_a
+    bef_b_ref[...] = bef_b
+
+    nbig = np.int32(-(2 ** 31))
+    slane = _iota((q, 128), 1)
+    new = jnp.where(
+        slane == 0,
+        jnp.max(jnp.where(lane == C - 1, vals, nbig),
+                axis=1, keepdims=True),
+        jnp.where(
+            slane == 1, jnp.max(cum_a, axis=1, keepdims=True),
+            jnp.where(
+                slane == 2, jnp.max(cum_b, axis=1, keepdims=True),
+                jnp.where(
+                    slane == 3,
+                    jnp.max(before_at_start, axis=1, keepdims=True),
+                    jnp.where(
+                        slane == 4,
+                        jnp.max(bef_a, axis=1, keepdims=True),
+                        jnp.where(
+                            slane == 5,
+                            jnp.max(bef_b, axis=1, keepdims=True),
+                            jnp.where(
+                                slane == 6,
+                                jnp.max(start_idx, axis=1,
+                                        keepdims=True),
+                                jnp.max(
+                                    jnp.where(lane == C - 1, tag, nbig),
+                                    axis=1, keepdims=True),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    )
+    icar_ref[...] = new
+
+
 def _chunked_and_bwd_kernel(vals_ref, flags_ref, cum_a_ref, cum_b_ref,
                             bef_a_ref, bef_b_ref, hits_ref, icar_ref,
                             *, n_chunks: int):
@@ -2706,6 +2862,82 @@ def pallas_chunked_and(vals, tag, ra, rb, *, chunk: int = CHUNK_LANES,
         scratch_shapes=[pltpu.VMEM((q, 128), jnp.int32)],
         interpret=interpret,
     )(vals, tag, vals_r, tag_r, ra, rb)
+
+    bwd = functools.partial(_chunked_and_bwd_kernel, n_chunks=k)
+    rblk = lambda i, c: (i, k - 1 - c)
+    hits = pl.pallas_call(
+        bwd,
+        grid=grid,
+        in_specs=[pl.BlockSpec((q, chunk), rblk)] * 6,
+        out_specs=pl.BlockSpec((q, chunk), rblk),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((q, 128), jnp.int32)],
+        interpret=interpret,
+    )(vals, flags, cum_a, cum_b, bef_a, bef_b)
+    return hits[:bsz]
+
+
+def pallas_chunked_variants_and(vals, tag, ra, rb, bpad, *,
+                                chunk: int = CHUNK_LANES,
+                                interpret: bool = False):
+    """Variants proximity-AND keep (W=2 words, each an OR of variants)
+    over a PRE-MERGED word-tagged stream of ANY width: streams up to
+    FUSED_AND_MAX lanes take the resident one-pass kernel
+    (pallas_fused_variants_and); wider streams run the two
+    chunk-streamed passes — the variants forward kernel (run-local
+    representative marks, see _chunked_variants_fwd_kernel) and the
+    SAME backward kernel as the plain chunked AND (the per-segment
+    end-count resolution is mark-agnostic). Covers the giant V>1
+    buckets (2*V*cap past 4096) that previously rode the XLA
+    and_variants_sorted scan chains — PROFILE_WIDE_r05's dominant
+    remaining cost (~34 ms of the 49.8 ms wide batch). Returns the
+    kept-hit stream (INF32 at dropped slots), possibly chunk-padded
+    wider than the input (padding lanes are INF)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, n = vals.shape
+    if n <= FUSED_AND_MAX:
+        return pallas_fused_variants_and(
+            vals, tag, ra, rb, bpad, interpret=interpret)
+    cpad = (-n) % chunk
+    if cpad:
+        vals = jnp.concatenate(
+            [vals, jnp.full((bsz, cpad), INF32, jnp.int32)], axis=1
+        )
+        tag = jnp.concatenate(
+            [tag, jnp.full((bsz, cpad), 2, jnp.int32)], axis=1
+        )
+        n += cpad
+    k = n // chunk
+    q = CHUNK_Q
+    pad = (-bsz) % q
+    if pad:
+        vals = jnp.concatenate(
+            [vals, jnp.full((pad, n), INF32, jnp.int32)]
+        )
+        tag = jnp.concatenate([tag, jnp.full((pad, n), 2, jnp.int32)])
+        ra = jnp.concatenate([ra, jnp.ones((pad, 1), jnp.int32)])
+        rb = jnp.concatenate([rb, jnp.ones((pad, 1), jnp.int32)])
+        bpad = jnp.concatenate([bpad, jnp.zeros((pad, 1), jnp.int32)])
+    b = vals.shape[0]
+    grid = (b // q, k)
+    fwd = functools.partial(_chunked_variants_fwd_kernel, n_total=n)
+    blk = lambda i, c: (i, c)
+    flags, cum_a, cum_b, bef_a, bef_b = pl.pallas_call(
+        fwd,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, chunk), blk),
+            pl.BlockSpec((q, chunk), blk),
+            pl.BlockSpec((q, 1), lambda i, c: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i, c: (i, 0)),
+            pl.BlockSpec((q, 1), lambda i, c: (i, 0)),
+        ],
+        out_specs=[pl.BlockSpec((q, chunk), blk)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((b, n), jnp.int32)] * 5,
+        scratch_shapes=[pltpu.VMEM((q, 128), jnp.int32)],
+        interpret=interpret,
+    )(vals, tag, ra, rb, bpad)
 
     bwd = functools.partial(_chunked_and_bwd_kernel, n_chunks=k)
     rblk = lambda i, c: (i, k - 1 - c)

@@ -616,8 +616,11 @@ def test_oversize_variants_chunked_matches_xla(rng):
         pages_np=pages_np)
     # cap must cover every term count (512 >= max 500): the carried
     # tables cannot serve truncated terms, and production caps are
-    # pow2(max count) so they never truncate
-    for v, bsz, cap in ((3, 8, 512), (4, 6, 512)):
+    # pow2(max count) so they never truncate. The cap>=1024 shapes
+    # push 2*v*cap past FUSED_AND_MAX onto the TWO-PASS chunked
+    # variants AND (multi-chunk carries: 6 and 16 chunks).
+    for v, bsz, cap in ((3, 8, 512), (4, 6, 512),
+                        (3, 8, 1024), (4, 6, 2048)):
         assert 2 * v * cap > MAX_STREAM_WIDTH  # really oversize
         tq = nprng.integers(0, T - 2, (bsz, 2, v)).astype(np.int32)
         tq[0, 1, :] = -1          # word-B padded row (union identity)
